@@ -1,0 +1,72 @@
+"""Render configuration.
+
+Replaces the reference's compile-time constants + mutable globals
+(win32-raytracer/pch.h:170-181, set once from the CLI in Main.cpp:73-119)
+with an immutable dataclass.  Scene and camera — hard-coded in the reference
+(RayTracer.cpp:906-915, 969) — are promoted to first-class arguments of the
+render API instead of living here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# Reference defaults (pch.h:170-174).
+DEFAULT_IMAGE_WIDTH = 640
+DEFAULT_IMAGE_HEIGHT = 480
+DEFAULT_NUM_SAMPLES = 50
+MAX_RECURSION = 10
+DEFAULT_IMAGE_FILENAME = "out.bmp"  # pch.h:183
+
+# Numerical constants of the tracer core.
+EPSILON = 1e-5          # normal offset, RayTracer.cpp:13
+MIN_HIT_T = 0.001       # near-t threshold, RayTracer.cpp:430
+REFLECT_THRES = 0.05    # dielectric reflect bias, RayTracer.cpp:661
+SHUTTER_OPEN_T = 0.0    # camera defaults, RayTracer.cpp:233-234
+SHUTTER_CLOSE_T = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (trace-time) renderer parameters.
+
+    ``match_reference`` toggles reproduction of the reference's numerical
+    quirks; production mode uses the textbook formulas:
+
+    * ``refract_discriminant_bias``: the reference computes the refraction
+      discriminant as ``2.0 - n^2 (1 - dt^2)`` instead of the textbook
+      ``1.0 - ...`` (RayTracer.cpp:168) — this visibly changes the glass.
+    * ``schlick_uses_ni_over_nt``: Schlick is called with ``ni_over_nt``
+      rather than the material IOR (RayTracer.cpp:658).
+    * ``reflect_thres``: the reflect decision is
+      ``0.05 + r < probability`` (RayTracer.cpp:661-662), biasing away from
+      reflection.  Set >= 1.05 to make dielectrics deterministic refractors
+      (used by exact golden tests).
+    """
+
+    width: int = DEFAULT_IMAGE_WIDTH
+    height: int = DEFAULT_IMAGE_HEIGHT
+    samples: int = DEFAULT_NUM_SAMPLES
+    max_depth: int = MAX_RECURSION  # depth > max_depth returns black (RayTracer.cpp:399-402)
+    seed: int = 0
+
+    # Quirk toggles (all default to reference behavior for image parity).
+    refract_discriminant_bias: float = 2.0
+    schlick_uses_ni_over_nt: bool = True
+    reflect_thres: float = REFLECT_THRES
+
+    # Numerics.
+    epsilon: float = EPSILON
+    min_hit_t: float = MIN_HIT_T
+
+    # Optional Russian-roulette path termination (extension; the reference
+    # terminates only on miss / metal absorb / depth, SURVEY.md §7).
+    russian_roulette: bool = False
+    rr_start_depth: int = 3
+
+    # Execution knobs.
+    backend: str = "auto"       # "auto" | "pallas" | "jnp"
+    rays_per_chunk: int = 1 << 20  # wavefront chunk size (lanes per jit call)
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,110 @@
+"""Image file IO.
+
+Replaces the reference's vendored stb_image_write BMP path
+(win32-raytracer/Game.cpp:27-43 -> ``stbi_write_bmp("out.bmp")``) with
+writers for BMP (bit-compatible: 24bpp bottom-up BGR, the format stb emits)
+and PNG.  A native C++ encoder (native/rtnative.cpp) is used when built —
+the runtime tier stays native like the reference's — with these pure-Python
+implementations as a portable fallback and CI oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+
+from . import native
+
+
+def _as_u8_rgb(image: np.ndarray) -> np.ndarray:
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        raise TypeError(f"expected uint8 image, got {img.dtype}")
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected [H, W, 3] image, got {img.shape}")
+    return img
+
+
+def encode_bmp(image: np.ndarray) -> bytes:
+    """Encode a u8 [H, W, 3] RGB image as a 24bpp BMP (stb-compatible)."""
+    img = _as_u8_rgb(image)
+    h, w, _ = img.shape
+    row_size = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    data_size = row_size * h
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 14 + 40 + data_size, 0, 0, 14 + 40,
+        40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0,
+    )
+    # Bottom-up BGR with row padding.
+    bgr = img[::-1, :, ::-1]
+    rows = np.zeros((h, row_size), np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + rows.tobytes()
+
+
+def encode_png(image: np.ndarray) -> bytes:
+    """Encode a u8 [H, W, 3] RGB image as a PNG (zlib, filter 0)."""
+    img = _as_u8_rgb(image)
+    h, w, _ = img.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), img.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def encode_ppm(image: np.ndarray) -> bytes:
+    """Binary PPM (P6) — the classic RTIOW output format."""
+    img = _as_u8_rgb(image)
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+_ENCODERS = {".bmp": encode_bmp, ".png": encode_png, ".ppm": encode_ppm}
+
+
+def write_image(path: str, image: np.ndarray) -> None:
+    """Write a u8 [H, W, 3] RGB image; format chosen by extension.
+
+    Uses the native encoder when available (BMP/PNG), else pure Python.
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in _ENCODERS:
+        raise ValueError(f"unsupported image format {ext!r} (use .bmp/.png/.ppm)")
+    img = _as_u8_rgb(image)
+    data = native.try_encode(ext, img)
+    if data is None:
+        data = _ENCODERS[ext](img)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def read_bmp(path: str) -> np.ndarray:
+    """Read a 24bpp uncompressed BMP back to u8 [H, W, 3] RGB (for tests)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    data_offset = struct.unpack_from("<I", buf, 10)[0]
+    w, h = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"only 24bpp BMP supported, got {bpp}")
+    row_size = (w * 3 + 3) & ~3
+    flip = h > 0
+    h = abs(h)
+    rows = np.frombuffer(buf, np.uint8, row_size * h, data_offset)
+    img = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return img[::-1] if flip else img
