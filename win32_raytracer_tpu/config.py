@@ -59,6 +59,12 @@ class RenderConfig:
     epsilon: float = EPSILON
     min_hit_t: float = MIN_HIT_T
 
+    # Deterministic mode: every uniform draw becomes 0.5 (pixel centers, no
+    # lens/time jitter, fixed dielectric decision).  With specular-only
+    # scenes this makes renders exactly comparable against the native oracle
+    # (tests/test_golden.py); mirrors oracle `deterministic`.
+    deterministic: bool = False
+
     # Optional Russian-roulette path termination (extension; the reference
     # terminates only on miss / metal absorb / depth, SURVEY.md §7).
     russian_roulette: bool = False

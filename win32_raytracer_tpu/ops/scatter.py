@@ -37,16 +37,6 @@ class ScatterResult(NamedTuple):
     alive: jnp.ndarray        # [N] bool — False = absorbed (black)
 
 
-def gather_material(scene: SphereScene, idx: jnp.ndarray):
-    """Fetch per-ray material params for the winning spheres."""
-    return (
-        jnp.take(scene.mat_id, idx),
-        jnp.take(scene.albedo, idx, axis=0),
-        jnp.take(scene.fuzz, idx),
-        jnp.take(scene.ior, idx),
-    )
-
-
 def scatter(
     scene: SphereScene,
     direction: jnp.ndarray,
@@ -57,10 +47,12 @@ def scatter(
     """One scatter event for every lane.
 
     ``draws`` is [N, 4]: 3 uniforms for the unit-ball sample + 1 for the
-    dielectric reflect decision.
+    dielectric reflect decision.  Material params ride in the HitRecord
+    (selected during the hit sweep — no gathers; gathers are pathologically
+    slow on the target TPU runtime).
     """
     eps = jnp.float32(cfg.epsilon)
-    mat_id, albedo, fuzz, ior = gather_material(scene, hit.idx)
+    mat_id, albedo, fuzz, ior = hit.mat_id, hit.albedo, hit.fuzz, hit.ior
     n = hit.normal
     hp = hit.point
     ball = sample_unit_ball(draws[:, 0:3])

@@ -68,7 +68,10 @@ def trace(
         miss = alive & ~rec.hit
         rad = rad + jnp.where(miss[:, None], thr * sky_color(d), 0.0)
 
-        draws = uniform01(jax.random.fold_in(key, depth), (n, 5))
+        if cfg.deterministic:
+            draws = jnp.full((n, 5), 0.5, jnp.float32)
+        else:
+            draws = uniform01(jax.random.fold_in(key, depth), (n, 5))
         sc = scatter(scene, d, rec, draws, cfg)
 
         live_hit = alive & rec.hit
@@ -116,8 +119,14 @@ def _render_rows(
     y = y0 + lane // (width * spp)
     x = (lane // spp) % width
 
-    ckey = jax.random.fold_in(key, 0)
-    draws = uniform01(ckey, (n, 5))
+    if cfg.deterministic:
+        # Pixel centers, shutter-open time, fixed lens draw (pair with
+        # aperture=0 for oracle-exact renders).
+        draws = jnp.full((n, 5), 0.5, jnp.float32)
+        draws = draws.at[:, 2].set(0.0)
+    else:
+        ckey = jax.random.fold_in(key, 0)
+        draws = uniform01(ckey, (n, 5))
     # Pixel jitter (RayTracer.cpp:941-943): u=(x+r0)/W, v=(H-y+r1)/H — note
     # the reference's y-flip uses H-y, not H-1-y.
     u = (x.astype(jnp.float32) + draws[:, 0]) / width
