@@ -1,0 +1,34 @@
+"""Hit-kernel backend selection.
+
+``auto`` uses the Pallas kernel on TPU (the production path) and the pure
+jnp implementation elsewhere (CPU tests, oracle comparisons).  The jnp path
+is also the correctness oracle for the Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+from ..config import RenderConfig
+from ..ops.hit import hit_spheres as hit_spheres_jnp
+from .hit_pallas import hit_spheres_pallas
+
+
+@functools.lru_cache(maxsize=None)
+def _default_platform() -> str:
+    return jax.devices()[0].platform
+
+
+def get_hit_fn(cfg: RenderConfig):
+    """Resolve cfg.backend ('auto' | 'pallas' | 'jnp') to a hit function."""
+    backend = cfg.backend
+    if backend == "auto":
+        # The axon platform is the TPU tunnel; plain 'tpu' for direct runs.
+        backend = "pallas" if _default_platform() in ("tpu", "axon") else "jnp"
+    if backend == "pallas":
+        return hit_spheres_pallas
+    if backend == "jnp":
+        return hit_spheres_jnp
+    raise ValueError(f"unknown backend {backend!r} (use auto|pallas|jnp)")

@@ -1,27 +1,29 @@
-"""Ray-sphere intersection (pure jnp reference path).
+"""Ray-sphere intersection (pure jnp path).
 
 This is the batched descendant of the reference's AVX sweep
 (win32-raytracer/RayTracer.cpp:433-589): brute-force ray-vs-all-spheres with
-a running nearest-t.  Differences by design:
+a running nearest-t, streamed over lane-width sphere tiles via ``lax.scan``.
+Design constraints beyond the reference's semantics (all empirically
+bisected on the axon TPU runtime, see docs/axon_runtime_notes.md):
 
-* whole-array masking replaces movemask early-outs (no divergence on TPU);
-* spheres are streamed in lane-width tiles via ``lax.scan`` carrying the
-  running (t, index, winner attributes) — so no ``[N_rays, N_spheres]``
-  buffer is materialized;
-* the winning sphere's attributes (center at ray time, radius, material
-  parameters) are carried through the scan with masked selects — the direct
-  analogue of the reference's ``conditionalAssign`` running state
-  (RayTracer.cpp:536-549).  NO dynamic gathers: gather ops are
-  catastrophically slow on the target TPU runtime, and the select-based
-  carry is pure VPU work;
-* padded/inactive spheres are masked, fixing the reference's silent
-  ``size % 8`` sphere dropout (RayTracer.cpp:432-434).
+* **No dynamic gathers / argmin.**  Winner attributes are fetched with a
+  one-hot [rays, tile] mask contracted against a packed [tile, 16]
+  attribute matrix on the MXU — one dot per tile, one [N, 16] carry.
+* **Compile time is a hard constraint.**  Per-attribute scan carries make
+  XLA:TPU compile time explode (minutes), and any program that compiles
+  slowly permanently degrades the process's dispatch path.  The packed
+  attribute carry keeps this kernel's compile in seconds.
+* **No f32-max literals, no closure-captured device arrays** (both also
+  pathological); the no-hit sentinel is 1e30.
 
-Tie-breaking matches the reference: strictly-nearer t wins, so the earliest
-sphere index is kept on exact ties (RayTracer.cpp:515, 576-589).
-
-This implementation is also the CI oracle for the Pallas kernel
-(kernels/hit_pallas.py).
+Semantics preserved from the reference: near root only (back faces are a
+TODO in the reference too, RayTracer.cpp:496-511), ``discriminant >= 0``,
+``t > min_t`` (0.001), strictly-nearer wins so the earliest sphere index is
+kept on exact ties (RayTracer.cpp:515, 576-589).  Padded/inactive spheres
+are masked, fixing the reference's silent ``size % 8`` sphere dropout
+(RayTracer.cpp:432-434).  Motion blur lerps centers by shutter time
+(RayTracer.cpp:449-452).  Negative radii flip normals (hollow-glass trick,
+RayTracer.cpp:531-533).
 """
 
 from __future__ import annotations
@@ -29,18 +31,26 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..config import MIN_HIT_T
 from ..scene.spheres import SphereScene
 
-# No-hit sentinel.  The reference uses numeric_limits<float>::max
-# (RayTracer.cpp:404); we use 1e30 because the f32-max literal itself
-# knocks the axon TPU runtime into a ~30x slower execution mode (empirically
-# bisected — any jitted program containing the 3.4028235e38 constant
-# degrades every subsequent dispatch in the process).  Semantics are
-# identical: any real hit t is << 1e30.
-F32_MAX = jnp.float32(1e30)
+# No-hit sentinel (reference: numeric_limits<float>::max, RayTracer.cpp:404).
+# MUST be a host-side numpy scalar, NOT jnp.float32(...): a module-level jnp
+# scalar is an eager device array, and embedding one as a jit constant makes
+# MLIR lowering pull it device->host through the axon relay — a minutes-long
+# stall that permanently degrades the process (docs/axon_runtime_notes.md).
+F32_MAX = np.float32(1e30)
+
+# Packed attribute-matrix columns (see _attr_matrix).
+_A_C1X, _A_C1Y, _A_C1Z = 0, 1, 2
+_A_DCX, _A_DCY, _A_DCZ = 3, 4, 5
+_A_T1, _A_INVDT, _A_RADIUS = 6, 7, 8
+_A_MAT, _A_ALR, _A_ALG, _A_ALB = 9, 10, 11, 12
+_A_FUZZ, _A_IOR, _A_IDX = 13, 14, 15
+ATTR_COLS = 16
 
 
 class HitRecord(NamedTuple):
@@ -58,25 +68,22 @@ class HitRecord(NamedTuple):
     ior: jnp.ndarray     # [N] f32
 
 
-def _scene_tiles(scene: SphereScene, tile: int):
-    """Reshape SoA scene arrays into [K, tile] stacks for lax.scan."""
+def _attr_matrix(scene: SphereScene) -> jnp.ndarray:
+    """Pack per-sphere attributes into one [S, 16] f32 matrix so the winner's
+    row can be fetched with a single one-hot MXU contraction."""
     s = scene.padded_size
-    assert s % tile == 0, (s, tile)
-    k = s // tile
-
-    def rs(x):
-        return x.reshape(k, tile)
-
     dc = scene.center2 - scene.center1
-    return dict(
-        c1x=rs(scene.center1[:, 0]), c1y=rs(scene.center1[:, 1]), c1z=rs(scene.center1[:, 2]),
-        dcx=rs(dc[:, 0]), dcy=rs(dc[:, 1]), dcz=rs(dc[:, 2]),
-        t1=rs(scene.t1), inv_dt=rs(1.0 / (scene.t2 - scene.t1)),
-        radius=rs(scene.radius),
-        active=rs(scene.active),
-        mat_id=rs(scene.mat_id),
-        alr=rs(scene.albedo[:, 0]), alg=rs(scene.albedo[:, 1]), alb=rs(scene.albedo[:, 2]),
-        fuzz=rs(scene.fuzz), ior=rs(scene.ior),
+    idx_f = jnp.arange(s, dtype=jnp.float32)
+    return jnp.stack(
+        [
+            scene.center1[:, 0], scene.center1[:, 1], scene.center1[:, 2],
+            dc[:, 0], dc[:, 1], dc[:, 2],
+            scene.t1, 1.0 / (scene.t2 - scene.t1), scene.radius,
+            scene.mat_id.astype(jnp.float32),
+            scene.albedo[:, 0], scene.albedo[:, 1], scene.albedo[:, 2],
+            scene.fuzz, scene.ior, idx_f,
+        ],
+        axis=1,
     )
 
 
@@ -88,103 +95,77 @@ def hit_spheres(
     min_t: float = MIN_HIT_T,
     tile: int = 128,
 ) -> HitRecord:
-    """Nearest front-face hit of each ray against every (active) sphere.
-
-    The quadratic matches RayTracer.cpp:454-488: only the near root is
-    tested (back faces are a TODO in the reference too), hits require
-    ``discriminant >= 0`` and ``t > min_t``.
-    """
+    """Nearest front-face hit of each ray against every (active) sphere."""
     n = origin.shape[0]
-    tiles = _scene_tiles(scene, tile)
+    s = scene.padded_size
+    assert s % tile == 0, (s, tile)
+    k = s // tile
+
+    attrs = _attr_matrix(scene).reshape(k, tile, ATTR_COLS)      # [K,T,16]
+    active = scene.active.astype(jnp.float32).reshape(k, tile)   # [K,T]
 
     ox, oy, oz = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]
     dx, dy, dz = direction[:, 0:1], direction[:, 1:2], direction[:, 2:3]
     a = dx * dx + dy * dy + dz * dz            # [N,1] (d need not be unit)
     tcol = time[:, None]
-    lane_f = jax.lax.broadcasted_iota(jnp.float32, (1, tile), 1)
 
-    zero = jnp.zeros((n,), jnp.float32)
-    init = dict(
-        t=jnp.full((n,), F32_MAX, jnp.float32),
-        idx=jnp.zeros((n,), jnp.int32),
-        cx=zero, cy=zero, cz=zero, radius=jnp.ones((n,), jnp.float32),
-        mat_id=jnp.zeros((n,), jnp.int32),
-        alr=zero, alg=zero, alb=zero, fuzz=zero, ior=jnp.ones((n,), jnp.float32),
+    init = (
+        jnp.full((n,), F32_MAX, jnp.float32),      # best t
+        jnp.zeros((n, ATTR_COLS), jnp.float32),    # winner's attr row
     )
 
     def body(carry, args):
-        k, tl = args
+        tl, act = args          # tl: [T,16], act: [T]
+        best_t, best_a = carry
         # Motion blur: lerp centers by shutter time (RayTracer.cpp:449-452).
-        lerp = (tcol - tl["t1"][None, :]) * tl["inv_dt"][None, :]
-        cx = tl["c1x"][None, :] + tl["dcx"][None, :] * lerp
-        cy = tl["c1y"][None, :] + tl["dcy"][None, :] * lerp
-        cz = tl["c1z"][None, :] + tl["dcz"][None, :] * lerp
-        # oc = origin - center
+        lerp = (tcol - tl[:, _A_T1][None, :]) * tl[:, _A_INVDT][None, :]
+        cx = tl[:, _A_C1X][None, :] + tl[:, _A_DCX][None, :] * lerp
+        cy = tl[:, _A_C1Y][None, :] + tl[:, _A_DCY][None, :] * lerp
+        cz = tl[:, _A_C1Z][None, :] + tl[:, _A_DCZ][None, :] * lerp
         ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
         b_half = dx * ocx + dy * ocy + dz * ocz
-        r = tl["radius"][None, :]
+        r = tl[:, _A_RADIUS][None, :]
         c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
         disc = b_half * b_half - a * c          # = discriminant / 4
         t = (-b_half - jnp.sqrt(jnp.maximum(disc, 0.0))) / a
-        valid = (disc >= 0.0) & (t > min_t) & tl["active"][None, :]
+        valid = (disc >= 0.0) & (t > min_t) & (act[None, :] > 0.5)
         t = jnp.where(valid, t, F32_MAX)
 
-        # Winner within this tile, then conditional-assign into the carry.
-        # NO argmin: `argmin` + broadcast-compare triggers a pathological
-        # XLA:TPU path on this runtime (minutes-long compiles + persistent
-        # ~30ms dispatch degradation).  Instead: min + first-occurrence
-        # one-hot (cumsum tie-break keeps the reference's earliest-index
-        # tie rule, RayTracer.cpp:576-589) — pure VPU work.
+        # Tile winner: min + first-occurrence one-hot (earliest index wins
+        # ties, matching RayTracer.cpp:576-589), then ONE MXU contraction
+        # fetches the winner's packed attribute row.
         tile_t = jnp.min(t, axis=1)                              # [N]
         eq = (t == tile_t[:, None]).astype(jnp.float32)          # [N,T]
-        onehot = (eq * (jnp.cumsum(eq, axis=1) == 1.0)) > 0.0    # first match
+        onehot = eq * (jnp.cumsum(eq, axis=1) == 1.0)            # [N,T]
+        sel = jnp.dot(onehot, tl, preferred_element_type=jnp.float32)  # [N,16]
 
-        def sel(x):  # [N,T] -> [N] value at the winning lane
-            return jnp.sum(jnp.where(onehot, x, jnp.zeros_like(x)), axis=1)
+        better = tile_t < best_t
+        best_t = jnp.where(better, tile_t, best_t)
+        best_a = jnp.where(better[:, None], sel, best_a)
+        return (best_t, best_a), None
 
-        def sel_row(row):  # [T] table row -> [N]
-            return sel(jnp.broadcast_to(row[None, :], onehot.shape))
+    (best_t, best_a), _ = jax.lax.scan(body, init, (attrs, active))
 
-        tile_arg = sel(jnp.broadcast_to(lane_f, onehot.shape))   # winner lane id
-
-        better = tile_t < carry["t"]
-
-        def upd(cur, new):
-            return jnp.where(better, new, cur)
-
-        new_carry = dict(
-            t=upd(carry["t"], tile_t),
-            idx=upd(carry["idx"],
-                    (jnp.float32(k * tile) + tile_arg).astype(jnp.int32)),
-            cx=upd(carry["cx"], sel(cx)),
-            cy=upd(carry["cy"], sel(cy)),
-            cz=upd(carry["cz"], sel(cz)),
-            radius=upd(carry["radius"], sel_row(tl["radius"])),
-            mat_id=upd(carry["mat_id"], sel_row(tl["mat_id"])),
-            alr=upd(carry["alr"], sel_row(tl["alr"])),
-            alg=upd(carry["alg"], sel_row(tl["alg"])),
-            alb=upd(carry["alb"], sel_row(tl["alb"])),
-            fuzz=upd(carry["fuzz"], sel_row(tl["fuzz"])),
-            ior=upd(carry["ior"], sel_row(tl["ior"])),
-        )
-        return new_carry, None
-
-    k_ids = jnp.arange(scene.padded_size // tile, dtype=jnp.int32)
-    out, _ = jax.lax.scan(body, init, (k_ids, tiles))
-
-    best_t = out["t"]
     hit = best_t < F32_MAX
     t_safe = jnp.where(hit, best_t, 0.0)
     point = origin + t_safe[:, None] * direction
 
-    # normal = (point - center) / radius (RayTracer.cpp:531-533; signed
-    # radius flips normals for the hollow-glass spheres).
-    center = jnp.stack([out["cx"], out["cy"], out["cz"]], axis=-1)
-    normal = (point - center) / out["radius"][:, None]
+    # Winner's center at ray time; normal = (point - center) / radius
+    # (RayTracer.cpp:531-533; signed radius flips hollow-glass normals).
+    lerp = (time - best_a[:, _A_T1]) * best_a[:, _A_INVDT]
+    center = best_a[:, _A_C1X:_A_C1Z + 1] + best_a[:, _A_DCX:_A_DCZ + 1] * lerp[:, None]
+    radius = best_a[:, _A_RADIUS]
+    denom = jnp.where(radius == 0.0, 1.0, radius)
+    normal = (point - center) / denom[:, None]
 
     return HitRecord(
-        hit=hit, t=best_t, point=point, normal=normal, idx=out["idx"],
-        mat_id=out["mat_id"],
-        albedo=jnp.stack([out["alr"], out["alg"], out["alb"]], axis=-1),
-        fuzz=out["fuzz"], ior=out["ior"],
+        hit=hit,
+        t=best_t,
+        point=point,
+        normal=normal,
+        idx=best_a[:, _A_IDX].astype(jnp.int32),
+        mat_id=best_a[:, _A_MAT].astype(jnp.int32),
+        albedo=best_a[:, _A_ALR:_A_ALB + 1],
+        fuzz=best_a[:, _A_FUZZ],
+        ior=best_a[:, _A_IOR],
     )
