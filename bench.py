@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: RTIOW final scene, 1200x800 @ 100 spp on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference's best multi-threaded AVX CPU figure — 2.50 Mrays/s
+primary (640x480x50spp in 6143 ms at 20 threads on an i5-2500K;
+BASELINE.md, derived from /root/reference/manualTestResults.txt:16).
+"rays" counts primary rays only (W*H*spp), matching BASELINE.md's
+conservative convention.
+
+Protocol (docs/axon_runtime_notes.md): flip the axon runtime into honest
+sync mode with a tiny fetch BEFORE anything else, warm all programs with a
+first render, then time the second render end-to-end (dispatch -> fetched
+u8 image).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+BASELINE_MRAYS = 2.50
+
+WIDTH, HEIGHT, SPP = 1200, 800, 100
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    # Flip to sync (honest-timing) mode first; this one fetch is the slow
+    # one-per-process channel setup and must not pollute the measurement.
+    np.asarray(jnp.ones((8,)) + 1)
+
+    from win32_raytracer_tpu.config import RenderConfig
+    from win32_raytracer_tpu.render import render
+    from win32_raytracer_tpu.scene.builders import random_scene
+
+    scene = random_scene()
+    cfg = RenderConfig(width=WIDTH, height=HEIGHT, samples=SPP, seed=3,
+                       rays_per_chunk=1 << 21)
+
+    # Warm-up: compiles every step program (and populates the persistent
+    # compilation cache for future runs).
+    t0 = time.perf_counter()
+    img = render(scene, cfg=cfg)
+    warm_s = time.perf_counter() - t0
+    print(f"# warm-up render (incl. compiles): {warm_s:.1f}s", file=sys.stderr)
+
+    # Timed run: full wall-clock to a fetched u8 image.
+    t0 = time.perf_counter()
+    img = render(scene, cfg=cfg)
+    dt = time.perf_counter() - t0
+
+    rays = WIDTH * HEIGHT * SPP
+    mrays = rays / dt / 1e6
+    print(f"# timed render: {dt:.2f}s, image mean {img.mean():.2f}",
+          file=sys.stderr)
+
+    out_path = os.path.join(os.path.dirname(__file__), "bench_out.png")
+    try:
+        from win32_raytracer_tpu.io.image import write_image
+        write_image(out_path, img)
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": "Mrays/sec primary, 1200x800@100spp RTIOW final scene, "
+                  "1 chip",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,10 @@ Must set env vars before jax imports — hence module-level, first thing.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the environment pins JAX_PLATFORMS=axon (the TPU tunnel)
+# globally AND its sitecustomize imports jax at interpreter startup, so env
+# vars alone are too late — jax.config.update below does the real work.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -27,7 +30,11 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+assert jax.device_count() >= 8, (
+    "expected the 8-device virtual CPU mesh; got "
+    f"{jax.devices()} — XLA_FLAGS was set too late?")
 
 import pytest  # noqa: E402
 

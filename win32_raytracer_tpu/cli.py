@@ -1,0 +1,126 @@
+"""Command-line interface.
+
+Superset of the reference's positional CLI (win32-raytracer/Main.cpp:73-119:
+``exe [width height] [samples] [threads] [perfTest]`` with defaults
+640x480x50spp) — positional args keep the same order and meaning ("threads"
+maps to mesh devices), plus flags for everything the reference hard-coded
+(scene RayTracer.cpp:969, seed, output path pch.h:183, depth pch.h:173).
+
+The ``perfTest`` positional (or --perf-test) reproduces the reference's
+perf harness behavior: write elapsed ms to a timing file and exit
+(Game.cpp:187-191, 222-228) — extended with a JSON line carrying Mrays/s.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from .config import (DEFAULT_IMAGE_WIDTH, DEFAULT_IMAGE_HEIGHT,
+                     DEFAULT_NUM_SAMPLES, MAX_RECURSION, RenderConfig)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="wrt-render",
+        description="TPU-native path tracer with the capabilities of "
+                    "jamesmcgill/win32-raytracer",
+    )
+    p.add_argument("width", nargs="?", type=int, default=DEFAULT_IMAGE_WIDTH)
+    p.add_argument("height", nargs="?", type=int, default=DEFAULT_IMAGE_HEIGHT)
+    p.add_argument("samples", nargs="?", type=int, default=DEFAULT_NUM_SAMPLES)
+    p.add_argument("devices", nargs="?", type=int, default=0,
+                   help="mesh devices (0 = single device; the reference's "
+                        "'threads' slot)")
+    p.add_argument("perf", nargs="?", default="",
+                   help="literal 'perfTest' for perf-harness mode "
+                        "(Main.cpp:112-118)")
+    p.add_argument("--scene", default="random",
+                   help="test | random | final (default: random, like the "
+                        "reference)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--depth", type=int, default=MAX_RECURSION)
+    p.add_argument("--out", default="out.bmp",
+                   help="output image (.bmp/.png/.ppm; default out.bmp like "
+                        "the reference)")
+    p.add_argument("--backend", default="auto", choices=["auto", "pallas", "jnp"])
+    p.add_argument("--shard-mode", default="rows", choices=["rows", "spp"])
+    p.add_argument("--perf-test", action="store_true")
+    p.add_argument("--perf-file", default="perf.txt",
+                   help="timing file written in perf mode (Game.cpp:187-191)")
+    p.add_argument("--russian-roulette", action="store_true",
+                   help="enable RR path termination (extension; the "
+                        "reference never terminates diffuse paths early)")
+    p.add_argument("--textbook", action="store_true",
+                   help="textbook refract/schlick instead of the "
+                        "reference's quirks (RayTracer.cpp:168, 658)")
+    p.add_argument("--platform", default="",
+                   help="force a jax platform (e.g. cpu); the environment's "
+                        "sitecustomize pre-imports jax, so env vars alone "
+                        "can't override it")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    perf_mode = args.perf_test or args.perf == "perfTest"
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    cfg = RenderConfig(
+        width=args.width, height=args.height, samples=args.samples,
+        max_depth=args.depth, seed=args.seed, backend=args.backend,
+        russian_roulette=args.russian_roulette,
+    )
+    if args.textbook:
+        cfg = cfg.replace(refract_discriminant_bias=1.0,
+                          schlick_uses_ni_over_nt=False)
+
+    def log(msg):
+        if not args.quiet:
+            print(msg, file=sys.stderr, flush=True)
+
+    log(f"scene={args.scene} {cfg.width}x{cfg.height} spp={cfg.samples} "
+        f"depth={cfg.max_depth} seed={cfg.seed} backend={cfg.backend}")
+
+    from .api import render  # defer heavy imports past --help
+
+    mesh = None
+    if args.devices and args.devices > 1:
+        from .parallel.shard import make_mesh
+        mesh = make_mesh(args.devices)
+        log(f"mesh: {mesh.devices.size} device(s)")
+
+    t0 = time.perf_counter()
+    result = render(args.scene, cfg=cfg, mesh=mesh, shard_mode=args.shard_mode)
+    log(f"render duration: {result.duration_ms:.0f} ms "
+        f"({result.mrays_per_sec:.2f} Mrays/s primary)")
+
+    if perf_mode:
+        # Reference behavior: elapsed ms to the perf file, then exit
+        # (Game.cpp:187-191); we add a JSON line to stdout for harnesses.
+        with open(args.perf_file, "w") as f:
+            f.write(f"{result.duration_ms:.0f}\n")
+        print(json.dumps({
+            "metric": "Mrays/sec primary",
+            "value": round(result.mrays_per_sec, 4),
+            "unit": "Mrays/s",
+            "wall_ms": round(result.duration_ms, 1),
+            "config": f"{cfg.width}x{cfg.height}@{cfg.samples}spp "
+                      f"scene={args.scene}",
+        }))
+        return 0
+
+    from .io.image import write_image
+    write_image(args.out, result.image)
+    log(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -109,9 +109,12 @@ def hit_spheres(
     a = dx * dx + dy * dy + dz * dz            # [N,1] (d need not be unit)
     tcol = time[:, None]
 
+    # Derive the init carry from the ray inputs (not fresh zeros) so its
+    # device-varying type matches the body output under shard_map.
+    zero_lane = ox * 0.0                            # [N,1], input-derived
     init = (
-        jnp.full((n,), F32_MAX, jnp.float32),      # best t
-        jnp.zeros((n, ATTR_COLS), jnp.float32),    # winner's attr row
+        zero_lane[:, 0] + F32_MAX,                                # best t
+        zero_lane + jnp.zeros((1, ATTR_COLS), jnp.float32),       # attr row
     )
 
     def body(carry, args):
