@@ -74,5 +74,20 @@ class RenderConfig:
     backend: str = "auto"       # "auto" | "pallas" | "jnp"
     rays_per_chunk: int = 1 << 20  # wavefront chunk size (lanes per jit call)
 
+    # Scheduler: "wavefront" = one lane per (pixel, sample), fixed
+    # max_depth+1 bounce steps (simple, but lanes idle once their path
+    # ends); "persistent" = one lane per pixel, samples run sequentially
+    # with immediate respawn on path termination (~3x less wasted work on
+    # the RTIOW scene); "auto" picks persistent when samples >= 8.
+    scheduler: str = "auto"
+    # Persistent scheduler: steps between host-side all-done checks (each
+    # check costs one device sync).
+    check_period: int = 0  # 0 = auto
+
+    # Stratified pixel jitter: samples placed on a sqrt(spp) grid within
+    # the pixel instead of pure uniform (extension; reduces variance,
+    # BASELINE.json config 3).
+    stratify: bool = False
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

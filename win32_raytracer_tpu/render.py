@@ -225,6 +225,8 @@ def render_image(
     image is deterministic for a given (seed, chunk size).  All chunk/bounce
     dispatches are pipelined; the only host syncs are the final fetches.
     """
+    if cam is None:
+        cam = default_camera(cfg.width, cfg.height)
     w, h, spp = cfg.width, cfg.height, cfg.samples
     rows = max(1, min(h, cfg.rays_per_chunk // max(1, w * spp)))
     key = jax.random.PRNGKey(cfg.seed)
@@ -269,5 +271,17 @@ def render(
     if hit_fn is None:
         from .kernels.dispatch import get_hit_fn
         hit_fn = get_hit_fn(cfg)
-    linear = render_image(scene, cam, cfg, hit_fn=hit_fn)
+    scheduler = cfg.scheduler
+    if scheduler == "auto":
+        scheduler = ("persistent"
+                     if cfg.samples >= 8 and not cfg.deterministic
+                     else "wavefront")
+    if scheduler == "persistent":
+        from .persistent import render_image_persistent
+        linear = render_image_persistent(scene, cam, cfg, hit_fn=hit_fn)
+    elif scheduler == "wavefront":
+        linear = render_image(scene, cam, cfg, hit_fn=hit_fn)
+    else:
+        raise ValueError(
+            f"unknown scheduler {cfg.scheduler!r} (auto|wavefront|persistent)")
     return np.asarray(tonemap(linear))
