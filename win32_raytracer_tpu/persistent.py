@@ -1,24 +1,27 @@
-"""Persistent wavefront scheduler.
+"""Persistent wavefront scheduler with batch compaction.
 
 The fixed-depth wavefront (render.py) retires lanes as their paths end, so
-by depth 5+ most of the batch is dead weight — the SPMD analogue of the
-reference's observation that some image regions are far more expensive than
-others (win32-raytracer/RayTracer.cpp:973-978).  This scheduler instead
-pins one lane per *pixel* and runs that pixel's samples sequentially: the
-moment a path terminates (sky, metal absorb, depth exhaustion) the lane
-immediately respawns the next camera sample.  Lanes idle only in the final
-tail, so utilization tracks the mean path length instead of the worst case
-(~3x less work on the RTIOW final scene at depth 10).
+by depth 5+ most of the batch is dead weight.  This scheduler pins one lane
+per *pixel* and runs that pixel's samples sequentially, respawning the next
+camera sample the moment a path terminates (sky / metal absorb / depth
+exhaustion) — the SPMD answer to the reference's interleaved-block load
+balancing (win32-raytracer/RayTracer.cpp:973-978).
+
+Pixel difficulty varies wildly (a sky pixel finishes 100 samples in ~100
+steps; a glass-and-ground pixel needs ~8x that), which leaves a long tail
+of mostly-dead batches.  So the driver periodically *compacts*: it flushes
+every lane's completed-sample radiance into a host-side accumulator image,
+drops finished lanes, and continues with the survivors in a next-power-of-2
+batch — work tracks the live-lane integral instead of worst-pixel x batch.
 
 Semantics are identical to the reference recursion: hit tests happen at
 recursion levels 0..max_depth (RayTracer.cpp:399-402); a miss at any level
 adds throughput-weighted sky (RayTracer.cpp:690-701); a path still alive
 after its level-max_depth scatter contributes black.
 
-The step programs (hit / scatter / respawn) are three small jits driven and
-pipelined from Python, with one device sync per ``check_period`` steps to
-test all-done — the same small-program discipline as render.py
-(docs/axon_runtime_notes.md).
+Three small pipelined step programs (hit / scatter / respawn) driven from
+Python, one device sync per ``check_period`` steps — the same small-program
+discipline as render.py (docs/axon_runtime_notes.md).
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ from .core.materials import sky_color
 from .core.rng import uniform01
 from .ops.hit import hit_spheres
 from .ops.scatter import scatter
-from .render import HitFn, tonemap
+from .render import HitFn
 from .scene.camera import Camera, camera_rays, default_camera
 from .scene.spheres import SphereScene
 
@@ -46,9 +49,10 @@ class PathState(NamedTuple):
     direction: jnp.ndarray     # [N, 3]
     time: jnp.ndarray          # [N]
     throughput: jnp.ndarray    # [N, 3]
-    radiance_sum: jnp.ndarray  # [N, 3] — summed over completed samples
+    radiance_sum: jnp.ndarray  # [N, 3] — completed samples since last flush
     depth: jnp.ndarray         # [N] i32 — recursion level of the next hit
     sample: jnp.ndarray        # [N] i32 — current sample index (-1 = none)
+    pixel: jnp.ndarray         # [N] i32 — global pixel id (y * W + x)
     path_alive: jnp.ndarray    # [N] bool
 
 
@@ -90,17 +94,14 @@ def p_scatter_step(scene: SphereScene, st: PathState, rec, key: jax.Array,
                        path_alive=alive)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "width", "height", "spp", "rows"))
-def p_respawn_step(cam: Camera, st: PathState, y0: jnp.ndarray,
-                   key: jax.Array, step_i: jnp.ndarray, *,
-                   cfg: RenderConfig, width: int, height: int, spp: int,
-                   rows: int) -> PathState:
+@functools.partial(jax.jit, static_argnames=("cfg", "width", "height", "spp"))
+def p_respawn_step(cam: Camera, st: PathState, key: jax.Array,
+                   step_i: jnp.ndarray, *, cfg: RenderConfig, width: int,
+                   height: int, spp: int) -> PathState:
     """Start the next camera sample on every lane whose path just ended."""
-    n = rows * width
-    lane = jnp.arange(n, dtype=jnp.int32)
-    y = y0 + lane // width
-    x = lane % width
+    n = st.pixel.shape[0]
+    y = st.pixel // width
+    x = st.pixel % width
 
     start = ~st.path_alive & (st.sample < spp - 1)
     new_sample = jnp.where(start, st.sample + 1, st.sample)
@@ -131,6 +132,35 @@ def p_respawn_step(cam: Camera, st: PathState, y0: jnp.ndarray,
     )
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1)).bit_length()
+
+
+@functools.partial(jax.jit, static_argnames=("k_new",))
+def _compact(st: PathState, accum: jnp.ndarray, *, k_new: int):
+    """Flush every lane's completed radiance into the device accumulator,
+    then keep the live lanes (alive-first stable sort) in a [k_new] batch.
+
+    Device-side throughout: the relay's device->host path is ~12 MB/s, so
+    host-side compaction would cost seconds per event; sort + take runs in
+    ~0.1 s (docs/axon_runtime_notes.md).
+    """
+    accum = accum.at[st.pixel].add(st.radiance_sum)
+    sort_key = (~st.path_alive).astype(jnp.int32)
+    lane = jnp.arange(st.pixel.shape[0], dtype=jnp.int32)
+    _, perm = jax.lax.sort_key_val(sort_key, lane)
+    sel = perm[:k_new]
+
+    def take(x):
+        return jnp.take(x, sel, axis=0)
+
+    new = PathState(*(take(getattr(st, f)) for f in PathState._fields))
+    # Radiance was flushed; lanes past the alive count are dead padding and
+    # will neither respawn (exhausted) nor contribute (zero radiance).
+    return new._replace(
+        radiance_sum=jnp.zeros((k_new, 3), jnp.float32)), accum
+
+
 def render_image_persistent(
     scene: SphereScene,
     cam: Optional[Camera],
@@ -143,13 +173,15 @@ def render_image_persistent(
     w, h, spp = cfg.width, cfg.height, cfg.samples
     rows = max(1, min(h, cfg.rays_per_chunk // max(1, w)))
     key = jax.random.PRNGKey(cfg.seed)
-    check_period = cfg.check_period or max(8, spp)
-    # Hard upper bound: every sample could run the full depth budget.
+    check_period = cfg.check_period or 32
     max_steps = spp * (cfg.max_depth + 2)
+    min_lanes = 1 << 12
 
-    out = []
+    accum = jnp.zeros((h * w, 3), jnp.float32)
+
     for y0 in range(0, h, rows):
-        n = rows * w
+        take = min(rows, h - y0)
+        n = take * w
         ckey = jax.random.fold_in(key, y0)
         rkey = jax.random.fold_in(ckey, 1)
         skey = jax.random.fold_in(ckey, 2)
@@ -161,11 +193,12 @@ def render_image_persistent(
             radiance_sum=jnp.zeros((n, 3), jnp.float32),
             depth=jnp.zeros((n,), jnp.int32),
             sample=jnp.full((n,), -1, jnp.int32),
+            pixel=jnp.arange(y0 * w, (y0 + take) * w, dtype=jnp.int32),
             path_alive=jnp.zeros((n,), bool),
         )
         step = 0
-        st = p_respawn_step(cam, st, jnp.int32(y0), rkey, jnp.int32(step),
-                            cfg=cfg, width=w, height=h, spp=spp, rows=rows)
+        st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
+                            width=w, height=h, spp=spp)
         while step < max_steps:
             budget = min(check_period, max_steps - step)
             for _ in range(budget):
@@ -173,12 +206,17 @@ def render_image_persistent(
                 rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=hit_fn)
                 st = p_scatter_step(scene, st, rec, skey, jnp.int32(step),
                                     cfg=cfg)
-                st = p_respawn_step(cam, st, jnp.int32(y0), rkey,
-                                    jnp.int32(step), cfg=cfg, width=w,
-                                    height=h, spp=spp, rows=rows)
-            if not bool(jnp.any(st.path_alive)):  # one sync per period
+                st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
+                                    width=w, height=h, spp=spp)
+            n_alive = int(jnp.sum(st.path_alive))  # one sync per period
+            if n_alive == 0:
                 break
-        block = (st.radiance_sum / spp).reshape(rows, w, 3)
-        take = min(rows, h - y0)
-        out.append(block[:take] if take < rows else block)
-    return jnp.concatenate(out, axis=0)
+            cur = st.pixel.shape[0]
+            # Compact when the batch is mostly dead.
+            k_new = max(min_lanes, _next_pow2(n_alive))
+            if k_new <= cur // 2:
+                st, accum = _compact(st, accum, k_new=k_new)
+        # Flush this chunk's remaining radiance into the accumulator.
+        accum = accum.at[st.pixel].add(st.radiance_sum)
+
+    return (accum / spp).reshape(h, w, 3)

@@ -217,6 +217,7 @@ def render_image(
     cam: Optional[Camera],
     cfg: RenderConfig,
     hit_fn: HitFn = hit_spheres,
+    progress=None,
 ) -> jnp.ndarray:
     """Render the full image; returns linear radiance [H, W, 3] f32.
 
@@ -230,6 +231,9 @@ def render_image(
     w, h, spp = cfg.width, cfg.height, cfg.samples
     rows = max(1, min(h, cfg.rays_per_chunk // max(1, w * spp)))
     key = jax.random.PRNGKey(cfg.seed)
+
+    from .utils.progress import ProgressTracker
+    tracker = ProgressTracker(h, w * spp, progress)
 
     out = []
     for y0 in range(0, h, rows):
@@ -245,6 +249,8 @@ def render_image(
         block = accumulate_pixels(state.radiance, width=w, spp=spp, rows=rows)
         take = min(rows, h - y0)
         out.append(block[:take] if take < rows else block)
+        tracker.chunk_done(take)
+    tracker.done()
     return jnp.concatenate(out, axis=0)
 
 
