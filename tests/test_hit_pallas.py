@@ -85,3 +85,24 @@ def test_render_with_pallas_backend_matches_jnp():
     # identical RNG streams; only f32-edge hit flips may differ
     assert (diff > 2).mean() < 0.01
     assert diff.mean() < 0.5
+
+
+def test_pallas_v2_factored_matches_oracle():
+    """v2 (MXU-factored features) under the interpreter vs the jnp oracle."""
+    from win32_raytracer_tpu.kernels.hit_pallas_v2 import hit_spheres_pallas_v2
+
+    scene = random_scene()
+    rng = np.random.default_rng(4)
+    n = 512
+    o = jnp.asarray(rng.uniform(-10, 10, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32)
+    tm = jnp.asarray(rng.uniform(0, 0.05, (n,)), jnp.float32)
+    r2 = hit_spheres_pallas_v2(scene, o, d, tm, ray_block=256,
+                               interpret=INTERPRET)
+    rj = hit_spheres(scene, o, d, tm)
+    hp, hj = np.asarray(r2.hit), np.asarray(rj.hit)
+    assert (hp != hj).mean() < 2e-3
+    both = hp & hj
+    np.testing.assert_allclose(np.asarray(r2.t)[both], np.asarray(rj.t)[both],
+                               rtol=2e-2, atol=1e-3)
+    assert (np.asarray(r2.idx)[both] == np.asarray(rj.idx)[both]).mean() > 0.99

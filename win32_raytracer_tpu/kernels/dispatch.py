@@ -21,14 +21,23 @@ def _default_platform() -> str:
     return jax.devices()[0].platform
 
 
-def get_hit_fn(cfg: RenderConfig):
-    """Resolve cfg.backend ('auto' | 'pallas' | 'jnp') to a hit function."""
+def get_hit_fn(cfg: RenderConfig, scene=None):
+    """Resolve cfg.backend ('auto' | 'pallas' | 'jnp') to a hit function.
+
+    When ``scene`` is given, the returned function also handles triangle
+    and composite scenes (spheres on the selected backend; triangles on
+    the jnp sweep)."""
     backend = cfg.backend
     if backend == "auto":
         # The axon platform is the TPU tunnel; plain 'tpu' for direct runs.
         backend = "pallas" if _default_platform() in ("tpu", "axon") else "jnp"
     if backend == "pallas":
-        return hit_spheres_pallas
-    if backend == "jnp":
-        return hit_spheres_jnp
-    raise ValueError(f"unknown backend {backend!r} (use auto|pallas|jnp)")
+        sphere_fn = hit_spheres_pallas
+    elif backend == "jnp":
+        sphere_fn = hit_spheres_jnp
+    else:
+        raise ValueError(f"unknown backend {backend!r} (use auto|pallas|jnp)")
+    if scene is None:
+        return sphere_fn
+    from ..scene.composite import make_hit_fn
+    return make_hit_fn(scene, sphere_fn)

@@ -56,9 +56,8 @@ class PathState(NamedTuple):
     path_alive: jnp.ndarray    # [N] bool
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "hit_fn"))
-def p_hit_step(scene: SphereScene, st: PathState, *, cfg: RenderConfig,
-               hit_fn: HitFn = hit_spheres):
+def _hit_core(scene: SphereScene, st: PathState, *, cfg: RenderConfig,
+              hit_fn: HitFn = hit_spheres):
     rec = hit_fn(scene, st.origin, st.direction, st.time,
                  min_t=cfg.min_hit_t)
     miss = st.path_alive & ~rec.hit
@@ -68,9 +67,8 @@ def p_hit_step(scene: SphereScene, st: PathState, *, cfg: RenderConfig,
                             path_alive=st.path_alive & rec.hit)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def p_scatter_step(scene: SphereScene, st: PathState, rec, key: jax.Array,
-                   step_i: jnp.ndarray, *, cfg: RenderConfig) -> PathState:
+def _scatter_core(scene: SphereScene, st: PathState, rec, key: jax.Array,
+                  step_i: jnp.ndarray, *, cfg: RenderConfig) -> PathState:
     n = st.origin.shape[0]
     draws = uniform01(jax.random.fold_in(key, step_i), (n, 5))
     sc = scatter(scene, st.direction, rec, draws, cfg)
@@ -94,10 +92,9 @@ def p_scatter_step(scene: SphereScene, st: PathState, rec, key: jax.Array,
                        path_alive=alive)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "width", "height", "spp"))
-def p_respawn_step(cam: Camera, st: PathState, key: jax.Array,
-                   step_i: jnp.ndarray, *, cfg: RenderConfig, width: int,
-                   height: int, spp: int) -> PathState:
+def _respawn_core(cam: Camera, st: PathState, key: jax.Array,
+                  step_i: jnp.ndarray, *, cfg: RenderConfig, width: int,
+                  height: int, spp: int) -> PathState:
     """Start the next camera sample on every lane whose path just ended."""
     n = st.pixel.shape[0]
     y = st.pixel // width
@@ -130,6 +127,33 @@ def p_respawn_step(cam: Camera, st: PathState, key: jax.Array,
         sample=new_sample,
         path_alive=st.path_alive | start,
     )
+
+
+# Jitted single-phase steps (kept for tests and the shard_map layer).
+p_hit_step = functools.partial(jax.jit, static_argnames=("cfg", "hit_fn"))(_hit_core)
+p_scatter_step = functools.partial(jax.jit, static_argnames=("cfg",))(_scatter_core)
+p_respawn_step = functools.partial(
+    jax.jit, static_argnames=("cfg", "width", "height", "spp"))(_respawn_core)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "hit_fn", "width", "height", "spp"))
+def p_bounce_step(scene: SphereScene, cam: Camera, st: PathState,
+                  key: jax.Array, step_i: jnp.ndarray, *, cfg: RenderConfig,
+                  hit_fn: HitFn, width: int, height: int,
+                  spp: int) -> PathState:
+    """Fused hit + scatter + respawn in one dispatch.
+
+    NOT used by the driver: measured interleaved against the split
+    3-dispatch loop, XLA generates ~2.5x slower code for the fused
+    pallas+epilogue program.  Kept for experiments and as the one-dispatch
+    variant for contexts where dispatch count matters more than codegen."""
+    rec, st = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
+    st = _scatter_core(scene, st, rec, key, step_i, cfg=cfg)
+    # Decorrelate respawn draws from scatter draws (distinct key stream).
+    rkey = jax.random.fold_in(key, 0x5EED)
+    return _respawn_core(cam, st, rkey, step_i, cfg=cfg, width=width,
+                         height=height, spp=spp)
 
 
 def _next_pow2(x: int) -> int:
@@ -203,6 +227,9 @@ def render_image_persistent(
             budget = min(check_period, max_steps - step)
             for _ in range(budget):
                 step += 1
+                # Three separate dispatches beat one fused program 2.5x here
+                # (measured interleaved in one process): XLA generates far
+                # worse code for the fused pallas+epilogue program.
                 rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=hit_fn)
                 st = p_scatter_step(scene, st, rec, skey, jnp.int32(step),
                                     cfg=cfg)

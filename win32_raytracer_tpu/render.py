@@ -276,7 +276,7 @@ def render(
         cam = default_camera(cfg.width, cfg.height)
     if hit_fn is None:
         from .kernels.dispatch import get_hit_fn
-        hit_fn = get_hit_fn(cfg)
+        hit_fn = get_hit_fn(cfg, scene)
     scheduler = cfg.scheduler
     if scheduler == "auto":
         scheduler = ("persistent"

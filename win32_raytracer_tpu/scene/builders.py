@@ -83,10 +83,38 @@ def random_scene(seed: int = 666, pad_to: int = LANE_PAD) -> SphereScene:
     return b.build(pad_to)
 
 
+def mesh_scene(pad_to: int = LANE_PAD):
+    """Demo composite scene (extension): diffuse ground + hero spheres plus
+    a metal icosphere mesh and a glass box mesh (BASELINE.json config 4 —
+    the triangle path; load real assets with scene.triangles.load_obj)."""
+    import numpy as np
+    from .composite import CompositeScene
+    from .triangles import box_mesh, build_triangle_scene, icosphere_mesh
+
+    b = SceneBuilder()
+    b.add_lambertian((0.0, -1000.0, 0.0), 1000.0, (0.5, 0.5, 0.5))
+    b.add_lambertian((-2.5, 1.0, -1.0), 1.0, (0.4, 0.2, 0.1))
+    b.add_dielectric((2.5, 1.0, -1.0), 1.0, 1.5)
+    spheres = b.build(pad_to)
+
+    v1, f1 = icosphere_mesh((0.0, 1.0, 0.0), 1.0, subdivisions=2)
+    v2, f2 = box_mesh((0.0, 0.35, 2.2), (0.7, 0.7, 0.7))
+    verts = np.concatenate([v1, v2], axis=0)
+    faces = np.concatenate([f1, f2 + len(v1)], axis=0)
+    mats = np.concatenate([np.full(len(f1), mat.METAL, np.int32),
+                           np.full(len(f2), mat.DIELECTRIC, np.int32)])
+    albs = np.concatenate([np.tile([0.8, 0.7, 0.6], (len(f1), 1)),
+                           np.tile([1.0, 1.0, 1.0], (len(f2), 1))]).astype(np.float32)
+    tris = build_triangle_scene(verts, faces, mat_id=mats, albedo=albs,
+                                fuzz=0.05, ior=1.5, pad_to=pad_to)
+    return CompositeScene(spheres=spheres, triangles=tris)
+
+
 SCENES = {
     "test": test_scene,
     "random": random_scene,
     "final": random_scene,  # alias: RTIOW "final scene"
+    "mesh": mesh_scene,
 }
 
 
