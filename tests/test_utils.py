@@ -80,3 +80,21 @@ def test_checkpoint_config_mismatch(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         render_with_checkpoints(scene, None, cfg.replace(seed=2), ck, passes=2)
+
+
+def test_phase_timer():
+    import jax.numpy as jnp
+    from win32_raytracer_tpu.utils.profiling import PhaseTimer, mrays
+
+    pt = PhaseTimer()
+    with pt.phase("a"):
+        jnp.ones((64,)).sum().block_until_ready()
+    with pt.phase("a"):
+        pass
+    with pt.phase("b"):
+        pass
+    assert pt.counts["a"] == 2 and pt.counts["b"] == 1
+    assert pt.totals["a"] > 0
+    rep = pt.report()
+    assert "a" in rep and "%" in rep
+    assert abs(mrays(2_000_000, 2.0) - 1.0) < 1e-9
