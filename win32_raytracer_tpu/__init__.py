@@ -22,12 +22,18 @@ from .scene.camera import Camera, default_camera, make_camera
 from .scene.spheres import SceneBuilder, SphereScene
 from .io.image import write_image, read_bmp
 from .core import materials
+from .animation import orbit_path, render_animation
+from .scene.composite import CompositeScene
+from .scene.triangles import (TriangleScene, box_mesh, build_triangle_scene,
+                              icosphere_mesh, load_obj)
 
 __all__ = [
     "RenderConfig", "RenderResult", "AsyncRender", "render", "render_async",
     "SCENES", "get_scene", "random_scene", "test_scene",
     "Camera", "default_camera", "make_camera",
-    "SceneBuilder", "SphereScene",
+    "SceneBuilder", "SphereScene", "CompositeScene", "TriangleScene",
+    "box_mesh", "build_triangle_scene", "icosphere_mesh", "load_obj",
+    "orbit_path", "render_animation",
     "write_image", "read_bmp", "materials",
 ]
 

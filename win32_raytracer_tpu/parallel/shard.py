@@ -63,9 +63,13 @@ def _state_spec():
     return WavefrontState(*(P("tiles") for _ in WavefrontState._fields))
 
 
+@functools.lru_cache(maxsize=64)
 def _shard_steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
                  spp: int, rows: int, hit_fn: HitFn):
-    """Build the shard-mapped step functions for one chunk geometry."""
+    """Build the shard-mapped step functions for one chunk geometry.
+
+    Cached: the returned jitted closures must be reused across render calls
+    (animation frames!) or every call would retrace and recompile."""
     sspec = _state_spec()
 
     def primary(cam, y0s, dev_keys):
@@ -141,6 +145,7 @@ def render_image_sharded(
     w, h, spp = cfg.width, cfg.height, cfg.samples
     d = mesh.devices.size
     key = jax.random.PRNGKey(cfg.seed)
+    cfg = cfg.replace(seed=0)  # steps must not recompile per seed
 
     if mode == "spp":
         if spp % d:

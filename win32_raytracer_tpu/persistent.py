@@ -197,6 +197,9 @@ def render_image_persistent(
     w, h, spp = cfg.width, cfg.height, cfg.samples
     rows = max(1, min(h, cfg.rays_per_chunk // max(1, w)))
     key = jax.random.PRNGKey(cfg.seed)
+    # Seed feeds only the host-side key; keep the jitted-step cfg seedless
+    # so different seeds (e.g. animation frames) share compiled programs.
+    cfg = cfg.replace(seed=0)
     check_period = cfg.check_period or 32
     max_steps = spp * (cfg.max_depth + 2)
     min_lanes = 1 << 12

@@ -231,6 +231,9 @@ def render_image(
     w, h, spp = cfg.width, cfg.height, cfg.samples
     rows = max(1, min(h, cfg.rays_per_chunk // max(1, w * spp)))
     key = jax.random.PRNGKey(cfg.seed)
+    # The seed only feeds the (host-side) key; zero it in the cfg handed to
+    # the jitted steps so different seeds share one compiled program.
+    cfg = cfg.replace(seed=0)
 
     from .utils.progress import ProgressTracker
     tracker = ProgressTracker(h, w * spp, progress)
