@@ -33,42 +33,16 @@ def test_checkpoint_resume_identical_image(tmp_path):
     state = load_checkpoint(ck)
     assert state is not None and state[1] == 4
 
-    # Simulate an interrupted run: roll the checkpoint back to 2 passes and
-    # resume — the final image must be identical.
-    accum, done, meta = state
-    half = np.zeros_like(accum)
-    # Re-run the first two passes only by truncating via a fresh checkpoint.
+    # Interrupted run: a 2-pass budget leaves a partial checkpoint; the
+    # resumed render must produce the identical final image.
     ck2 = str(tmp_path / "partial.ckpt.npz")
-    import win32_raytracer_tpu.utils.checkpoint as C
-    # First two passes:
-    try:
-        C.render_with_checkpoints(scene, None, cfg, ck2, passes=4,
-                                  hit_fn=_stop_after(2, scene, cfg, ck2))
-    except _Stop:
-        pass
+    partial = render_with_checkpoints(scene, None, cfg, ck2, passes=4,
+                                      max_passes_per_run=2)
+    assert partial is None  # budget exhausted, not complete
     st2 = load_checkpoint(ck2)
     assert st2 is not None and st2[1] == 2
     img_resumed = render_with_checkpoints(scene, None, cfg, ck2, passes=4)
     np.testing.assert_array_equal(img_resumed, img_full)
-
-
-class _Stop(Exception):
-    pass
-
-
-def _stop_after(n_passes, scene, cfg, path):
-    """hit_fn wrapper that aborts the render after n_passes completed."""
-    from win32_raytracer_tpu.ops.hit import hit_spheres
-    calls = {"passes": 0}
-
-    def fn(*a, **k):
-        # One hit call per bounce per chunk; count passes via checkpoint.
-        st = load_checkpoint(path)
-        if st is not None and st[1] >= n_passes:
-            raise _Stop()
-        return hit_spheres(*a, **k)
-
-    return fn
 
 
 def test_checkpoint_config_mismatch(tmp_path):

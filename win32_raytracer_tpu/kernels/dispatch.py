@@ -14,11 +14,16 @@ import jax
 from ..config import RenderConfig
 from ..ops.hit import hit_spheres as hit_spheres_jnp
 from .hit_pallas import hit_spheres_pallas
+from .hit_pallas_v3 import hit_spheres_pallas_v3
 
 
 @functools.lru_cache(maxsize=None)
 def _default_platform() -> str:
     return jax.devices()[0].platform
+
+
+def _pallas_v3_rb2048(scene, o, d, t, min_t=0.001):
+    return hit_spheres_pallas_v3(scene, o, d, t, min_t=min_t, ray_block=2048)
 
 
 def get_hit_fn(cfg: RenderConfig, scene=None):
@@ -32,7 +37,9 @@ def get_hit_fn(cfg: RenderConfig, scene=None):
         # The axon platform is the TPU tunnel; plain 'tpu' for direct runs.
         backend = "pallas" if _default_platform() in ("tpu", "axon") else "jnp"
     if backend == "pallas":
-        sphere_fn = hit_spheres_pallas
+        # v3 (transposed layout, rb=2048) measured fastest; bit-identical
+        # to v1 on the RTIOW scenes.
+        sphere_fn = _pallas_v3_rb2048
     elif backend == "jnp":
         sphere_fn = hit_spheres_jnp
     else:
@@ -40,4 +47,8 @@ def get_hit_fn(cfg: RenderConfig, scene=None):
     if scene is None:
         return sphere_fn
     from ..scene.composite import make_hit_fn
-    return make_hit_fn(scene, sphere_fn)
+    tri_fn = None
+    if backend == "pallas":
+        from .tri_pallas import hit_triangles_pallas
+        tri_fn = hit_triangles_pallas
+    return make_hit_fn(scene, sphere_fn, tri_fn=tri_fn)

@@ -34,7 +34,7 @@ class CompositeScene(NamedTuple):
 _HIT_FN_CACHE = {}
 
 
-def make_hit_fn(scene, sphere_fn):
+def make_hit_fn(scene, sphere_fn, tri_fn=None):
     """Resolve a scene (SphereScene | TriangleScene | CompositeScene) and a
     sphere backend into a uniform hit function ``f(scene, o, d, t, min_t)``.
 
@@ -44,22 +44,25 @@ def make_hit_fn(scene, sphere_fn):
     """
     from ..ops.hit_tri import combine_hits, hit_triangles
 
+    if tri_fn is None:
+        tri_fn = hit_triangles
+
     if isinstance(scene, TriangleScene):
-        return hit_triangles
+        return tri_fn
 
     if isinstance(scene, CompositeScene):
         if scene.spheres is None and scene.triangles is None:
             raise ValueError("empty composite scene")
         key = ("composite", scene.spheres is None, scene.triangles is None,
-               sphere_fn)
+               sphere_fn, tri_fn)
         if key not in _HIT_FN_CACHE:
             def composite(sc, o, d, t, min_t=0.001):
                 if sc.spheres is None:
-                    return hit_triangles(sc.triangles, o, d, t, min_t=min_t)
+                    return tri_fn(sc.triangles, o, d, t, min_t=min_t)
                 rec = sphere_fn(sc.spheres, o, d, t, min_t=min_t)
                 if sc.triangles is None:
                     return rec
-                rec_t = hit_triangles(sc.triangles, o, d, t, min_t=min_t)
+                rec_t = tri_fn(sc.triangles, o, d, t, min_t=min_t)
                 return combine_hits(rec, rec_t,
                                     idx_offset_b=sc.spheres.padded_size)
             _HIT_FN_CACHE[key] = composite

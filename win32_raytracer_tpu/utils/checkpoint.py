@@ -55,10 +55,14 @@ def render_with_checkpoints(
     checkpoint_path: str,
     passes: int = 10,
     hit_fn=None,
-) -> np.ndarray:
+    max_passes_per_run: Optional[int] = None,
+) -> Optional[np.ndarray]:
     """Render ``cfg.samples`` spp in ``passes`` resumable passes.
 
-    Returns the u8 image; the checkpoint holds partial sums until complete.
+    Returns the u8 image once all passes are done; the checkpoint holds
+    partial sums until then.  ``max_passes_per_run`` bounds how many passes
+    this invocation performs (time-budgeted rendering); if the render is
+    still incomplete afterwards, returns None — call again to resume.
     """
     if cfg.samples % passes:
         raise ValueError(f"samples ({cfg.samples}) must divide into "
@@ -81,13 +85,17 @@ def render_with_checkpoints(
         accum = np.zeros((cfg.height, cfg.width, 3), np.float64)
         done = 0
 
-    for p in range(done, passes):
+    end = passes if max_passes_per_run is None else min(
+        passes, done + max_passes_per_run)
+    for p in range(done, end):
         pass_cfg = cfg.replace(samples=spp_pass,
                                seed=cfg.seed * 1000003 + p)
         linear = np.asarray(render_image(scene, cam, pass_cfg,
                                          hit_fn=hit_fn), np.float64)
         accum += linear * spp_pass
         _save(checkpoint_path, accum, p + 1, cfg, passes)
+    if end < passes:
+        return None  # budget exhausted; resume with another call
 
     mean = (accum / cfg.samples).astype(np.float32)
     import jax.numpy as jnp
