@@ -52,7 +52,7 @@ class PathState(NamedTuple):
     radiance_sum: jnp.ndarray  # [N, 3] — completed samples since last flush
     depth: jnp.ndarray         # [N] i32 — recursion level of the next hit
     sample: jnp.ndarray        # [N] i32 — current sample index (-1 = none)
-    pixel: jnp.ndarray         # [N] i32 — global pixel id (y * W + x)
+    pixel: jnp.ndarray         # [N] i32 — pixel-lane id: (y*W + x)*K + replica
     path_alive: jnp.ndarray    # [N] bool
 
 
@@ -94,13 +94,22 @@ def _scatter_core(scene: SphereScene, st: PathState, rec, key: jax.Array,
 
 def _respawn_core(cam: Camera, st: PathState, key: jax.Array,
                   step_i: jnp.ndarray, *, cfg: RenderConfig, width: int,
-                  height: int, spp: int) -> PathState:
-    """Start the next camera sample on every lane whose path just ended."""
-    n = st.pixel.shape[0]
-    y = st.pixel // width
-    x = st.pixel % width
+                  height: int, spp: int, lanes_per_pixel: int = 1
+                  ) -> PathState:
+    """Start the next camera sample on every lane whose path just ended.
 
-    start = ~st.path_alive & (st.sample < spp - 1)
+    With ``lanes_per_pixel`` K > 1, each pixel's spp samples are split over
+    K replica lanes (quota spp//K each) — K-fold fewer sequential steps for
+    hard pixels at identical total work."""
+    n = st.pixel.shape[0]
+    kpp = lanes_per_pixel
+    pix = st.pixel // kpp
+    replica = st.pixel % kpp
+    y = pix // width
+    x = pix % width
+    quota = spp // kpp
+
+    start = ~st.path_alive & (st.sample < quota - 1)
     new_sample = jnp.where(start, st.sample + 1, st.sample)
 
     draws = uniform01(jax.random.fold_in(key, step_i), (n, 5))
@@ -108,8 +117,9 @@ def _respawn_core(cam: Camera, st: PathState, key: jax.Array,
     if cfg.stratify:
         k = int(np.sqrt(spp))
         if k * k == spp and k > 1:
-            sx = (new_sample % k).astype(jnp.float32)
-            sy = ((new_sample // k) % k).astype(jnp.float32)
+            gs = replica * quota + new_sample  # global sample index
+            sx = (gs % k).astype(jnp.float32)
+            sy = ((gs // k) % k).astype(jnp.float32)
             u_j = (sx + u_j) / k
             v_j = (sy + v_j) / k
     # Pixel mapping as RayTracer.cpp:941-943 (u=(x+r0)/W, v=(H-y+r1)/H).
@@ -133,15 +143,17 @@ def _respawn_core(cam: Camera, st: PathState, key: jax.Array,
 p_hit_step = functools.partial(jax.jit, static_argnames=("cfg", "hit_fn"))(_hit_core)
 p_scatter_step = functools.partial(jax.jit, static_argnames=("cfg",))(_scatter_core)
 p_respawn_step = functools.partial(
-    jax.jit, static_argnames=("cfg", "width", "height", "spp"))(_respawn_core)
+    jax.jit, static_argnames=("cfg", "width", "height", "spp",
+                              "lanes_per_pixel"))(_respawn_core)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "hit_fn", "width", "height", "spp"))
+    jax.jit, static_argnames=("cfg", "hit_fn", "width", "height", "spp",
+                              "lanes_per_pixel"))
 def p_bounce_step(scene: SphereScene, cam: Camera, st: PathState,
                   key: jax.Array, step_i: jnp.ndarray, *, cfg: RenderConfig,
                   hit_fn: HitFn, width: int, height: int,
-                  spp: int) -> PathState:
+                  spp: int, lanes_per_pixel: int = 1) -> PathState:
     """Fused hit + scatter + respawn in one dispatch.
 
     NOT used by the driver: measured interleaved against the split
@@ -153,15 +165,17 @@ def p_bounce_step(scene: SphereScene, cam: Camera, st: PathState,
     # Decorrelate respawn draws from scatter draws (distinct key stream).
     rkey = jax.random.fold_in(key, 0x5EED)
     return _respawn_core(cam, st, rkey, step_i, cfg=cfg, width=width,
-                         height=height, spp=spp)
+                         height=height, spp=spp,
+                         lanes_per_pixel=lanes_per_pixel)
 
 
 def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1)).bit_length()
 
 
-@functools.partial(jax.jit, static_argnames=("k_new",))
-def _compact(st: PathState, accum: jnp.ndarray, *, k_new: int):
+@functools.partial(jax.jit, static_argnames=("k_new", "lanes_per_pixel"))
+def _compact(st: PathState, accum: jnp.ndarray, *, k_new: int,
+             lanes_per_pixel: int = 1):
     """Flush every lane's completed radiance into the device accumulator,
     then keep the live lanes (alive-first stable sort) in a [k_new] batch.
 
@@ -169,7 +183,7 @@ def _compact(st: PathState, accum: jnp.ndarray, *, k_new: int):
     host-side compaction would cost seconds per event; sort + take runs in
     ~0.1 s (docs/axon_runtime_notes.md).
     """
-    accum = accum.at[st.pixel].add(st.radiance_sum)
+    accum = accum.at[st.pixel // lanes_per_pixel].add(st.radiance_sum)
     sort_key = (~st.path_alive).astype(jnp.int32)
     lane = jnp.arange(st.pixel.shape[0], dtype=jnp.int32)
     _, perm = jax.lax.sort_key_val(sort_key, lane)
@@ -195,20 +209,26 @@ def render_image_persistent(
     if cam is None:
         cam = default_camera(cfg.width, cfg.height)
     w, h, spp = cfg.width, cfg.height, cfg.samples
-    rows = max(1, min(h, cfg.rays_per_chunk // max(1, w)))
+    # Replica lanes per pixel: fewer sequential steps for hard pixels.
+    kpp = 1
+    for cand in (8, 4, 2):
+        if spp % cand == 0 and spp // cand >= 4:
+            kpp = cand
+            break
+    rows = max(1, min(h, cfg.rays_per_chunk // max(1, w * kpp)))
     key = jax.random.PRNGKey(cfg.seed)
     # Seed feeds only the host-side key; keep the jitted-step cfg seedless
     # so different seeds (e.g. animation frames) share compiled programs.
     cfg = cfg.replace(seed=0)
     check_period = cfg.check_period or 32
-    max_steps = spp * (cfg.max_depth + 2)
+    max_steps = (spp // kpp + 1) * (cfg.max_depth + 2)
     min_lanes = 1 << 12
 
     accum = jnp.zeros((h * w, 3), jnp.float32)
 
     for y0 in range(0, h, rows):
         take = min(rows, h - y0)
-        n = take * w
+        n = take * w * kpp
         ckey = jax.random.fold_in(key, y0)
         rkey = jax.random.fold_in(ckey, 1)
         skey = jax.random.fold_in(ckey, 2)
@@ -220,12 +240,14 @@ def render_image_persistent(
             radiance_sum=jnp.zeros((n, 3), jnp.float32),
             depth=jnp.zeros((n,), jnp.int32),
             sample=jnp.full((n,), -1, jnp.int32),
-            pixel=jnp.arange(y0 * w, (y0 + take) * w, dtype=jnp.int32),
+            pixel=jnp.arange(y0 * w * kpp, (y0 + take) * w * kpp,
+                             dtype=jnp.int32),
             path_alive=jnp.zeros((n,), bool),
         )
         step = 0
         st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
-                            width=w, height=h, spp=spp)
+                            width=w, height=h, spp=spp,
+                            lanes_per_pixel=kpp)
         while step < max_steps:
             budget = min(check_period, max_steps - step)
             for _ in range(budget):
@@ -237,7 +259,8 @@ def render_image_persistent(
                 st = p_scatter_step(scene, st, rec, skey, jnp.int32(step),
                                     cfg=cfg)
                 st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
-                                    width=w, height=h, spp=spp)
+                                    width=w, height=h, spp=spp,
+                                    lanes_per_pixel=kpp)
             n_alive = int(jnp.sum(st.path_alive))  # one sync per period
             if n_alive == 0:
                 break
@@ -245,8 +268,9 @@ def render_image_persistent(
             # Compact when the batch is mostly dead.
             k_new = max(min_lanes, _next_pow2(n_alive))
             if k_new <= cur // 2:
-                st, accum = _compact(st, accum, k_new=k_new)
+                st, accum = _compact(st, accum, k_new=k_new,
+                                     lanes_per_pixel=kpp)
         # Flush this chunk's remaining radiance into the accumulator.
-        accum = accum.at[st.pixel].add(st.radiance_sum)
+        accum = accum.at[st.pixel // kpp].add(st.radiance_sum)
 
     return (accum / spp).reshape(h, w, 3)
