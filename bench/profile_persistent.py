@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Phase-level profile of the persistent scheduler at the headline config.
+
+Replicates render_image_persistent's driver loop with wall-clock
+instrumentation: per-period step time, alive trajectory, compaction cost.
+Run on the TPU (no JAX_PLATFORMS override).
+"""
+
+import os
+import sys
+import time
+
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, _ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_ROOT, ".jax_cache"))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+np.asarray(jnp.ones((8,)) + 1)  # flip axon relay to sync mode
+
+from win32_raytracer_tpu.config import RenderConfig
+from win32_raytracer_tpu.persistent import (
+    PathState, p_hit_step, p_scatter_step, p_respawn_step, _compact,
+    _next_pow2)
+from win32_raytracer_tpu.ops.hit import hit_spheres
+from win32_raytracer_tpu.scene.builders import random_scene
+from win32_raytracer_tpu.scene.camera import default_camera
+
+W, H, SPP = 1200, 800, 100
+cfg = RenderConfig(width=W, height=H, samples=SPP, seed=3,
+                   rays_per_chunk=1 << 21).replace(seed=0)
+scene = random_scene()
+cam = default_camera(W, H)
+hit_fn = hit_spheres
+
+kpp = 1
+for cand in (8, 4, 2):
+    if SPP % cand == 0 and SPP // cand >= 4:
+        kpp = cand
+        break
+rows = max(1, min(H, cfg.rays_per_chunk // (W * kpp)))
+check_period = cfg.check_period or 32
+max_steps = (SPP // kpp + 1) * (cfg.max_depth + 2)
+min_lanes = 1 << 12
+key = jax.random.PRNGKey(3)
+
+print(f"# kpp={kpp} rows/chunk={rows} chunks={-(-H // rows)} "
+      f"max_steps={max_steps}")
+
+from win32_raytracer_tpu.persistent import render_image_persistent
+
+t0 = time.perf_counter()
+render_image_persistent(scene, cam, cfg.replace(seed=0)).block_until_ready()
+print(f"# warm-up render: {time.perf_counter() - t0:.1f}s")
+
+accum = jnp.zeros((H * W, 3), jnp.float32)
+t_total = time.perf_counter()
+lane_steps = 0          # sum of batch_size over executed steps
+step_time_by_size = {}  # batch_size -> [steps, seconds]
+compact_s = 0.0
+sync_s = 0.0
+n_compacts = 0
+total_steps = 0
+
+for y0 in range(0, H, rows):
+    take = min(rows, H - y0)
+    n = take * W * kpp
+    ckey = jax.random.fold_in(key, y0)
+    rkey = jax.random.fold_in(ckey, 1)
+    skey = jax.random.fold_in(ckey, 2)
+    st = PathState(
+        origin=jnp.zeros((n, 3), jnp.float32),
+        direction=jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0),
+        time=jnp.zeros((n,), jnp.float32),
+        throughput=jnp.ones((n, 3), jnp.float32),
+        radiance_sum=jnp.zeros((n, 3), jnp.float32),
+        depth=jnp.zeros((n,), jnp.int32),
+        sample=jnp.full((n,), -1, jnp.int32),
+        pixel=jnp.arange(y0 * W * kpp, (y0 + take) * W * kpp, dtype=jnp.int32),
+        path_alive=jnp.zeros((n,), bool),
+    )
+    step = 0
+    st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
+                        width=W, height=H, spp=SPP, lanes_per_pixel=kpp)
+    while step < max_steps:
+        budget = min(check_period, max_steps - step)
+        cur = st.pixel.shape[0]
+        t0 = time.perf_counter()
+        for _ in range(budget):
+            step += 1
+            rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=hit_fn)
+            st = p_scatter_step(scene, st, rec, skey, jnp.int32(step), cfg=cfg)
+            st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
+                                width=W, height=H, spp=SPP,
+                                lanes_per_pixel=kpp)
+        st.path_alive.block_until_ready()
+        dt = time.perf_counter() - t0
+        e = step_time_by_size.setdefault(cur, [0, 0.0])
+        e[0] += budget
+        e[1] += dt
+        lane_steps += cur * budget
+        total_steps += budget
+        t0 = time.perf_counter()
+        n_alive = int(jnp.sum(st.path_alive))
+        sync_s += time.perf_counter() - t0
+        if n_alive == 0:
+            break
+        k_new = max(min_lanes, _next_pow2(n_alive))
+        if k_new <= cur // 2:
+            t0 = time.perf_counter()
+            st, accum = _compact(st, accum, k_new=k_new, lanes_per_pixel=kpp)
+            accum.block_until_ready()
+            compact_s += time.perf_counter() - t0
+            n_compacts += 1
+    accum = accum.at[st.pixel // kpp].add(st.radiance_sum)
+
+img = (accum / SPP).reshape(H, W, 3)
+img.block_until_ready()
+total = time.perf_counter() - t_total
+
+print(f"# total {total:.2f}s  steps={total_steps}  lane-steps={lane_steps/1e6:.0f}M")
+print(f"# compactions: {n_compacts} x -> {compact_s:.2f}s; alive-syncs {sync_s:.2f}s")
+print("# batch_size steps seconds ms/step us/lane-step")
+for sz in sorted(step_time_by_size, reverse=True):
+    cnt, sec = step_time_by_size[sz]
+    print(f"{sz:>9} {cnt:>5} {sec:8.2f} {1e3 * sec / cnt:8.2f} "
+          f"{1e9 * sec / (cnt * sz):8.1f}n")
+print(f"# image mean {float(img.mean()):.4f}")
