@@ -52,3 +52,24 @@ def get_hit_fn(cfg: RenderConfig, scene=None):
         from .tri_pallas import hit_triangles_pallas
         tri_fn = hit_triangles_pallas
     return make_hit_fn(scene, sphere_fn, tri_fn=tri_fn)
+
+
+def _pallas_v4_rb2048(scene, o, d, t, min_t=0.001):
+    from .hit_pallas_v4 import hit_spheres_pallas_v4
+    return hit_spheres_pallas_v4(scene, o, d, t, min_t=min_t, ray_block=2048)
+
+
+def get_hit_fn_rows(cfg: RenderConfig, scene=None):
+    """Rows-layout hit function (ops/rows.py interface) for the persistent
+    scheduler.  Plain sphere scenes on TPU get the native lane-major v4
+    kernel; everything else (jnp oracle, triangle/composite scenes) goes
+    through the cached column adapter."""
+    from ..ops.rows import hit_rows_adapter
+    from ..scene.spheres import SphereScene
+
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if _default_platform() in ("tpu", "axon") else "jnp"
+    if backend == "pallas" and (scene is None or isinstance(scene, SphereScene)):
+        return _pallas_v4_rb2048
+    return hit_rows_adapter(get_hit_fn(cfg, scene))

@@ -1,18 +1,24 @@
-"""Persistent wavefront scheduler with batch compaction.
+"""Persistent wavefront scheduler with batch compaction (lane-major).
 
 The fixed-depth wavefront (render.py) retires lanes as their paths end, so
-by depth 5+ most of the batch is dead weight.  This scheduler pins one lane
-per *pixel* and runs that pixel's samples sequentially, respawning the next
-camera sample the moment a path terminates (sky / metal absorb / depth
-exhaustion) — the SPMD answer to the reference's interleaved-block load
-balancing (win32-raytracer/RayTracer.cpp:973-978).
+by depth 5+ most of the batch is dead weight.  This scheduler pins K
+replica lanes per *pixel* (each owning spp/K samples) and runs samples
+sequentially per lane, respawning the next camera sample the moment a path
+terminates (sky / metal absorb / depth exhaustion) — the SPMD answer to the
+reference's interleaved-block load balancing
+(win32-raytracer/RayTracer.cpp:973-978).
 
 Pixel difficulty varies wildly (a sky pixel finishes 100 samples in ~100
 steps; a glass-and-ground pixel needs ~8x that), which leaves a long tail
 of mostly-dead batches.  So the driver periodically *compacts*: it flushes
-every lane's completed-sample radiance into a host-side accumulator image,
+every lane's completed-sample radiance into a device accumulator image,
 drops finished lanes, and continues with the survivors in a next-power-of-2
 batch — work tracks the live-lane integral instead of worst-pixel x batch.
+
+State is **lane-major** ([3, N] vectors / [1, N] scalars, ops/rows.py):
+on the axon TPU runtime a column-layout [N, C] array costs a full strided
+pass per column its consumers slice, which tripled the hit step's cost.
+Rows cut the measured bounce step from ~59 ms to ~21 ms at 2M lanes.
 
 Semantics are identical to the reference recursion: hit tests happen at
 recursion levels 0..max_depth (RayTracer.cpp:399-402); a miss at any level
@@ -35,57 +41,55 @@ import jax
 import jax.numpy as jnp
 
 from .config import RenderConfig
-from .core.materials import sky_color
 from .core.rng import uniform01
-from .ops.hit import hit_spheres
-from .ops.scatter import scatter
-from .render import HitFn
-from .scene.camera import Camera, camera_rays, default_camera
+from .ops.rows import (
+    HitRecordRows, camera_rays_rows, scatter_rows, sky_color_rows,
+)
+from .scene.camera import Camera, default_camera
 from .scene.spheres import SphereScene
 
 
 class PathState(NamedTuple):
-    origin: jnp.ndarray        # [N, 3]
-    direction: jnp.ndarray     # [N, 3]
-    time: jnp.ndarray          # [N]
-    throughput: jnp.ndarray    # [N, 3]
-    radiance_sum: jnp.ndarray  # [N, 3] — completed samples since last flush
-    depth: jnp.ndarray         # [N] i32 — recursion level of the next hit
-    sample: jnp.ndarray        # [N] i32 — current sample index (-1 = none)
-    pixel: jnp.ndarray         # [N] i32 — pixel-lane id: (y*W + x)*K + replica
-    path_alive: jnp.ndarray    # [N] bool
+    origin: jnp.ndarray        # [3, N]
+    direction: jnp.ndarray     # [3, N]
+    time: jnp.ndarray          # [1, N]
+    throughput: jnp.ndarray    # [3, N]
+    radiance_sum: jnp.ndarray  # [3, N] — completed samples since last flush
+    depth: jnp.ndarray         # [1, N] i32 — recursion level of the next hit
+    sample: jnp.ndarray        # [1, N] i32 — current sample index (-1 = none)
+    pixel: jnp.ndarray         # [1, N] i32 — pixel-lane id: (y*W + x)*K + replica
+    path_alive: jnp.ndarray    # [1, N] bool
 
 
 def _hit_core(scene: SphereScene, st: PathState, *, cfg: RenderConfig,
-              hit_fn: HitFn = hit_spheres):
-    rec = hit_fn(scene, st.origin, st.direction, st.time,
-                 min_t=cfg.min_hit_t)
+              hit_fn):
+    rec: HitRecordRows = hit_fn(scene, st.origin, st.direction, st.time,
+                                min_t=cfg.min_hit_t)
     miss = st.path_alive & ~rec.hit
     rad = st.radiance_sum + jnp.where(
-        miss[:, None], st.throughput * sky_color(st.direction), 0.0)
+        miss, st.throughput * sky_color_rows(st.direction), 0.0)
     return rec, st._replace(radiance_sum=rad,
                             path_alive=st.path_alive & rec.hit)
 
 
 def _scatter_core(scene: SphereScene, st: PathState, rec, key: jax.Array,
                   step_i: jnp.ndarray, *, cfg: RenderConfig) -> PathState:
-    n = st.origin.shape[0]
-    draws = uniform01(jax.random.fold_in(key, step_i), (n, 5))
-    sc = scatter(scene, st.direction, rec, draws, cfg)
+    n = st.origin.shape[1]
+    draws = uniform01(jax.random.fold_in(key, step_i), (5, n))
+    sc = scatter_rows(st.direction, rec, draws, cfg)
 
     live = st.path_alive  # already restricted to hits by p_hit_step
-    thr = jnp.where(live[:, None], st.throughput * sc.attenuation,
-                    st.throughput)
-    o = jnp.where(live[:, None], sc.origin, st.origin)
-    d = jnp.where(live[:, None], sc.direction, st.direction)
+    thr = jnp.where(live, st.throughput * sc.attenuation, st.throughput)
+    o = jnp.where(live, sc.origin, st.origin)
+    d = jnp.where(live, sc.direction, st.direction)
     depth = jnp.where(live, st.depth + 1, st.depth)
     alive = live & sc.alive & (depth <= cfg.max_depth)
 
     if cfg.russian_roulette:
-        p = jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0)
+        p = jnp.clip(jnp.max(thr, axis=0, keepdims=True), 0.05, 1.0)
         rr_on = alive & (depth >= cfg.rr_start_depth)
-        survive = draws[:, 4] < p
-        thr = jnp.where(rr_on[:, None], thr / p[:, None], thr)
+        survive = draws[4:5] < p
+        thr = jnp.where(rr_on, thr / p, thr)
         alive = alive & jnp.where(rr_on, survive, True)
 
     return st._replace(origin=o, direction=d, throughput=thr, depth=depth,
@@ -101,7 +105,7 @@ def _respawn_core(cam: Camera, st: PathState, key: jax.Array,
     With ``lanes_per_pixel`` K > 1, each pixel's spp samples are split over
     K replica lanes (quota spp//K each) — K-fold fewer sequential steps for
     hard pixels at identical total work."""
-    n = st.pixel.shape[0]
+    n = st.pixel.shape[1]
     kpp = lanes_per_pixel
     pix = st.pixel // kpp
     replica = st.pixel % kpp
@@ -112,8 +116,8 @@ def _respawn_core(cam: Camera, st: PathState, key: jax.Array,
     start = ~st.path_alive & (st.sample < quota - 1)
     new_sample = jnp.where(start, st.sample + 1, st.sample)
 
-    draws = uniform01(jax.random.fold_in(key, step_i), (n, 5))
-    u_j, v_j = draws[:, 0], draws[:, 1]
+    draws = uniform01(jax.random.fold_in(key, step_i), (5, n))
+    u_j, v_j = draws[0:1], draws[1:2]
     if cfg.stratify:
         k = int(np.sqrt(spp))
         if k * k == spp and k > 1:
@@ -125,14 +129,13 @@ def _respawn_core(cam: Camera, st: PathState, key: jax.Array,
     # Pixel mapping as RayTracer.cpp:941-943 (u=(x+r0)/W, v=(H-y+r1)/H).
     u = (x.astype(jnp.float32) + u_j) / width
     v = ((height - y).astype(jnp.float32) + v_j) / height
-    o, d, tm = camera_rays(cam, u, v, draws[:, 2:5])
+    o, d, tm = camera_rays_rows(cam, u, v, draws[2:5])
 
-    s = start[:, None]
     return st._replace(
-        origin=jnp.where(s, o, st.origin),
-        direction=jnp.where(s, d, st.direction),
+        origin=jnp.where(start, o, st.origin),
+        direction=jnp.where(start, d, st.direction),
         time=jnp.where(start, tm, st.time),
-        throughput=jnp.where(s, 1.0, st.throughput),
+        throughput=jnp.where(start, 1.0, st.throughput),
         depth=jnp.where(start, 0, st.depth),
         sample=new_sample,
         path_alive=st.path_alive | start,
@@ -152,7 +155,7 @@ p_respawn_step = functools.partial(
                               "lanes_per_pixel"))
 def p_bounce_step(scene: SphereScene, cam: Camera, st: PathState,
                   key: jax.Array, step_i: jnp.ndarray, *, cfg: RenderConfig,
-                  hit_fn: HitFn, width: int, height: int,
+                  hit_fn, width: int, height: int,
                   spp: int, lanes_per_pixel: int = 1) -> PathState:
     """Fused hit + scatter + respawn in one dispatch.
 
@@ -183,29 +186,32 @@ def _compact(st: PathState, accum: jnp.ndarray, *, k_new: int,
     host-side compaction would cost seconds per event; sort + take runs in
     ~0.1 s (docs/axon_runtime_notes.md).
     """
-    accum = accum.at[st.pixel // lanes_per_pixel].add(st.radiance_sum)
-    sort_key = (~st.path_alive).astype(jnp.int32)
-    lane = jnp.arange(st.pixel.shape[0], dtype=jnp.int32)
+    accum = accum.at[st.pixel[0] // lanes_per_pixel].add(st.radiance_sum.T)
+    sort_key = (~st.path_alive[0]).astype(jnp.int32)
+    lane = jnp.arange(st.pixel.shape[1], dtype=jnp.int32)
     _, perm = jax.lax.sort_key_val(sort_key, lane)
     sel = perm[:k_new]
 
     def take(x):
-        return jnp.take(x, sel, axis=0)
+        return jnp.take(x, sel, axis=1)
 
     new = PathState(*(take(getattr(st, f)) for f in PathState._fields))
     # Radiance was flushed; lanes past the alive count are dead padding and
     # will neither respawn (exhausted) nor contribute (zero radiance).
     return new._replace(
-        radiance_sum=jnp.zeros((k_new, 3), jnp.float32)), accum
+        radiance_sum=jnp.zeros((3, k_new), jnp.float32)), accum
 
 
 def render_image_persistent(
     scene: SphereScene,
     cam: Optional[Camera],
     cfg: RenderConfig,
-    hit_fn: HitFn = hit_spheres,
+    hit_fn=None,
 ) -> jnp.ndarray:
     """Render the full image; returns linear radiance [H, W, 3] f32."""
+    if hit_fn is None:
+        from .kernels.dispatch import get_hit_fn_rows
+        hit_fn = get_hit_fn_rows(cfg, scene)
     if cam is None:
         cam = default_camera(cfg.width, cfg.height)
     w, h, spp = cfg.width, cfg.height, cfg.samples
@@ -233,16 +239,16 @@ def render_image_persistent(
         rkey = jax.random.fold_in(ckey, 1)
         skey = jax.random.fold_in(ckey, 2)
         st = PathState(
-            origin=jnp.zeros((n, 3), jnp.float32),
-            direction=jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0),
-            time=jnp.zeros((n,), jnp.float32),
-            throughput=jnp.ones((n, 3), jnp.float32),
-            radiance_sum=jnp.zeros((n, 3), jnp.float32),
-            depth=jnp.zeros((n,), jnp.int32),
-            sample=jnp.full((n,), -1, jnp.int32),
+            origin=jnp.zeros((3, n), jnp.float32),
+            direction=jnp.zeros((3, n), jnp.float32).at[2, :].set(1.0),
+            time=jnp.zeros((1, n), jnp.float32),
+            throughput=jnp.ones((3, n), jnp.float32),
+            radiance_sum=jnp.zeros((3, n), jnp.float32),
+            depth=jnp.zeros((1, n), jnp.int32),
+            sample=jnp.full((1, n), -1, jnp.int32),
             pixel=jnp.arange(y0 * w * kpp, (y0 + take) * w * kpp,
-                             dtype=jnp.int32),
-            path_alive=jnp.zeros((n,), bool),
+                             dtype=jnp.int32)[None],
+            path_alive=jnp.zeros((1, n), bool),
         )
         step = 0
         st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
@@ -264,13 +270,13 @@ def render_image_persistent(
             n_alive = int(jnp.sum(st.path_alive))  # one sync per period
             if n_alive == 0:
                 break
-            cur = st.pixel.shape[0]
+            cur = st.pixel.shape[1]
             # Compact when the batch is mostly dead.
             k_new = max(min_lanes, _next_pow2(n_alive))
             if k_new <= cur // 2:
                 st, accum = _compact(st, accum, k_new=k_new,
                                      lanes_per_pixel=kpp)
         # Flush this chunk's remaining radiance into the accumulator.
-        accum = accum.at[st.pixel // kpp].add(st.radiance_sum)
+        accum = accum.at[st.pixel[0] // kpp].add(st.radiance_sum.T)
 
     return (accum / spp).reshape(h, w, 3)

@@ -277,18 +277,25 @@ def render(
     cfg = cfg or RenderConfig()
     if cam is None:
         cam = default_camera(cfg.width, cfg.height)
-    if hit_fn is None:
-        from .kernels.dispatch import get_hit_fn
-        hit_fn = get_hit_fn(cfg, scene)
     scheduler = cfg.scheduler
     if scheduler == "auto":
         scheduler = ("persistent"
                      if cfg.samples >= 8 and not cfg.deterministic
                      else "wavefront")
     if scheduler == "persistent":
+        # The persistent scheduler runs lane-major (ops/rows.py); an
+        # explicitly-passed column hit_fn is adapted, otherwise the rows
+        # dispatcher picks the native rows kernel.
         from .persistent import render_image_persistent
-        linear = render_image_persistent(scene, cam, cfg, hit_fn=hit_fn)
+        rows_hit = None
+        if hit_fn is not None:
+            from .ops.rows import hit_rows_adapter
+            rows_hit = hit_rows_adapter(hit_fn)
+        linear = render_image_persistent(scene, cam, cfg, hit_fn=rows_hit)
     elif scheduler == "wavefront":
+        if hit_fn is None:
+            from .kernels.dispatch import get_hit_fn
+            hit_fn = get_hit_fn(cfg, scene)
         linear = render_image(scene, cam, cfg, hit_fn=hit_fn)
     else:
         raise ValueError(
