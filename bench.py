@@ -44,7 +44,7 @@ def main():
 
     scene = random_scene()
     cfg = RenderConfig(width=WIDTH, height=HEIGHT, samples=SPP, seed=3,
-                       rays_per_chunk=1 << 21)
+                       rays_per_chunk=1 << 22)
 
     # Warm-up: compiles every step program (and populates the persistent
     # compilation cache for future runs).

@@ -25,7 +25,7 @@ from win32_raytracer_tpu.config import RenderConfig
 from win32_raytracer_tpu.persistent import (
     PathState, p_hit_step, p_scatter_step, p_respawn_step, _compact,
     _next_pow2)
-from win32_raytracer_tpu.ops.hit import hit_spheres
+from win32_raytracer_tpu.kernels.dispatch import get_hit_fn_rows
 from win32_raytracer_tpu.scene.builders import random_scene
 from win32_raytracer_tpu.scene.camera import default_camera
 
@@ -34,7 +34,7 @@ cfg = RenderConfig(width=W, height=H, samples=SPP, seed=3,
                    rays_per_chunk=1 << 21).replace(seed=0)
 scene = random_scene()
 cam = default_camera(W, H)
-hit_fn = hit_spheres
+hit_fn = get_hit_fn_rows(cfg)
 
 kpp = 1
 for cand in (8, 4, 2):
@@ -72,22 +72,23 @@ for y0 in range(0, H, rows):
     rkey = jax.random.fold_in(ckey, 1)
     skey = jax.random.fold_in(ckey, 2)
     st = PathState(
-        origin=jnp.zeros((n, 3), jnp.float32),
-        direction=jnp.zeros((n, 3), jnp.float32).at[:, 2].set(1.0),
-        time=jnp.zeros((n,), jnp.float32),
-        throughput=jnp.ones((n, 3), jnp.float32),
-        radiance_sum=jnp.zeros((n, 3), jnp.float32),
-        depth=jnp.zeros((n,), jnp.int32),
-        sample=jnp.full((n,), -1, jnp.int32),
-        pixel=jnp.arange(y0 * W * kpp, (y0 + take) * W * kpp, dtype=jnp.int32),
-        path_alive=jnp.zeros((n,), bool),
+        origin=jnp.zeros((3, n), jnp.float32),
+        direction=jnp.zeros((3, n), jnp.float32).at[2, :].set(1.0),
+        time=jnp.zeros((1, n), jnp.float32),
+        throughput=jnp.ones((3, n), jnp.float32),
+        radiance_sum=jnp.zeros((3, n), jnp.float32),
+        depth=jnp.zeros((1, n), jnp.int32),
+        sample=jnp.full((1, n), -1, jnp.int32),
+        pixel=jnp.arange(y0 * W * kpp, (y0 + take) * W * kpp,
+                         dtype=jnp.int32)[None],
+        path_alive=jnp.zeros((1, n), bool),
     )
     step = 0
     st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
                         width=W, height=H, spp=SPP, lanes_per_pixel=kpp)
     while step < max_steps:
         budget = min(check_period, max_steps - step)
-        cur = st.pixel.shape[0]
+        cur = st.pixel.shape[1]
         t0 = time.perf_counter()
         for _ in range(budget):
             step += 1
@@ -115,7 +116,7 @@ for y0 in range(0, H, rows):
             accum.block_until_ready()
             compact_s += time.perf_counter() - t0
             n_compacts += 1
-    accum = accum.at[st.pixel // kpp].add(st.radiance_sum)
+    accum = accum.at[st.pixel[0] // kpp].add(st.radiance_sum.T)
 
 img = (accum / SPP).reshape(H, W, 3)
 img.block_until_ready()

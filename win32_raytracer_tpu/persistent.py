@@ -151,6 +151,24 @@ p_respawn_step = functools.partial(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("cfg", "width", "height", "spp",
+                              "lanes_per_pixel"))
+def p_scatter_respawn_step(scene: SphereScene, cam: Camera, st: PathState,
+                           rec, skey: jax.Array, rkey: jax.Array,
+                           step_i: jnp.ndarray, *, cfg: RenderConfig,
+                           width: int, height: int, spp: int,
+                           lanes_per_pixel: int = 1) -> PathState:
+    """Scatter + respawn in ONE dispatch (pure row arithmetic, no Pallas —
+    XLA fuses it cleanly, unlike the pallas+epilogue fusion note below).
+    Halves the non-hit dispatch count; the tail of a render is dispatch-
+    floor-bound (~3 ms per dispatch through the relay)."""
+    st = _scatter_core(scene, st, rec, skey, step_i, cfg=cfg)
+    return _respawn_core(cam, st, rkey, step_i, cfg=cfg, width=width,
+                         height=height, spp=spp,
+                         lanes_per_pixel=lanes_per_pixel)
+
+
+@functools.partial(
     jax.jit, static_argnames=("cfg", "hit_fn", "width", "height", "spp",
                               "lanes_per_pixel"))
 def p_bounce_step(scene: SphereScene, cam: Camera, st: PathState,
@@ -258,15 +276,14 @@ def render_image_persistent(
             budget = min(check_period, max_steps - step)
             for _ in range(budget):
                 step += 1
-                # Three separate dispatches beat one fused program 2.5x here
-                # (measured interleaved in one process): XLA generates far
-                # worse code for the fused pallas+epilogue program.
+                # Two dispatches per bounce: the Pallas hit alone (fusing
+                # it with the epilogue generates ~2.5x slower code), then
+                # scatter+respawn fused (pure row math, fuses cleanly).
                 rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=hit_fn)
-                st = p_scatter_step(scene, st, rec, skey, jnp.int32(step),
-                                    cfg=cfg)
-                st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
-                                    width=w, height=h, spp=spp,
-                                    lanes_per_pixel=kpp)
+                st = p_scatter_respawn_step(
+                    scene, cam, st, rec, skey, rkey, jnp.int32(step),
+                    cfg=cfg, width=w, height=h, spp=spp,
+                    lanes_per_pixel=kpp)
             n_alive = int(jnp.sum(st.path_alive))  # one sync per period
             if n_alive == 0:
                 break
