@@ -23,15 +23,15 @@ np.asarray(jnp.ones((8,)) + 1)  # flip axon relay to sync mode
 
 from win32_raytracer_tpu.config import RenderConfig
 from win32_raytracer_tpu.persistent import (
-    PathState, p_hit_step, p_scatter_step, p_respawn_step, _compact,
-    _next_pow2)
+    PathState, p_hit_step, p_scatter_respawn_step, p_respawn_step, _compact,
+    _grid_size, _COMPACT_FLOOR)
 from win32_raytracer_tpu.kernels.dispatch import get_hit_fn_rows
 from win32_raytracer_tpu.scene.builders import random_scene
 from win32_raytracer_tpu.scene.camera import default_camera
 
 W, H, SPP = 1200, 800, 100
 cfg = RenderConfig(width=W, height=H, samples=SPP, seed=3,
-                   rays_per_chunk=1 << 21).replace(seed=0)
+                   rays_per_chunk=1 << 22).replace(seed=0)
 scene = random_scene()
 cam = default_camera(W, H)
 hit_fn = get_hit_fn_rows(cfg)
@@ -42,8 +42,10 @@ for cand in (8, 4, 2):
         kpp = cand
         break
 rows = max(1, min(H, cfg.rays_per_chunk // (W * kpp)))
-check_period = cfg.check_period or 32
-max_steps = (SPP // kpp + 1) * (cfg.max_depth + 2)
+quota = SPP // kpp
+check_period = cfg.check_period or 8
+first_check = quota + 2
+max_steps = (quota + 1) * (cfg.max_depth + 2)
 min_lanes = 1 << 12
 key = jax.random.PRNGKey(3)
 
@@ -56,7 +58,7 @@ t0 = time.perf_counter()
 render_image_persistent(scene, cam, cfg.replace(seed=0)).block_until_ready()
 print(f"# warm-up render: {time.perf_counter() - t0:.1f}s")
 
-accum = jnp.zeros((H * W, 3), jnp.float32)
+accum = jnp.zeros((3, H * W), jnp.float32)
 t_total = time.perf_counter()
 lane_steps = 0          # sum of batch_size over executed steps
 step_time_by_size = {}  # batch_size -> [steps, seconds]
@@ -87,16 +89,17 @@ for y0 in range(0, H, rows):
     st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
                         width=W, height=H, spp=SPP, lanes_per_pixel=kpp)
     while step < max_steps:
-        budget = min(check_period, max_steps - step)
+        next_check = first_check if step < first_check else (step + check_period)
+        budget = min(next_check, max_steps) - step
         cur = st.pixel.shape[1]
         t0 = time.perf_counter()
         for _ in range(budget):
             step += 1
             rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=hit_fn)
-            st = p_scatter_step(scene, st, rec, skey, jnp.int32(step), cfg=cfg)
-            st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
-                                width=W, height=H, spp=SPP,
-                                lanes_per_pixel=kpp)
+            st = p_scatter_respawn_step(scene, cam, st, rec, skey, rkey,
+                                        jnp.int32(step), cfg=cfg,
+                                        width=W, height=H, spp=SPP,
+                                        lanes_per_pixel=kpp)
         st.path_alive.block_until_ready()
         dt = time.perf_counter() - t0
         e = step_time_by_size.setdefault(cur, [0, 0.0])
@@ -109,16 +112,18 @@ for y0 in range(0, H, rows):
         sync_s += time.perf_counter() - t0
         if n_alive == 0:
             break
-        k_new = max(min_lanes, _next_pow2(n_alive))
-        if k_new <= cur // 2:
+        if cur < _COMPACT_FLOOR:
+            continue
+        k_new = _grid_size(n_alive, min_lanes)
+        if k_new <= int(cur * 0.7):
             t0 = time.perf_counter()
             st, accum = _compact(st, accum, k_new=k_new, lanes_per_pixel=kpp)
             accum.block_until_ready()
             compact_s += time.perf_counter() - t0
             n_compacts += 1
-    accum = accum.at[st.pixel[0] // kpp].add(st.radiance_sum.T)
+    accum = accum.at[:, st.pixel[0] // kpp].add(st.radiance_sum)
 
-img = (accum / SPP).reshape(H, W, 3)
+img = (accum / SPP).T.reshape(H, W, 3)
 img.block_until_ready()
 total = time.perf_counter() - t_total
 

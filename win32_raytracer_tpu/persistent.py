@@ -194,30 +194,47 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1)).bit_length()
 
 
+# Compaction size grid: multiples of 256k above the dispatch floor, powers
+# of two below.  Shapes are few (each compiles its own step programs, cached
+# persistently) yet fine enough that a compaction captures most of the
+# alive-fraction drop — pow2 halving left the headline render grinding 70
+# full-size steps on a ~50%-dead batch (~1.9 s of dead-lane sweeps).
+_COMPACT_QUANTUM = 1 << 18   # 256k lanes
+_COMPACT_FLOOR = 1 << 19     # below this, steps are dispatch-bound: never
+                             # compact (it costs more than it saves)
+
+
+def _grid_size(n_alive: int, min_lanes: int) -> int:
+    if n_alive >= _COMPACT_FLOOR:
+        q = _COMPACT_QUANTUM
+        return ((n_alive + q - 1) // q) * q
+    return max(min_lanes, _next_pow2(n_alive))
+
+
 @functools.partial(jax.jit, static_argnames=("k_new", "lanes_per_pixel"))
 def _compact(st: PathState, accum: jnp.ndarray, *, k_new: int,
              lanes_per_pixel: int = 1):
-    """Flush every lane's completed radiance into the device accumulator,
-    then keep the live lanes (alive-first stable sort) in a [k_new] batch.
+    """Keep the live lanes (alive-first stable sort) in a [k_new] batch;
+    flush ONLY the dropped lanes' radiance into the device accumulator.
 
-    Device-side throughout: the relay's device->host path is ~12 MB/s, so
-    host-side compaction would cost seconds per event; sort + take runs in
-    ~0.1 s (docs/axon_runtime_notes.md).
-    """
-    accum = accum.at[st.pixel[0] // lanes_per_pixel].add(st.radiance_sum.T)
+    Cost profile on the target runtime (measured at 3.84M lanes): the sort
+    itself is cheap (~9 ms); the 17-row gather is the bulk (~35 ns/lane);
+    scatter-add is ~27 ns/element, so flushing everything (~315 ms) would
+    triple the cost — survivors keep accumulating in place and only the
+    dropped tail (contiguous after the sort) is scattered out.  Device-side
+    throughout: the relay's device->host path is ~12 MB/s
+    (docs/axon_runtime_notes.md)."""
     sort_key = (~st.path_alive[0]).astype(jnp.int32)
     lane = jnp.arange(st.pixel.shape[1], dtype=jnp.int32)
     _, perm = jax.lax.sort_key_val(sort_key, lane)
-    sel = perm[:k_new]
 
-    def take(x):
-        return jnp.take(x, sel, axis=1)
-
-    new = PathState(*(take(getattr(st, f)) for f in PathState._fields))
-    # Radiance was flushed; lanes past the alive count are dead padding and
-    # will neither respawn (exhausted) nor contribute (zero radiance).
-    return new._replace(
-        radiance_sum=jnp.zeros((3, k_new), jnp.float32)), accum
+    head, tail = perm[:k_new], perm[k_new:]
+    new = PathState(*(jnp.take(getattr(st, f), head, axis=1)
+                      for f in PathState._fields))
+    # Dropped lanes are all dead (k_new >= n_alive): radiance is final.
+    accum = accum.at[:, jnp.take(st.pixel[0], tail) // lanes_per_pixel].add(
+        jnp.take(st.radiance_sum, tail, axis=1))
+    return new, accum
 
 
 def render_image_persistent(
@@ -244,11 +261,16 @@ def render_image_persistent(
     # Seed feeds only the host-side key; keep the jitted-step cfg seedless
     # so different seeds (e.g. animation frames) share compiled programs.
     cfg = cfg.replace(seed=0)
-    check_period = cfg.check_period or 32
-    max_steps = (spp // kpp + 1) * (cfg.max_depth + 2)
+    # Nothing can finish before its quota of samples is consumed (each
+    # sample is >= 1 step), so the first alive check waits that long; after
+    # that, check often — a sync costs ~27 ms, a wasted full-batch step ~40.
+    quota = spp // kpp
+    check_period = cfg.check_period or 8
+    first_check = quota + 2
+    max_steps = (quota + 1) * (cfg.max_depth + 2)
     min_lanes = 1 << 12
 
-    accum = jnp.zeros((h * w, 3), jnp.float32)
+    accum = jnp.zeros((3, h * w), jnp.float32)  # rows, like the state
 
     for y0 in range(0, h, rows):
         take = min(rows, h - y0)
@@ -272,28 +294,51 @@ def render_image_persistent(
         st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
                             width=w, height=h, spp=spp,
                             lanes_per_pixel=kpp)
+        period = check_period
+        last_alive = n
         while step < max_steps:
-            budget = min(check_period, max_steps - step)
+            next_check = first_check if step < first_check else (
+                step + period)
+            budget = min(next_check, max_steps) - step
+            cur = st.pixel.shape[1]
+            fuse = cur < _COMPACT_FLOOR  # dispatch-bound: 1 program/bounce
             for _ in range(budget):
                 step += 1
-                # Two dispatches per bounce: the Pallas hit alone (fusing
-                # it with the epilogue generates ~2.5x slower code), then
-                # scatter+respawn fused (pure row math, fuses cleanly).
-                rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=hit_fn)
-                st = p_scatter_respawn_step(
-                    scene, cam, st, rec, skey, rkey, jnp.int32(step),
-                    cfg=cfg, width=w, height=h, spp=spp,
-                    lanes_per_pixel=kpp)
+                if fuse:
+                    st = p_bounce_step(scene, cam, st, skey, jnp.int32(step),
+                                       cfg=cfg, hit_fn=hit_fn, width=w,
+                                       height=h, spp=spp,
+                                       lanes_per_pixel=kpp)
+                else:
+                    # Two dispatches per bounce: the Pallas hit alone
+                    # (fusing it with the epilogue generates ~2.5x slower
+                    # code at compute-bound sizes), then scatter+respawn
+                    # fused (pure row math, fuses cleanly).
+                    rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=hit_fn)
+                    st = p_scatter_respawn_step(
+                        scene, cam, st, rec, skey, rkey, jnp.int32(step),
+                        cfg=cfg, width=w, height=h, spp=spp,
+                        lanes_per_pixel=kpp)
             n_alive = int(jnp.sum(st.path_alive))  # one sync per period
             if n_alive == 0:
                 break
-            cur = st.pixel.shape[1]
-            # Compact when the batch is mostly dead.
-            k_new = max(min_lanes, _next_pow2(n_alive))
-            if k_new <= cur // 2:
+            # Adaptive cadence: a sync costs ~27 ms — back off while the
+            # alive count plateaus, re-engage when it starts dropping.
+            if n_alive > 0.9 * last_alive:
+                period = min(period * 2, 32)
+            else:
+                period = check_period
+            last_alive = n_alive
+            # Compact on a >=30% shrink, never below the dispatch floor
+            # (small-batch steps are dispatch-bound, so shrinking them
+            # saves nothing while the gather/scatter costs are real).
+            if cur < _COMPACT_FLOOR:
+                continue
+            k_new = _grid_size(n_alive, min_lanes)
+            if k_new <= int(cur * 0.7):
                 st, accum = _compact(st, accum, k_new=k_new,
                                      lanes_per_pixel=kpp)
         # Flush this chunk's remaining radiance into the accumulator.
-        accum = accum.at[st.pixel[0] // kpp].add(st.radiance_sum.T)
+        accum = accum.at[:, st.pixel[0] // kpp].add(st.radiance_sum)
 
-    return (accum / spp).reshape(h, w, 3)
+    return (accum / spp).T.reshape(h, w, 3)
