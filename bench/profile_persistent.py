@@ -24,7 +24,7 @@ np.asarray(jnp.ones((8,)) + 1)  # flip axon relay to sync mode
 from win32_raytracer_tpu.config import RenderConfig
 from win32_raytracer_tpu.persistent import (
     PathState, p_hit_step, p_scatter_respawn_step, p_respawn_step, _compact,
-    _grid_size, _COMPACT_FLOOR)
+    _grid_size, _COMPACT_FLOOR, p_bounce_step, _split, _next_pow2)
 from win32_raytracer_tpu.kernels.dispatch import get_hit_fn_rows
 from win32_raytracer_tpu.scene.builders import random_scene
 from win32_raytracer_tpu.scene.camera import default_camera
@@ -84,22 +84,32 @@ for y0 in range(0, H, rows):
         pixel=jnp.arange(y0 * W * kpp, (y0 + take) * W * kpp,
                          dtype=jnp.int32)[None],
         path_alive=jnp.zeros((1, n), bool),
+        s_base=(jnp.arange(n, dtype=jnp.int32) % kpp * (SPP // kpp))[None],
+        s_quota=jnp.full((1, n), SPP // kpp, jnp.int32),
     )
     step = 0
     st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
                         width=W, height=H, spp=SPP, lanes_per_pixel=kpp)
+    period = check_period
+    last_alive = n
     while step < max_steps:
-        next_check = first_check if step < first_check else (step + check_period)
+        next_check = first_check if step < first_check else (step + period)
         budget = min(next_check, max_steps) - step
         cur = st.pixel.shape[1]
+        fuse = cur < _COMPACT_FLOOR
         t0 = time.perf_counter()
         for _ in range(budget):
             step += 1
-            rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=hit_fn)
-            st = p_scatter_respawn_step(scene, cam, st, rec, skey, rkey,
-                                        jnp.int32(step), cfg=cfg,
-                                        width=W, height=H, spp=SPP,
-                                        lanes_per_pixel=kpp)
+            if fuse:
+                st = p_bounce_step(scene, cam, st, skey, jnp.int32(step),
+                                   cfg=cfg, hit_fn=hit_fn, width=W, height=H,
+                                   spp=SPP, lanes_per_pixel=kpp)
+            else:
+                rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=hit_fn)
+                st = p_scatter_respawn_step(scene, cam, st, rec, skey, rkey,
+                                            jnp.int32(step), cfg=cfg,
+                                            width=W, height=H, spp=SPP,
+                                            lanes_per_pixel=kpp)
         st.path_alive.block_until_ready()
         dt = time.perf_counter() - t0
         e = step_time_by_size.setdefault(cur, [0, 0.0])
@@ -113,6 +123,21 @@ for y0 in range(0, H, rows):
         if n_alive == 0:
             break
         if cur < _COMPACT_FLOOR:
+            period = 32
+        elif n_alive > 0.9 * last_alive:
+            period = min(period * 2, 32)
+        else:
+            period = check_period
+        last_alive = n_alive
+        if cur <= _COMPACT_FLOOR:
+            k_new = max(min_lanes, _next_pow2(n_alive))
+            if k_new <= cur // 2:
+                t0 = time.perf_counter()
+                st, accum = _compact(st, accum, k_new=k_new, lanes_per_pixel=kpp)
+                st = _split(st)
+                jax.tree.leaves(st)[0].block_until_ready()
+                compact_s += time.perf_counter() - t0
+                n_compacts += 1
             continue
         k_new = _grid_size(n_alive, min_lanes)
         if k_new <= int(cur * 0.7):

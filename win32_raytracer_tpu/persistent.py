@@ -56,9 +56,11 @@ class PathState(NamedTuple):
     throughput: jnp.ndarray    # [3, N]
     radiance_sum: jnp.ndarray  # [3, N] — completed samples since last flush
     depth: jnp.ndarray         # [1, N] i32 — recursion level of the next hit
-    sample: jnp.ndarray        # [1, N] i32 — current sample index (-1 = none)
+    sample: jnp.ndarray        # [1, N] i32 — lane-local sample index (-1 = none)
     pixel: jnp.ndarray         # [1, N] i32 — pixel-lane id: (y*W + x)*K + replica
     path_alive: jnp.ndarray    # [1, N] bool
+    s_base: jnp.ndarray        # [1, N] i32 — lane's first global sample index
+    s_quota: jnp.ndarray       # [1, N] i32 — samples owned by this lane
 
 
 def _hit_core(scene: SphereScene, st: PathState, *, cfg: RenderConfig,
@@ -108,12 +110,10 @@ def _respawn_core(cam: Camera, st: PathState, key: jax.Array,
     n = st.pixel.shape[1]
     kpp = lanes_per_pixel
     pix = st.pixel // kpp
-    replica = st.pixel % kpp
     y = pix // width
     x = pix % width
-    quota = spp // kpp
 
-    start = ~st.path_alive & (st.sample < quota - 1)
+    start = ~st.path_alive & (st.sample < st.s_quota - 1)
     new_sample = jnp.where(start, st.sample + 1, st.sample)
 
     draws = uniform01(jax.random.fold_in(key, step_i), (5, n))
@@ -121,7 +121,7 @@ def _respawn_core(cam: Camera, st: PathState, key: jax.Array,
     if cfg.stratify:
         k = int(np.sqrt(spp))
         if k * k == spp and k > 1:
-            gs = replica * quota + new_sample  # global sample index
+            gs = st.s_base + new_sample  # global sample index
             sx = (gs % k).astype(jnp.float32)
             sy = ((gs // k) % k).astype(jnp.float32)
             u_j = (sx + u_j) / k
@@ -232,9 +232,38 @@ def _compact(st: PathState, accum: jnp.ndarray, *, k_new: int,
     new = PathState(*(jnp.take(getattr(st, f), head, axis=1)
                       for f in PathState._fields))
     # Dropped lanes are all dead (k_new >= n_alive): radiance is final.
-    accum = accum.at[:, jnp.take(st.pixel[0], tail) // lanes_per_pixel].add(
-        jnp.take(st.radiance_sum, tail, axis=1))
-    return new, accum
+    # Flush via sort + sorted segment-sum — measured ~1.5x cheaper than
+    # XLA scatter-add at these sizes.
+    drop_pix = jnp.take(st.pixel[0], tail) // lanes_per_pixel
+    drop_rad = jnp.take(st.radiance_sum, tail, axis=1)
+    order = jnp.argsort(drop_pix)
+    flushed = jax.ops.segment_sum(
+        jnp.take(drop_rad, order, axis=1).T, drop_pix[order],
+        num_segments=accum.shape[1], indices_are_sorted=True)
+    return new, accum + flushed.T
+
+
+@jax.jit
+def _split(st: PathState) -> PathState:
+    """Sample splitting: hand half of every lane's *unstarted* samples to a
+    clone lane, doubling tail parallelism at exact sample accounting
+    (sum of quotas per pixel is invariant).  Clones start dead with an
+    empty path and respawn on the next step; lanes with <2 unstarted
+    samples produce zero-quota clones that never run."""
+    give = jnp.maximum(st.s_quota - 1 - st.sample, 0) // 2
+    keep_quota = st.s_quota - give
+    clone = st._replace(
+        throughput=jnp.ones_like(st.throughput),
+        radiance_sum=jnp.zeros_like(st.radiance_sum),
+        depth=jnp.zeros_like(st.depth),
+        sample=jnp.full_like(st.sample, -1),
+        path_alive=jnp.zeros_like(st.path_alive),
+        s_base=st.s_base + keep_quota,
+        s_quota=give,
+    )
+    orig = st._replace(s_quota=keep_quota)
+    return PathState(*(jnp.concatenate([a, b], axis=1)
+                       for a, b in zip(orig, clone)))
 
 
 def render_image_persistent(
@@ -289,6 +318,8 @@ def render_image_persistent(
             pixel=jnp.arange(y0 * w * kpp, (y0 + take) * w * kpp,
                              dtype=jnp.int32)[None],
             path_alive=jnp.zeros((1, n), bool),
+            s_base=(jnp.arange(n, dtype=jnp.int32) % kpp * quota)[None],
+            s_quota=jnp.full((1, n), quota, jnp.int32),
         )
         step = 0
         st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
@@ -324,18 +355,31 @@ def render_image_persistent(
                 break
             # Adaptive cadence: a sync costs ~27 ms — back off while the
             # alive count plateaus, re-engage when it starts dropping.
-            if n_alive > 0.9 * last_alive:
+            # Below the compaction floor the only decision left is
+            # termination, so check rarely.
+            if cur < _COMPACT_FLOOR:
+                period = 32
+            elif n_alive > 0.9 * last_alive:
                 period = min(period * 2, 32)
             else:
                 period = check_period
             last_alive = n_alive
-            # Compact on a >=30% shrink, never below the dispatch floor
-            # (small-batch steps are dispatch-bound, so shrinking them
-            # saves nothing while the gather/scatter costs are real).
-            if cur < _COMPACT_FLOOR:
+            if cur <= _COMPACT_FLOOR:
+                # Dispatch-bound regime: step cost no longer shrinks with
+                # the batch, so instead of compacting, SPLIT — drop dead
+                # lanes and hand every lane's unstarted samples to clone
+                # lanes.  Batch size is preserved but the remaining
+                # sequential sample tail halves per event.
+                k_new = max(min_lanes, _next_pow2(n_alive))
+                if k_new <= cur // 2:
+                    st, accum = _compact(st, accum, k_new=k_new,
+                                         lanes_per_pixel=kpp)
+                    st = _split(st)
                 continue
+            # Compact on a >=30% shrink (above the floor shrinking the
+            # batch is the whole point — steps are compute-bound).
             k_new = _grid_size(n_alive, min_lanes)
-            if k_new <= int(cur * 0.7):
+            if k_new <= int(cur * 0.55):
                 st, accum = _compact(st, accum, k_new=k_new,
                                      lanes_per_pixel=kpp)
         # Flush this chunk's remaining radiance into the accumulator.
