@@ -1,0 +1,262 @@
+"""Multi-chip persistent wavefront scheduler (shard_map over a 1-D mesh).
+
+The single-chip production renderer (persistent.py) sharded over devices:
+every step program (Pallas hit / fused scatter+respawn / compaction /
+sample-splitting) is lane-local, so each becomes one shard_map over the
+lane axis and the Python driver loop stays identical — one host loop
+drives D devices in SPMD.
+
+Work assignment mirrors the reference's interleaved-block thread scheduler
+(win32-raytracer/RayTracer.cpp:973-978): device b owns image row-blocks
+b, b+D, b+2D, ..., so every device works the same mix of easy (sky) and
+hard (glass/ground) regions and per-shard alive counts stay balanced —
+which matters here because compaction is per-shard SPMD: all shards
+compact to the same size, chosen from the *maximum* per-shard alive count.
+
+Radiance accumulates into a per-device partial image ([D, 3, H*W],
+device-sharded); the single cross-device reduction is one sum at the end —
+the ICI analogue of the reference's disjoint imageParts slots + final
+stitch (Game.cpp:94-102).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..persistent import (
+    PathState, _COMPACT_FLOOR, _grid_size, _hit_core, _next_pow2,
+    _respawn_core, _scatter_core, _split,
+)
+from ..scene.camera import Camera, default_camera
+from ..scene.spheres import SphereScene
+
+_STATE_ROWS = {"origin": 3, "direction": 3, "time": 1, "throughput": 3,
+               "radiance_sum": 3, "depth": 1, "sample": 1, "pixel": 1,
+               "path_alive": 1, "s_base": 1, "s_quota": 1}
+
+
+def _sspec():
+    return PathState(*(P(None, "tiles") for _ in PathState._fields))
+
+
+@functools.lru_cache(maxsize=64)
+def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
+           spp: int, kpp: int, hit_fn):
+    """Shard-mapped step programs for one (mesh, config) — cached so jitted
+    closures are reused across chunks, frames and seeds."""
+    sspec = _sspec()
+    kspec = P("tiles")  # per-device [D, 2] key array
+
+    def bounce(scene, cam, st, keys, step_i):
+        skey, rkey = keys[0, 0], keys[0, 1]
+        rec, st = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
+        st = _scatter_core(scene, st, rec, skey, step_i, cfg=cfg)
+        return _respawn_core(cam, st, rkey, step_i, cfg=cfg, width=width,
+                             height=height, spp=spp, lanes_per_pixel=kpp)
+
+    bounce_sm = jax.jit(jax.shard_map(
+        bounce, mesh=mesh, in_specs=(P(), P(), sspec, kspec, P()),
+        out_specs=sspec), static_argnames=())
+
+    def first_respawn(cam, st, keys):
+        return _respawn_core(cam, st, keys[0, 1], jnp.int32(0), cfg=cfg,
+                             width=width, height=height, spp=spp,
+                             lanes_per_pixel=kpp)
+
+    respawn_sm = jax.jit(jax.shard_map(
+        first_respawn, mesh=mesh, in_specs=(P(), sspec, kspec),
+        out_specs=sspec))
+
+    def alive_counts(st):
+        return jnp.sum(st.path_alive, dtype=jnp.int32).reshape(1)
+
+    alive_sm = jax.jit(jax.shard_map(
+        alive_counts, mesh=mesh, in_specs=(sspec,), out_specs=P("tiles")))
+
+    def flush_all(st, accum):
+        # accum: per-device partial [1, 3, HW] slice of the [D, 3, HW] array.
+        add = jax.ops.segment_sum(
+            st.radiance_sum.T, st.pixel[0] // kpp,
+            num_segments=accum.shape[2])
+        return accum + add.T[None]
+
+    flush_sm = jax.jit(jax.shard_map(
+        flush_all, mesh=mesh,
+        in_specs=(sspec, P("tiles", None, None)),
+        out_specs=P("tiles", None, None)))
+
+    return bounce_sm, alive_sm, flush_sm, respawn_sm
+
+
+@functools.lru_cache(maxsize=256)
+def _compact_split_sm(mesh: Mesh, kpp: int, k_new: int, do_split: bool):
+    sspec = _sspec()
+
+    def compact(st, accum):
+        sort_key = (~st.path_alive[0]).astype(jnp.int32)
+        lane = jnp.arange(st.pixel.shape[1], dtype=jnp.int32)
+        _, perm = jax.lax.sort_key_val(sort_key, lane)
+        head, tail = perm[:k_new], perm[k_new:]
+        new = PathState(*(jnp.take(getattr(st, f), head, axis=1)
+                          for f in PathState._fields))
+        drop_pix = jnp.take(st.pixel[0], tail) // kpp
+        drop_rad = jnp.take(st.radiance_sum, tail, axis=1)
+        order = jnp.argsort(drop_pix)
+        flushed = jax.ops.segment_sum(
+            jnp.take(drop_rad, order, axis=1).T, drop_pix[order],
+            num_segments=accum.shape[2], indices_are_sorted=True)
+        accum = accum + flushed.T[None]
+        if do_split:
+            new = _split(new)
+        return new, accum
+
+    return jax.jit(jax.shard_map(
+        compact, mesh=mesh,
+        in_specs=(sspec, P("tiles", None, None)),
+        out_specs=(sspec, P("tiles", None, None))))
+
+
+def _interleaved_pixel_lanes(h: int, w: int, kpp: int, d: int,
+                             block_rows: int = 8) -> np.ndarray:
+    """[D, lanes_per_dev] pixel-lane ids: device b owns row-blocks
+    b, b+D, b+2D, ... (reference interleaving, RayTracer.cpp:979-981).
+    Rows are padded to a multiple of block_rows*D by wrapping: wrapped
+    lanes re-render existing pixels' lane ids with zero quota (inactive).
+    """
+    n_blocks = -(-h // block_rows)
+    pad_blocks = (-n_blocks) % d
+    blocks = np.arange(n_blocks + pad_blocks) % n_blocks  # wrap pads
+    per_dev = []
+    for b in range(d):
+        rows = []
+        for blk in blocks[b::d]:
+            r0 = blk * block_rows
+            rows.extend(range(r0, min(r0 + block_rows, h)))
+            # short last block: wrap rows to keep shard sizes equal
+            rows.extend(range(0, max(0, r0 + block_rows - h)))
+        lanes = (np.asarray(rows)[:, None] * w * kpp
+                 + np.arange(w * kpp)[None, :]).reshape(-1)
+        per_dev.append(lanes)
+    return np.stack(per_dev).astype(np.int32)
+
+
+def render_image_persistent_sharded(
+    scene: SphereScene,
+    cam: Optional[Camera],
+    cfg: RenderConfig,
+    mesh: Mesh,
+    hit_fn=None,
+) -> jnp.ndarray:
+    """Persistent-scheduler render over the mesh; linear [H, W, 3] f32."""
+    if hit_fn is None:
+        from ..kernels.dispatch import get_hit_fn_rows
+        hit_fn = get_hit_fn_rows(cfg, scene)
+    if cam is None:
+        cam = default_camera(cfg.width, cfg.height)
+    w, h, spp = cfg.width, cfg.height, cfg.samples
+    d = mesh.devices.size
+    kpp = 1
+    for cand in (8, 4, 2):
+        if spp % cand == 0 and spp // cand >= 4:
+            kpp = cand
+            break
+    quota = spp // kpp
+    key = jax.random.PRNGKey(cfg.seed)
+    cfg = cfg.replace(seed=0)
+    check_period = cfg.check_period or 8
+    first_check = quota + 2
+    max_steps = (quota + 1) * (cfg.max_depth + 2)
+    min_lanes = 1 << 10
+    floor = max(_COMPACT_FLOOR // d, min_lanes)
+
+    lanes = _interleaved_pixel_lanes(h, w, kpp, d)      # [D, n_local]
+    n_local = lanes.shape[1]
+    n = d * n_local
+    # Wrapped padding lanes (duplicate pixel ids) get zero quota.
+    first_seen = np.zeros(h * w * kpp, bool)
+    quota_np = np.zeros((d, n_local), np.int32)
+    for b in range(d):
+        fresh = ~first_seen[lanes[b]]
+        first_seen[lanes[b]] |= fresh
+        quota_np[b] = np.where(fresh, quota, 0)
+
+    spec = jax.NamedSharding(mesh, P(None, "tiles"))
+    pix = jax.device_put(lanes.reshape(1, n), spec)
+    q0 = jax.device_put(quota_np.reshape(1, n), spec)
+
+    def row(v, rows_):
+        return jax.device_put(
+            jnp.broadcast_to(jnp.float32(v), (rows_, n)), spec)
+
+    st = PathState(
+        origin=row(0.0, 3),
+        direction=jax.device_put(
+            jnp.broadcast_to(jnp.asarray([[0.0], [0.0], [1.0]], jnp.float32),
+                             (3, n)), spec),
+        time=row(0.0, 1),
+        throughput=row(1.0, 3),
+        radiance_sum=row(0.0, 3),
+        depth=jax.device_put(jnp.zeros((1, n), jnp.int32), spec),
+        sample=jax.device_put(jnp.full((1, n), -1, jnp.int32), spec),
+        pixel=pix,
+        path_alive=jax.device_put(jnp.zeros((1, n), bool), spec),
+        s_base=jax.device_put(
+            (jnp.asarray(lanes.reshape(1, n)) % kpp) * quota, spec),
+        s_quota=q0,
+    )
+    accum = jax.device_put(jnp.zeros((d, 3, h * w), jnp.float32),
+                           jax.NamedSharding(mesh, P("tiles", None, None)))
+
+    dev_keys = jnp.stack([
+        jnp.stack([jax.random.fold_in(jax.random.fold_in(key, 2), b),
+                   jax.random.fold_in(jax.random.fold_in(key, 1), b)])
+        for b in range(d)])                              # [D, 2] keys
+    dev_keys = jax.device_put(dev_keys, jax.NamedSharding(mesh, P("tiles")))
+
+    bounce_sm, alive_sm, flush_sm, respawn_sm = _steps(
+        mesh, cfg, w, h, spp, kpp, hit_fn)
+    st = respawn_sm(cam, st, dev_keys)  # start sample 0 on every lane
+
+    step = 0
+    period = check_period
+    last_alive = n
+    while step < max_steps:
+        next_check = first_check if step < first_check else (step + period)
+        budget = min(next_check, max_steps) - step
+        cur = st.pixel.shape[1] // d
+        for _ in range(budget):
+            step += 1
+            st = bounce_sm(scene, cam, st, dev_keys, jnp.int32(step))
+        counts = np.asarray(alive_sm(st))                # [D]
+        worst = int(counts.max())
+        if counts.sum() == 0:
+            break
+        if cur < floor:
+            period = 32
+        elif worst > 0.9 * last_alive:
+            period = min(period * 2, 32)
+        else:
+            period = check_period
+        last_alive = worst
+        if cur <= floor:
+            k_new = max(min_lanes, _next_pow2(worst))
+            if k_new <= cur // 2:
+                st, accum = _compact_split_sm(mesh, kpp, k_new, True)(
+                    st, accum)
+            continue
+        k_new = _grid_size(worst, min_lanes)
+        if k_new <= int(cur * 0.55):
+            st, accum = _compact_split_sm(mesh, kpp, k_new, False)(
+                st, accum)
+
+    accum = flush_sm(st, accum)
+    total = jnp.sum(accum, axis=0)                       # [3, HW] (one ICI
+    return (total / spp).T.reshape(h, w, 3)             # reduction)

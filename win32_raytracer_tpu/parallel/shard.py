@@ -138,6 +138,12 @@ def render_image_sharded(
     mode="rows": image rows interleaved across devices (reference-style
     load balancing); mode="spp": sample-sharded with an ICI pmean.
     """
+    if mode == "persistent":
+        # The production scheduler, sharded: lane-local steps shard-mapped
+        # over the mesh with interleaved row-block ownership.
+        from .persistent_shard import render_image_persistent_sharded
+        return render_image_persistent_sharded(scene, cam, cfg, mesh,
+                                               hit_fn=None)
     if hit_fn is None:
         hit_fn = hit_spheres
     if cam is None:
@@ -178,7 +184,7 @@ def render_image_sharded(
         return jnp.concatenate(out, axis=0)
 
     if mode != "rows":
-        raise ValueError(f"unknown mode {mode!r} (rows|spp)")
+        raise ValueError(f"unknown mode {mode!r} (rows|spp|persistent)")
 
     # Row mode: superchunks of D interleaved row-blocks, one per device.
     rows = max(1, min(-(-h // d), cfg.rays_per_chunk // max(1, w * spp)))
