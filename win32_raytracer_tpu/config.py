@@ -72,6 +72,11 @@ class RenderConfig:
 
     # Execution knobs.
     backend: str = "auto"       # "auto" | "pallas" | "jnp"
+    # Acceleration structure for the sphere sweep: "auto" builds a uniform
+    # (x, z) grid (accel.py) when the scene qualifies and the backend is
+    # Pallas; "off" forces the brute-force sweep (the reference's behavior,
+    # RayTracer.cpp:433-551); "grid" asserts the grid is used.
+    accel: str = "auto"         # "auto" | "grid" | "off"
     rays_per_chunk: int = 1 << 20  # wavefront chunk size (lanes per jit call)
 
     # Scheduler: "wavefront" = one lane per (pixel, sample), fixed

@@ -22,20 +22,30 @@ def _default_platform() -> str:
     return jax.devices()[0].platform
 
 
+def _resolve_backend(cfg: RenderConfig, platform=None) -> str:
+    """'auto' -> 'pallas' on TPU-like platforms, 'jnp' elsewhere.
+
+    ``platform`` overrides the default-device platform — sharded paths pass
+    their MESH devices' platform (a virtual-CPU mesh under the axon tunnel
+    must NOT pick Pallas just because the default device is the TPU relay).
+    The axon platform is the TPU tunnel; plain 'tpu' for direct runs."""
+    if cfg.backend != "auto":
+        return cfg.backend
+    plat = platform or _default_platform()
+    return "pallas" if plat in ("tpu", "axon") else "jnp"
+
+
 def _pallas_v3_rb2048(scene, o, d, t, min_t=0.001):
     return hit_spheres_pallas_v3(scene, o, d, t, min_t=min_t, ray_block=2048)
 
 
-def get_hit_fn(cfg: RenderConfig, scene=None):
+def get_hit_fn(cfg: RenderConfig, scene=None, platform=None):
     """Resolve cfg.backend ('auto' | 'pallas' | 'jnp') to a hit function.
 
     When ``scene`` is given, the returned function also handles triangle
     and composite scenes (spheres on the selected backend; triangles on
     the jnp sweep)."""
-    backend = cfg.backend
-    if backend == "auto":
-        # The axon platform is the TPU tunnel; plain 'tpu' for direct runs.
-        backend = "pallas" if _default_platform() in ("tpu", "axon") else "jnp"
+    backend = _resolve_backend(cfg, platform)
     if backend == "pallas":
         # v3 (transposed layout, rb=2048) measured fastest; bit-identical
         # to v1 on the RTIOW scenes.
@@ -59,7 +69,38 @@ def _pallas_v4_rb2048(scene, o, d, t, min_t=0.001):
     return hit_spheres_pallas_v4(scene, o, d, t, min_t=min_t, ray_block=2048)
 
 
-def get_hit_fn_rows(cfg: RenderConfig, scene=None):
+def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
+    """Resolve (scene, rows hit fn) with the acceleration structure applied.
+
+    With ``cfg.accel`` in ("auto", "grid"), a Pallas backend, and a plain
+    sphere scene that qualifies (accel.build_grid_accel), returns the
+    GridScene (a drop-in scene pytree) and the grid rows kernel — the
+    candidate-reduction path (docs/perf_roadmap.md lever 1).  Everything
+    else falls back to the brute rows sweep.
+
+    ``platform`` overrides the backend-resolution platform — sharded paths
+    must pass their MESH devices' platform (a virtual-CPU mesh under the
+    axon tunnel must NOT pick Pallas just because the default device is the
+    TPU relay)."""
+    from ..scene.spheres import SphereScene
+
+    backend = _resolve_backend(cfg, platform)
+    if (cfg.accel in ("auto", "grid") and backend == "pallas"
+            and isinstance(scene, SphereScene)):
+        from ..accel import build_grid_accel
+        gs = build_grid_accel(scene, time_hi=float(cam.shutter_close))
+        if gs is not None:
+            from .hit_grid_rows import hit_spheres_grid_rows
+            return gs, hit_spheres_grid_rows
+    if cfg.accel == "grid":
+        raise ValueError(
+            "accel='grid' requested but the scene/backend does not qualify "
+            "(needs a Pallas backend and a sphere scene with enough small "
+            "spheres; see accel.build_grid_accel)")
+    return scene, get_hit_fn_rows(cfg, scene, platform)
+
+
+def get_hit_fn_rows(cfg: RenderConfig, scene=None, platform=None):
     """Rows-layout hit function (ops/rows.py interface) for the persistent
     scheduler.  Plain sphere scenes on TPU get the native lane-major v4
     kernel; everything else (jnp oracle, triangle/composite scenes) goes
@@ -67,9 +108,7 @@ def get_hit_fn_rows(cfg: RenderConfig, scene=None):
     from ..ops.rows import hit_rows_adapter
     from ..scene.spheres import SphereScene
 
-    backend = cfg.backend
-    if backend == "auto":
-        backend = "pallas" if _default_platform() in ("tpu", "axon") else "jnp"
+    backend = _resolve_backend(cfg, platform)
     if backend == "pallas" and (scene is None or isinstance(scene, SphereScene)):
         return _pallas_v4_rb2048
-    return hit_rows_adapter(get_hit_fn(cfg, scene))
+    return hit_rows_adapter(get_hit_fn(cfg, scene, platform))

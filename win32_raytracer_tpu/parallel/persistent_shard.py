@@ -156,11 +156,16 @@ def render_image_persistent_sharded(
     hit_fn=None,
 ) -> jnp.ndarray:
     """Persistent-scheduler render over the mesh; linear [H, W, 3] f32."""
-    if hit_fn is None:
-        from ..kernels.dispatch import get_hit_fn_rows
-        hit_fn = get_hit_fn_rows(cfg, scene)
     if cam is None:
         cam = default_camera(cfg.width, cfg.height)
+    if hit_fn is None:
+        # May swap the scene for its GridScene (replicated across shards;
+        # candidate reduction per shard, kernels/hit_grid_rows.py).  The
+        # backend follows the MESH devices' platform, not the default
+        # device (a virtual-CPU mesh under the axon tunnel must use jnp).
+        from ..kernels.dispatch import get_hit_fn_rows_accel
+        scene, hit_fn = get_hit_fn_rows_accel(
+            cfg, scene, cam, platform=mesh.devices.flat[0].platform)
     w, h, spp = cfg.width, cfg.height, cfg.samples
     d = mesh.devices.size
     kpp = 1

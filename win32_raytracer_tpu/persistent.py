@@ -273,11 +273,13 @@ def render_image_persistent(
     hit_fn=None,
 ) -> jnp.ndarray:
     """Render the full image; returns linear radiance [H, W, 3] f32."""
-    if hit_fn is None:
-        from .kernels.dispatch import get_hit_fn_rows
-        hit_fn = get_hit_fn_rows(cfg, scene)
     if cam is None:
         cam = default_camera(cfg.width, cfg.height)
+    if hit_fn is None:
+        # May swap the scene for its GridScene (candidate reduction); the
+        # scatter/respawn steps ignore scene fields so the swap is free.
+        from .kernels.dispatch import get_hit_fn_rows_accel
+        scene, hit_fn = get_hit_fn_rows_accel(cfg, scene, cam)
     w, h, spp = cfg.width, cfg.height, cfg.samples
     # Replica lanes per pixel: fewer sequential steps for hard pixels.
     kpp = 1
