@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""Headline timing of the current persistent scheduler (warm + 3 reps)."""
+
+import os
+import sys
+import time
+
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, _ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_ROOT, ".jax_cache"))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+t0 = time.perf_counter()
+np.asarray(jnp.ones((8,)) + 1)
+print(f"# sync flip: {time.perf_counter() - t0:.1f}s", flush=True)
+
+from win32_raytracer_tpu.config import RenderConfig
+from win32_raytracer_tpu.persistent import render_image_persistent
+from win32_raytracer_tpu.scene.builders import random_scene
+from win32_raytracer_tpu.scene.camera import default_camera
+
+W, H, SPP = 1200, 800, 100
+cfg = RenderConfig(width=W, height=H, samples=SPP, seed=3,
+                   rays_per_chunk=1 << 22)
+scene = random_scene()
+cam = default_camera(W, H)
+
+for rep in range(4):
+    t0 = time.perf_counter()
+    img = render_image_persistent(scene, cam, cfg)
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+    tag = "warm" if rep == 0 else f"run{rep}"
+    print(f"{tag}: {dt:.2f}s = {W*H*SPP/dt/1e6:.1f} Mrays/s "
+          f"(mean {float(img.mean()):.4f})", flush=True)

@@ -46,7 +46,7 @@ cfg = RenderConfig(width=W, height=H, samples=SPP, seed=3,
 scene = random_scene()
 cam = default_camera(W, H)
 brute_fn = get_hit_fn_rows(cfg)
-gscene, grid_fn = get_hit_fn_rows_accel(cfg, scene, cam)
+gscene, grid_fn = get_hit_fn_rows_accel(cfg.replace(accel="grid"), scene, cam)
 assert gscene is not scene, "grid accel must resolve on TPU"
 
 kpp = 1
@@ -69,9 +69,7 @@ snapshots = []  # (label, PathState)
 y0 = 0
 take = min(rows, H - y0)
 n = take * W * kpp
-ckey = jax.random.fold_in(key, y0)
-rkey = jax.random.fold_in(ckey, 1)
-skey = jax.random.fold_in(ckey, 2)
+salt = np.uint32(0x54321)
 st = PathState(
     origin=jnp.zeros((3, n), jnp.float32),
     direction=jnp.zeros((3, n), jnp.float32).at[2, :].set(1.0),
@@ -87,7 +85,7 @@ st = PathState(
 )
 accum = jnp.zeros((3, H * W), jnp.float32)
 step = 0
-st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
+st = p_respawn_step(cam, st, salt, jnp.int32(step), cfg=cfg,
                     width=W, height=H, spp=SPP, lanes_per_pixel=kpp)
 snapshots.append((f"primary n={n}", st, 0))
 period = check_period
@@ -101,7 +99,7 @@ while step < max_steps:
     for _ in range(budget):
         step += 1
         rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=brute_fn)
-        st = p_scatter_respawn_step(scene, cam, st, rec, skey, rkey,
+        st = p_scatter_respawn_step(scene, cam, st, rec, salt,
                                     jnp.int32(step), cfg=cfg, width=W,
                                     height=H, spp=SPP, lanes_per_pixel=kpp)
     n_steps_by_size[cur] = n_steps_by_size.get(cur, 0) + budget
@@ -169,7 +167,7 @@ for label, s, stp in snapshots:
     tb = timeit(p_hit_step, scene, s, cfg=cfg, hit_fn=brute_fn)
     tg = timeit(p_hit_step, gscene, s, cfg=cfg, hit_fn=grid_fn)
     rec, s2 = p_hit_step(scene, s, cfg=cfg, hit_fn=brute_fn)
-    ts = timeit(p_scatter_respawn_step, scene, cam, s2, rec, skey, rkey,
+    ts = timeit(p_scatter_respawn_step, scene, cam, s2, rec, salt,
                 jnp.int32(stp + 1), cfg=cfg, width=W, height=H, spp=SPP,
                 lanes_per_pixel=kpp)
     print(f"{label:<34} {nn:>8} {alive:5.1f}% {act:7.1f}/{gscene.n_tiles} "

@@ -70,9 +70,7 @@ total_steps = 0
 for y0 in range(0, H, rows):
     take = min(rows, H - y0)
     n = take * W * kpp
-    ckey = jax.random.fold_in(key, y0)
-    rkey = jax.random.fold_in(ckey, 1)
-    skey = jax.random.fold_in(ckey, 2)
+    salt = np.uint32((3 * 0x9E3779B1 ^ (y0 + 1) * 0x85EBCA77) & 0xFFFFFFFF)
     st = PathState(
         origin=jnp.zeros((3, n), jnp.float32),
         direction=jnp.zeros((3, n), jnp.float32).at[2, :].set(1.0),
@@ -88,7 +86,7 @@ for y0 in range(0, H, rows):
         s_quota=jnp.full((1, n), SPP // kpp, jnp.int32),
     )
     step = 0
-    st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
+    st = p_respawn_step(cam, st, salt, jnp.int32(step), cfg=cfg,
                         width=W, height=H, spp=SPP, lanes_per_pixel=kpp)
     period = check_period
     last_alive = n
@@ -101,12 +99,12 @@ for y0 in range(0, H, rows):
         for _ in range(budget):
             step += 1
             if fuse:
-                st = p_bounce_step(scene, cam, st, skey, jnp.int32(step),
+                st = p_bounce_step(scene, cam, st, salt, jnp.int32(step),
                                    cfg=cfg, hit_fn=hit_fn, width=W, height=H,
                                    spp=SPP, lanes_per_pixel=kpp)
             else:
                 rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=hit_fn)
-                st = p_scatter_respawn_step(scene, cam, st, rec, skey, rkey,
+                st = p_scatter_respawn_step(scene, cam, st, rec, salt,
                                             jnp.int32(step), cfg=cfg,
                                             width=W, height=H, spp=SPP,
                                             lanes_per_pixel=kpp)

@@ -72,10 +72,13 @@ class RenderConfig:
 
     # Execution knobs.
     backend: str = "auto"       # "auto" | "pallas" | "jnp"
-    # Acceleration structure for the sphere sweep: "auto" builds a uniform
-    # (x, z) grid (accel.py) when the scene qualifies and the backend is
-    # Pallas; "off" forces the brute-force sweep (the reference's behavior,
-    # RayTracer.cpp:433-551); "grid" asserts the grid is used.
+    # Acceleration structure for the sphere sweep.  "grid" forces the
+    # uniform (x, z) footprint-mask grid (accel.py + kernels/hit_grid*.py)
+    # — a measured win only for coherent ray batches (primary-dominated
+    # work); "auto" currently resolves to the brute sweep for the
+    # persistent scheduler because post-compaction bounce batches union to
+    # near-all tiles per block (bench/mask_stats.py measurements); "off"
+    # forces brute (the reference's behavior, RayTracer.cpp:433-551).
     accel: str = "auto"         # "auto" | "grid" | "off"
     rays_per_chunk: int = 1 << 20  # wavefront chunk size (lanes per jit call)
 

@@ -109,6 +109,38 @@ def uniform01(key: jax.Array, shape) -> jnp.ndarray:
     return jax.random.uniform(key, shape, dtype=jnp.float32)
 
 
+def _fmix32(x: jnp.ndarray) -> jnp.ndarray:
+    """murmur3's 32-bit finalizer (full avalanche)."""
+    x = (x ^ (x >> 16)) * jnp.uint32(0x85EBCA6B)
+    x = (x ^ (x >> 13)) * jnp.uint32(0xC2B2AE35)
+    return x ^ (x >> 16)
+
+
+def hash_uniform01(shape, salt: jnp.ndarray, step: jnp.ndarray,
+                   purpose: int) -> jnp.ndarray:
+    """Counter-based U[0,1) f32 draws, [rows, N], via double fmix32.
+
+    A ~14-int-op/draw replacement for threefry on the per-step hot path
+    (the persistent scheduler draws 10 uniforms/lane/step; threefry was a
+    measurable slice of the scatter+respawn step).  The counter is
+    (salt, step, row, lane): ``salt`` is a per-chunk/per-shard uint32
+    scalar array (an ARGUMENT, never a captured constant —
+    docs/axon_runtime_notes.md rule 4), ``purpose`` a compile-time stream
+    tag.  Each (step, lane) pair is visited once per chunk, so draws never
+    repeat along a path; two fmix32 rounds with distinct offsets give full
+    avalanche between consecutive counters — ample for Monte-Carlo
+    sampling (the reference reused one LCG stream seeded 666 for every
+    tile, RayTracer.cpp:27).
+    """
+    rows, n = shape
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (rows, n), 1)
+    row = jax.lax.broadcasted_iota(jnp.uint32, (rows, n), 0)
+    s = _fmix32(step.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                ^ salt.astype(jnp.uint32) ^ jnp.uint32(purpose))
+    x = _fmix32(lane ^ _fmix32(s + row * jnp.uint32(0x85EBCA6B)))
+    return (x >> 8).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+
+
 def sample_unit_ball(u: jnp.ndarray) -> jnp.ndarray:
     """Map u[..., 3] uniforms to points uniform in the unit ball.
 

@@ -85,7 +85,13 @@ def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
     from ..scene.spheres import SphereScene
 
     backend = _resolve_backend(cfg, platform)
-    if (cfg.accel in ("auto", "grid") and backend == "pallas"
+    # "auto" resolves to the brute sweep for the persistent scheduler: on
+    # the RTIOW scene the footprint-mask grid wins only on coherent
+    # (primary) batches — post-compaction blocks union to ~18/30 active
+    # tiles (bench/mask_stats.py) and the two-pass overhead loses the
+    # kernel's 2x primary-step win.  "grid" forces it (wins for coherent
+    # workloads: primary-only renders, depth-limited previews).
+    if (cfg.accel == "grid" and backend == "pallas"
             and isinstance(scene, SphereScene)):
         from ..accel import build_grid_accel
         gs = build_grid_accel(scene, time_hi=float(cam.shutter_close))

@@ -167,6 +167,15 @@ def _hit_grid_rows_raw(rays_t, tile_attrs, mask, *, n_tiles, st, min_t,
                        ray_block, interpret=False):
     n = rays_t.shape[1]
     nb = n // ray_block
+    # The schedule is scalar-prefetched: the WHOLE [NB, 1+T] i32 array is
+    # SMEM-resident (double-buffered), and SMEM is 1 MB.  Guard with a
+    # clear error instead of the compile service's HTTP 500.
+    smem = nb * (1 + n_tiles) * 4 * 2
+    if smem > 768 * 1024:
+        raise ValueError(
+            f"grid hit schedule needs ~{smem >> 10} KiB SMEM "
+            f"(NB={nb} x (1+T={1 + n_tiles}) i32, double-buffered) > 768 KiB"
+            f" — raise ray_block or split the batch")
     kernel = functools.partial(_grid_kernel_rows, st=st, min_t=min_t)
     # Active-tile schedule: [NB, 1+T] i32 — col 0 = count, cols 1.. =
     # active tile ids ascending (argsort puts active-tile keys first).

@@ -53,21 +53,21 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
     """Shard-mapped step programs for one (mesh, config) — cached so jitted
     closures are reused across chunks, frames and seeds."""
     sspec = _sspec()
-    kspec = P("tiles")  # per-device [D, 2] key array
+    kspec = P("tiles")  # per-device [D] draw-salt array
 
-    def bounce(scene, cam, st, keys, step_i):
-        skey, rkey = keys[0, 0], keys[0, 1]
+    def bounce(scene, cam, st, salts, step_i):
+        salt = salts[0]
         rec, st = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
-        st = _scatter_core(scene, st, rec, skey, step_i, cfg=cfg)
-        return _respawn_core(cam, st, rkey, step_i, cfg=cfg, width=width,
+        st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
+        return _respawn_core(cam, st, salt, step_i, cfg=cfg, width=width,
                              height=height, spp=spp, lanes_per_pixel=kpp)
 
     bounce_sm = jax.jit(jax.shard_map(
         bounce, mesh=mesh, in_specs=(P(), P(), sspec, kspec, P()),
         out_specs=sspec), static_argnames=())
 
-    def first_respawn(cam, st, keys):
-        return _respawn_core(cam, st, keys[0, 1], jnp.int32(0), cfg=cfg,
+    def first_respawn(cam, st, salts):
+        return _respawn_core(cam, st, salts[0], jnp.int32(0), cfg=cfg,
                              width=width, height=height, spp=spp,
                              lanes_per_pixel=kpp)
 
@@ -174,7 +174,7 @@ def render_image_persistent_sharded(
             kpp = cand
             break
     quota = spp // kpp
-    key = jax.random.PRNGKey(cfg.seed)
+    seed = cfg.seed
     cfg = cfg.replace(seed=0)
     check_period = cfg.check_period or 8
     first_check = quota + 2
@@ -220,10 +220,11 @@ def render_image_persistent_sharded(
     accum = jax.device_put(jnp.zeros((d, 3, h * w), jnp.float32),
                            jax.NamedSharding(mesh, P("tiles", None, None)))
 
-    dev_keys = jnp.stack([
-        jnp.stack([jax.random.fold_in(jax.random.fold_in(key, 2), b),
-                   jax.random.fold_in(jax.random.fold_in(key, 1), b)])
-        for b in range(d)])                              # [D, 2] keys
+    # Per-device draw salts (hash_uniform01 counters; purpose tags split
+    # the scatter/respawn streams inside the step cores).
+    dev_keys = np.asarray(
+        [(seed * 0x9E3779B1 ^ (b + 1) * 0x85EBCA77) & 0xFFFFFFFF
+         for b in range(d)], np.uint32)                  # [D] salts
     dev_keys = jax.device_put(dev_keys, jax.NamedSharding(mesh, P("tiles")))
 
     bounce_sm, alive_sm, flush_sm, respawn_sm = _steps(
@@ -240,7 +241,20 @@ def render_image_persistent_sharded(
         for _ in range(budget):
             step += 1
             st = bounce_sm(scene, cam, st, dev_keys, jnp.int32(step))
-        counts = np.asarray(alive_sm(st))                # [D]
+        # Overlapped alive check (persistent.py): dispatch the counts, hide
+        # the fetch round trip behind a few optimistic steps, then read.
+        # Counts are stale-but-upper-bound (monotone non-increasing), so
+        # termination and compaction sizing stay correct.
+        cnt = alive_sm(st)
+        try:
+            cnt.copy_to_host_async()
+        except Exception:
+            pass
+        ov = 1 if cur >= (1 << 18) else 4
+        for _ in range(min(ov, max_steps - step)):
+            step += 1
+            st = bounce_sm(scene, cam, st, dev_keys, jnp.int32(step))
+        counts = np.asarray(cnt)                         # [D]
         worst = int(counts.max())
         if counts.sum() == 0:
             break

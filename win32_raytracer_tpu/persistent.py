@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import RenderConfig
-from .core.rng import uniform01
+from .core.rng import hash_uniform01
 from .ops.rows import (
     HitRecordRows, camera_rays_rows, scatter_rows, sky_color_rows,
 )
@@ -74,10 +74,11 @@ def _hit_core(scene: SphereScene, st: PathState, *, cfg: RenderConfig,
                             path_alive=st.path_alive & rec.hit)
 
 
-def _scatter_core(scene: SphereScene, st: PathState, rec, key: jax.Array,
-                  step_i: jnp.ndarray, *, cfg: RenderConfig) -> PathState:
+def _scatter_core(scene: SphereScene, st: PathState, rec,
+                  salt: jnp.ndarray, step_i: jnp.ndarray, *,
+                  cfg: RenderConfig) -> PathState:
     n = st.origin.shape[1]
-    draws = uniform01(jax.random.fold_in(key, step_i), (5, n))
+    draws = hash_uniform01((5, n), salt, step_i, 0x5CA77E12)
     sc = scatter_rows(st.direction, rec, draws, cfg)
 
     live = st.path_alive  # already restricted to hits by p_hit_step
@@ -98,7 +99,7 @@ def _scatter_core(scene: SphereScene, st: PathState, rec, key: jax.Array,
                        path_alive=alive)
 
 
-def _respawn_core(cam: Camera, st: PathState, key: jax.Array,
+def _respawn_core(cam: Camera, st: PathState, salt: jnp.ndarray,
                   step_i: jnp.ndarray, *, cfg: RenderConfig, width: int,
                   height: int, spp: int, lanes_per_pixel: int = 1
                   ) -> PathState:
@@ -116,7 +117,7 @@ def _respawn_core(cam: Camera, st: PathState, key: jax.Array,
     start = ~st.path_alive & (st.sample < st.s_quota - 1)
     new_sample = jnp.where(start, st.sample + 1, st.sample)
 
-    draws = uniform01(jax.random.fold_in(key, step_i), (5, n))
+    draws = hash_uniform01((5, n), salt, step_i, 0x2E59A301)
     u_j, v_j = draws[0:1], draws[1:2]
     if cfg.stratify:
         k = int(np.sqrt(spp))
@@ -154,7 +155,7 @@ p_respawn_step = functools.partial(
     jax.jit, static_argnames=("cfg", "width", "height", "spp",
                               "lanes_per_pixel"))
 def p_scatter_respawn_step(scene: SphereScene, cam: Camera, st: PathState,
-                           rec, skey: jax.Array, rkey: jax.Array,
+                           rec, salt: jnp.ndarray,
                            step_i: jnp.ndarray, *, cfg: RenderConfig,
                            width: int, height: int, spp: int,
                            lanes_per_pixel: int = 1) -> PathState:
@@ -162,8 +163,8 @@ def p_scatter_respawn_step(scene: SphereScene, cam: Camera, st: PathState,
     XLA fuses it cleanly, unlike the pallas+epilogue fusion note below).
     Halves the non-hit dispatch count; the tail of a render is dispatch-
     floor-bound (~3 ms per dispatch through the relay)."""
-    st = _scatter_core(scene, st, rec, skey, step_i, cfg=cfg)
-    return _respawn_core(cam, st, rkey, step_i, cfg=cfg, width=width,
+    st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
+    return _respawn_core(cam, st, salt, step_i, cfg=cfg, width=width,
                          height=height, spp=spp,
                          lanes_per_pixel=lanes_per_pixel)
 
@@ -172,7 +173,7 @@ def p_scatter_respawn_step(scene: SphereScene, cam: Camera, st: PathState,
     jax.jit, static_argnames=("cfg", "hit_fn", "width", "height", "spp",
                               "lanes_per_pixel"))
 def p_bounce_step(scene: SphereScene, cam: Camera, st: PathState,
-                  key: jax.Array, step_i: jnp.ndarray, *, cfg: RenderConfig,
+                  salt: jnp.ndarray, step_i: jnp.ndarray, *, cfg: RenderConfig,
                   hit_fn, width: int, height: int,
                   spp: int, lanes_per_pixel: int = 1) -> PathState:
     """Fused hit + scatter + respawn in one dispatch.
@@ -182,10 +183,9 @@ def p_bounce_step(scene: SphereScene, cam: Camera, st: PathState,
     pallas+epilogue program.  Kept for experiments and as the one-dispatch
     variant for contexts where dispatch count matters more than codegen."""
     rec, st = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
-    st = _scatter_core(scene, st, rec, key, step_i, cfg=cfg)
-    # Decorrelate respawn draws from scatter draws (distinct key stream).
-    rkey = jax.random.fold_in(key, 0x5EED)
-    return _respawn_core(cam, st, rkey, step_i, cfg=cfg, width=width,
+    st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
+    # Respawn draws decorrelate via their purpose tag (hash_uniform01).
+    return _respawn_core(cam, st, salt, step_i, cfg=cfg, width=width,
                          height=height, spp=spp,
                          lanes_per_pixel=lanes_per_pixel)
 
@@ -288,9 +288,10 @@ def render_image_persistent(
             kpp = cand
             break
     rows = max(1, min(h, cfg.rays_per_chunk // max(1, w * kpp)))
-    key = jax.random.PRNGKey(cfg.seed)
-    # Seed feeds only the host-side key; keep the jitted-step cfg seedless
-    # so different seeds (e.g. animation frames) share compiled programs.
+    seed = cfg.seed
+    # Seed feeds only the per-chunk draw salt (a traced argument); keep the
+    # jitted-step cfg seedless so different seeds (e.g. animation frames)
+    # share compiled programs.
     cfg = cfg.replace(seed=0)
     # Nothing can finish before its quota of samples is consumed (each
     # sample is >= 1 step), so the first alive check waits that long; after
@@ -306,9 +307,8 @@ def render_image_persistent(
     for y0 in range(0, h, rows):
         take = min(rows, h - y0)
         n = take * w * kpp
-        ckey = jax.random.fold_in(key, y0)
-        rkey = jax.random.fold_in(ckey, 1)
-        skey = jax.random.fold_in(ckey, 2)
+        salt = np.uint32((seed * 0x9E3779B1 ^ (y0 + 1) * 0x85EBCA77)
+                         & 0xFFFFFFFF)
         st = PathState(
             origin=jnp.zeros((3, n), jnp.float32),
             direction=jnp.zeros((3, n), jnp.float32).at[2, :].set(1.0),
@@ -324,21 +324,19 @@ def render_image_persistent(
             s_quota=jnp.full((1, n), quota, jnp.int32),
         )
         step = 0
-        st = p_respawn_step(cam, st, rkey, jnp.int32(step), cfg=cfg,
+        st = p_respawn_step(cam, st, salt, jnp.int32(step), cfg=cfg,
                             width=w, height=h, spp=spp,
                             lanes_per_pixel=kpp)
         period = check_period
         last_alive = n
-        while step < max_steps:
-            next_check = first_check if step < first_check else (
-                step + period)
-            budget = min(next_check, max_steps) - step
+
+        def do_steps(st, k, step):
             cur = st.pixel.shape[1]
             fuse = cur < _COMPACT_FLOOR  # dispatch-bound: 1 program/bounce
-            for _ in range(budget):
+            for _ in range(k):
                 step += 1
                 if fuse:
-                    st = p_bounce_step(scene, cam, st, skey, jnp.int32(step),
+                    st = p_bounce_step(scene, cam, st, salt, jnp.int32(step),
                                        cfg=cfg, hit_fn=hit_fn, width=w,
                                        height=h, spp=spp,
                                        lanes_per_pixel=kpp)
@@ -349,16 +347,35 @@ def render_image_persistent(
                     # fused (pure row math, fuses cleanly).
                     rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=hit_fn)
                     st = p_scatter_respawn_step(
-                        scene, cam, st, rec, skey, rkey, jnp.int32(step),
+                        scene, cam, st, rec, salt, jnp.int32(step),
                         cfg=cfg, width=w, height=h, spp=spp,
                         lanes_per_pixel=kpp)
-            n_alive = int(jnp.sum(st.path_alive))  # one sync per period
+            return st, step
+
+        while step < max_steps:
+            next_check = first_check if step < first_check else (
+                step + period)
+            st, step = do_steps(st, min(next_check, max_steps) - step, step)
+            cur = st.pixel.shape[1]
+            # Overlapped alive check: dispatch the count, hide its ~27 ms
+            # relay round trip behind a few optimistic steps, then read.
+            # The count is stale by only those steps; alive is monotone
+            # non-increasing within a chunk, so it is an upper bound —
+            # termination (stale 0 => now 0) and compaction sizing (an
+            # overestimate keeps spare lanes) both stay correct.
+            cnt = jnp.sum(st.path_alive, dtype=jnp.int32)
+            try:
+                cnt.copy_to_host_async()
+            except Exception:  # backend without async fetch: read blocks
+                pass
+            ov = 1 if cur >= (1 << 21) else (2 if cur >= (1 << 20) else 4)
+            st, step = do_steps(st, min(ov, max_steps - step), step)
+            n_alive = int(cnt)
             if n_alive == 0:
                 break
-            # Adaptive cadence: a sync costs ~27 ms — back off while the
-            # alive count plateaus, re-engage when it starts dropping.
-            # Below the compaction floor the only decision left is
-            # termination, so check rarely.
+            # Adaptive cadence: back off while the alive count plateaus,
+            # re-engage when it starts dropping.  Below the compaction
+            # floor the only decision left is termination.
             if cur < _COMPACT_FLOOR:
                 period = 32
             elif n_alive > 0.9 * last_alive:
