@@ -98,3 +98,45 @@ def test_unit_disc_sampler():
     # Uniform on disc: E[r] = 2/3.
     assert abs(r.mean() - 2.0 / 3.0) < 0.01
     assert np.all(np.abs(p[:, :2].mean(axis=0)) < 0.02)
+
+
+def test_hash_uniform01_distribution():
+    """Counter-hash draws: range, mean/var, stream decorrelation."""
+    import jax.numpy as jnp
+    import numpy as np
+    from win32_raytracer_tpu.core.rng import hash_uniform01
+
+    salt = np.uint32(0xABCD1234)
+    u = np.asarray(hash_uniform01((5, 1 << 16), salt, jnp.int32(7), 0x111))
+    assert u.min() >= 0.0 and u.max() < 1.0
+    assert abs(u.mean() - 0.5) < 3e-3
+    assert abs(u.var() - 1 / 12) < 2e-3
+    # Different purposes / steps / salts give decorrelated streams.
+    v = np.asarray(hash_uniform01((5, 1 << 16), salt, jnp.int32(7), 0x222))
+    w = np.asarray(hash_uniform01((5, 1 << 16), salt, jnp.int32(8), 0x111))
+    x = np.asarray(hash_uniform01((5, 1 << 16), np.uint32(1), jnp.int32(7),
+                                  0x111))
+    for other in (v, w, x):
+        corr = np.corrcoef(u.ravel(), other.ravel())[0, 1]
+        assert abs(corr) < 5e-3, corr
+    # Same args are deterministic.
+    np.testing.assert_array_equal(
+        u, np.asarray(hash_uniform01((5, 1 << 16), salt, jnp.int32(7), 0x111)))
+
+
+def test_hash_uniform01_adjacent_lane_independence():
+    """Adjacent lanes (consecutive counters) must not be correlated —
+    the property rejection-free samplers rely on."""
+    import jax.numpy as jnp
+    import numpy as np
+    from win32_raytracer_tpu.core.rng import hash_uniform01
+
+    u = np.asarray(hash_uniform01((1, 1 << 17), np.uint32(99), jnp.int32(3),
+                                  0x5CA77E12))[0]
+    corr = np.corrcoef(u[:-1], u[1:])[0, 1]
+    assert abs(corr) < 5e-3, corr
+    # Serial pairs fill the unit square uniformly (coarse chi-square).
+    hist, _, _ = np.histogram2d(u[:-1], u[1:], bins=8)
+    expect = (len(u) - 1) / 64
+    chi2 = ((hist - expect) ** 2 / expect).sum()
+    assert chi2 < 150, chi2  # 63 dof; 150 is a generous bound

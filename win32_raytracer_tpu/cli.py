@@ -46,7 +46,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output image (.bmp/.png/.ppm; default out.bmp like "
                         "the reference)")
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "jnp"])
-    p.add_argument("--shard-mode", default="rows", choices=["rows", "spp"])
+    p.add_argument("--accel", default="auto", choices=["auto", "grid", "off"],
+                   help="sphere-sweep acceleration structure (see "
+                        "RenderConfig.accel)")
+    p.add_argument("--scheduler", default="auto",
+                   choices=["auto", "wavefront", "persistent"])
+    p.add_argument("--lanes-per-pixel", type=int, default=0,
+                   help="persistent scheduler: replica lanes per pixel "
+                        "(0 = auto; must divide samples)")
+    p.add_argument("--stratify", action="store_true",
+                   help="stratified pixel jitter (variance reduction)")
+    p.add_argument("--shard-mode", default="persistent",
+                   choices=["rows", "spp", "persistent"])
     p.add_argument("--perf-test", action="store_true")
     p.add_argument("--perf-file", default="perf.txt",
                    help="timing file written in perf mode (Game.cpp:187-191)")
@@ -75,6 +86,8 @@ def main(argv=None) -> int:
     cfg = RenderConfig(
         width=args.width, height=args.height, samples=args.samples,
         max_depth=args.depth, seed=args.seed, backend=args.backend,
+        accel=args.accel, scheduler=args.scheduler,
+        lanes_per_pixel=args.lanes_per_pixel, stratify=args.stratify,
         russian_roulette=args.russian_roulette,
     )
     if args.textbook:

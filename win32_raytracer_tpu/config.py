@@ -91,6 +91,11 @@ class RenderConfig:
     # Persistent scheduler: steps between host-side all-done checks (each
     # check costs one device sync).
     check_period: int = 0  # 0 = auto
+    # Persistent scheduler: replica lanes per pixel (samples split across
+    # K lanes with quota spp/K each — more parallelism for hard pixels,
+    # shorter sequential tails, bigger batches).  0 = auto (largest of
+    # 8/4/2 dividing spp with quota >= 4).  Must divide samples.
+    lanes_per_pixel: int = 0
 
     # Stratified pixel jitter: samples placed on a sqrt(spp) grid within
     # the pixel instead of pure uniform (extension; reduces variance,

@@ -79,7 +79,10 @@ def sample_unit_ball_rows(u: jnp.ndarray) -> jnp.ndarray:
     (same map as core.rng.sample_unit_ball)."""
     z = 1.0 - 2.0 * u[0:1]
     phi = (2.0 * jnp.pi) * u[1:2]
-    r = jnp.cbrt(u[2:3])
+    # exp(log(x)/3) rather than cbrt: Mosaic has no cbrt lowering, and the
+    # Pallas scatter kernel must match this map bit-for-bit on a shared
+    # backend (log(0) -> -inf -> exp -> 0 handles the endpoint).
+    r = jnp.exp(jnp.log(u[2:3]) * (1.0 / 3.0))
     s = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
     return jnp.concatenate([r * s * jnp.cos(phi), r * s * jnp.sin(phi), r * z])
 

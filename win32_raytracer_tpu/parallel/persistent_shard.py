@@ -168,11 +168,16 @@ def render_image_persistent_sharded(
             cfg, scene, cam, platform=mesh.devices.flat[0].platform)
     w, h, spp = cfg.width, cfg.height, cfg.samples
     d = mesh.devices.size
-    kpp = 1
-    for cand in (8, 4, 2):
-        if spp % cand == 0 and spp // cand >= 4:
-            kpp = cand
-            break
+    kpp = cfg.lanes_per_pixel
+    if kpp <= 0:
+        kpp = 1
+        for cand in (8, 4, 2):
+            if spp % cand == 0 and spp // cand >= 4:
+                kpp = cand
+                break
+    elif spp % kpp:
+        raise ValueError(f"lanes_per_pixel ({kpp}) must divide samples "
+                         f"({spp})")
     quota = spp // kpp
     seed = cfg.seed
     cfg = cfg.replace(seed=0)

@@ -282,11 +282,16 @@ def render_image_persistent(
         scene, hit_fn = get_hit_fn_rows_accel(cfg, scene, cam)
     w, h, spp = cfg.width, cfg.height, cfg.samples
     # Replica lanes per pixel: fewer sequential steps for hard pixels.
-    kpp = 1
-    for cand in (8, 4, 2):
-        if spp % cand == 0 and spp // cand >= 4:
-            kpp = cand
-            break
+    kpp = cfg.lanes_per_pixel
+    if kpp <= 0:
+        kpp = 1
+        for cand in (8, 4, 2):
+            if spp % cand == 0 and spp // cand >= 4:
+                kpp = cand
+                break
+    elif spp % kpp:
+        raise ValueError(f"lanes_per_pixel ({kpp}) must divide samples "
+                         f"({spp})")
     rows = max(1, min(h, cfg.rays_per_chunk // max(1, w * kpp)))
     seed = cfg.seed
     # Seed feeds only the per-chunk draw salt (a traced argument); keep the
@@ -330,6 +335,16 @@ def render_image_persistent(
         period = check_period
         last_alive = n
 
+        # Scatter+respawn backend: the Pallas kernel (bit-identical draws,
+        # ~3x the XLA row-math program's speed at full batch) on TPU; the
+        # jnp step elsewhere.
+        from .kernels.dispatch import _resolve_backend
+        if _resolve_backend(cfg) == "pallas":
+            from .kernels.scatter_pallas import scatter_respawn_pallas
+            scat_step = scatter_respawn_pallas
+        else:
+            scat_step = p_scatter_respawn_step
+
         def do_steps(st, k, step):
             cur = st.pixel.shape[1]
             fuse = cur < _COMPACT_FLOOR  # dispatch-bound: 1 program/bounce
@@ -344,9 +359,9 @@ def render_image_persistent(
                     # Two dispatches per bounce: the Pallas hit alone
                     # (fusing it with the epilogue generates ~2.5x slower
                     # code at compute-bound sizes), then scatter+respawn
-                    # fused (pure row math, fuses cleanly).
+                    # fused.
                     rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=hit_fn)
-                    st = p_scatter_respawn_step(
+                    st = scat_step(
                         scene, cam, st, rec, salt, jnp.int32(step),
                         cfg=cfg, width=w, height=h, spp=spp,
                         lanes_per_pixel=kpp)
