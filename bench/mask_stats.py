@@ -43,10 +43,11 @@ from win32_raytracer_tpu.scene.camera import default_camera
 W, H, SPP = 1200, 800, 100
 cfg = RenderConfig(width=W, height=H, samples=SPP, seed=3,
                    rays_per_chunk=1 << 22).replace(seed=0)
+gcfg = cfg.replace(accel="grid")  # force the GridScene (auto = brute now)
 scene = random_scene()
 cam = default_camera(W, H)
 brute_fn = get_hit_fn_rows(cfg)
-gscene, _ = get_hit_fn_rows_accel(cfg, scene, cam)
+gscene, _ = get_hit_fn_rows_accel(gcfg, scene, cam)
 
 kpp = 4
 quota = SPP // kpp

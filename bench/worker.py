@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Persistent TPU experiment worker.
+
+The axon relay charges ~1-8 MINUTES for a process's first device fetch
+(docs/axon_runtime_notes.md), which makes one-script-per-measurement
+workflows unusable.  This worker pays the flip once, then executes job
+files dropped into its spool directory inside one long-lived process and
+namespace (compiled programs, scenes, and mid-render states persist
+between jobs).
+
+Usage:
+    python bench/worker.py [spool_dir]     # default /tmp/tpu_jobs
+    # submit: write foo.py into the spool; output appears at foo.out
+    # (stdout+stderr+traceback); the job file is renamed foo.done.
+    # Jobs run in filename sort order.  A job named quit.py stops the
+    # worker after running.
+"""
+
+import io
+import os
+import sys
+import time
+import traceback
+
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, _ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_ROOT, ".jax_cache"))
+
+SPOOL = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_jobs"
+os.makedirs(SPOOL, exist_ok=True)
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+t0 = time.perf_counter()
+np.asarray(jnp.ones((8,)) + 1)
+print(f"sync flip: {time.perf_counter() - t0:.1f}s", flush=True)
+
+NS = {"np": np, "jax": jax, "jnp": jnp, "time": time}
+print(f"worker ready, spool={SPOOL}", flush=True)
+
+while True:
+    jobs = sorted(f for f in os.listdir(SPOOL)
+                  if f.endswith(".py") and not f.endswith(".done.py"))
+    if not jobs:
+        time.sleep(1.0)
+        continue
+    name = jobs[0]
+    path = os.path.join(SPOOL, name)
+    out_path = os.path.join(SPOOL, name[:-3] + ".out")
+    with open(path) as f:
+        src = f.read()
+    buf = io.StringIO()
+    orig_out, orig_err = sys.stdout, sys.stderr
+    t0 = time.perf_counter()
+    try:
+        sys.stdout = sys.stderr = buf
+        exec(compile(src, path, "exec"), NS)
+        status = "ok"
+    except BaseException:
+        traceback.print_exc(file=buf)
+        status = "error"
+    finally:
+        sys.stdout, sys.stderr = orig_out, orig_err
+    dt = time.perf_counter() - t0
+    with open(out_path, "w") as f:
+        f.write(buf.getvalue())
+        f.write(f"\n# [{status}] {dt:.1f}s\n")
+    os.rename(path, path[:-3] + ".done.py")
+    print(f"ran {name}: {status} in {dt:.1f}s", flush=True)
+    if name == "quit.py":
+        break

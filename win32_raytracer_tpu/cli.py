@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output image (.bmp/.png/.ppm; default out.bmp like "
                         "the reference)")
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "jnp"])
+    p.add_argument("--scatter-backend", default="auto",
+                   choices=["auto", "pallas", "jnp"],
+                   help="persistent scheduler scatter+respawn step backend")
     p.add_argument("--accel", default="auto", choices=["auto", "grid", "off"],
                    help="sphere-sweep acceleration structure (see "
                         "RenderConfig.accel)")
@@ -86,6 +89,7 @@ def main(argv=None) -> int:
     cfg = RenderConfig(
         width=args.width, height=args.height, samples=args.samples,
         max_depth=args.depth, seed=args.seed, backend=args.backend,
+        scatter_backend=args.scatter_backend,
         accel=args.accel, scheduler=args.scheduler,
         lanes_per_pixel=args.lanes_per_pixel, stratify=args.stratify,
         russian_roulette=args.russian_roulette,

@@ -72,6 +72,16 @@ class RenderConfig:
 
     # Execution knobs.
     backend: str = "auto"       # "auto" | "pallas" | "jnp"
+    # Scatter+respawn step backend for the persistent scheduler: the
+    # fused Pallas kernel (kernels/scatter_pallas.py) vs the XLA row-math
+    # program (persistent.p_scatter_respawn_step).  The two are
+    # draw-bit-identical; "auto" follows the measured winner per platform.
+    scatter_backend: str = "auto"  # "auto" | "pallas" | "jnp"
+    # Pallas sphere-sweep kernel for the persistent scheduler's rows path:
+    # "v6" = MXU quadratic at split-bf16 precision (hit_pallas_v6.py,
+    # ~2.1x v4 at full batch, winner flips ~2e-4 vs v4 — same level as
+    # f32 MXU); "v4" = the exact VPU pair sweep.  "auto" = v6 on TPU.
+    hit_kernel: str = "auto"    # "auto" | "v4" | "v6"
     # Acceleration structure for the sphere sweep.  "grid" forces the
     # uniform (x, z) footprint-mask grid (accel.py + kernels/hit_grid*.py)
     # — a measured win only for coherent ray batches (primary-dominated

@@ -335,11 +335,16 @@ def render_image_persistent(
         period = check_period
         last_alive = n
 
-        # Scatter+respawn backend: the Pallas kernel (bit-identical draws,
-        # ~3x the XLA row-math program's speed at full batch) on TPU; the
-        # jnp step elsewhere.
+        # Scatter+respawn backend (cfg.scatter_backend; draw-bit-identical
+        # either way).  "auto" = the XLA row-math step: measured
+        # interleaved at the headline config it edges out the Pallas
+        # kernel (~8.8 vs ~10.5 ms/step at 3.84M lanes) and XLA can fuse
+        # it with neighbors.
         from .kernels.dispatch import _resolve_backend
-        if _resolve_backend(cfg) == "pallas":
+        sb = cfg.scatter_backend
+        if sb == "auto":
+            sb = "jnp"
+        if sb == "pallas" and _resolve_backend(cfg) == "pallas":
             from .kernels.scatter_pallas import scatter_respawn_pallas
             scat_step = scatter_respawn_pallas
         else:
