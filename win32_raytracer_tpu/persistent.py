@@ -200,6 +200,12 @@ def _next_pow2(x: int) -> int:
 # alive-fraction drop — pow2 halving left the headline render grinding 70
 # full-size steps on a ~50%-dead batch (~1.9 s of dead-lane sweeps).
 _COMPACT_QUANTUM = 1 << 18   # 256k lanes
+# Compact when the quantized live-lane batch would shrink below this
+# fraction of the current batch (larger = compact more eagerly; 0.55
+# measured best vs 0.70/0.80 at the headline config with the v6 kernel:
+# a compaction costs ~0.2 s at 3.84M lanes, a dead full-batch lane-step
+# ~6 ns).
+_COMPACT_SHRINK = 0.55
 _COMPACT_FLOOR = 1 << 19     # below this, steps are dispatch-bound: never
                              # compact (it costs more than it saves)
 
@@ -418,7 +424,7 @@ def render_image_persistent(
             # Compact on a >=30% shrink (above the floor shrinking the
             # batch is the whole point — steps are compute-bound).
             k_new = _grid_size(n_alive, min_lanes)
-            if k_new <= int(cur * 0.55):
+            if k_new <= int(cur * _COMPACT_SHRINK):
                 st, accum = _compact(st, accum, k_new=k_new,
                                      lanes_per_pixel=kpp)
         # Flush this chunk's remaining radiance into the accumulator.
