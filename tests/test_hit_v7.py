@@ -1,0 +1,111 @@
+"""v7 fused hit+sky kernel vs the composed v6 path (interpret on CPU).
+
+v7 moves ray packing, winner assembly, and the miss->sky/alive update
+into the pallas program; it must be BIT-identical to p_hit_step with the
+v6 hit function up to the select-formulation (same MXU math, same
+epilogue formulas)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from win32_raytracer_tpu.config import RenderConfig
+from win32_raytracer_tpu.kernels.hit_pallas_v6 import hit_spheres_pallas_v6
+from win32_raytracer_tpu.kernels.hit_pallas_v7 import (
+    hit_coeffs, p_hit_sky_step,
+)
+from win32_raytracer_tpu.persistent import PathState, p_hit_step
+from win32_raytracer_tpu.scene.builders import random_scene
+
+INTERPRET = jax.devices()[0].platform == "cpu"
+
+RB = 256
+
+
+def _make_state(n):
+    rng = np.random.default_rng(5)
+    return PathState(
+        origin=jnp.asarray(rng.uniform(-12, 12, (3, n)), jnp.float32),
+        direction=jnp.asarray(rng.normal(0, 1, (3, n)), jnp.float32),
+        time=jnp.asarray(rng.uniform(0, 0.05, (1, n)), jnp.float32),
+        throughput=jnp.asarray(rng.uniform(0, 1, (3, n)), jnp.float32),
+        radiance_sum=jnp.asarray(rng.uniform(0, 1, (3, n)), jnp.float32),
+        depth=jnp.ones((1, n), jnp.int32),
+        sample=jnp.zeros((1, n), jnp.int32),
+        pixel=jnp.arange(n, dtype=jnp.int32)[None],
+        path_alive=jnp.asarray(rng.uniform(0, 1, (1, n)) < 0.8),
+        s_base=jnp.zeros((1, n), jnp.int32),
+        s_quota=jnp.full((1, n), 4, jnp.int32),
+    )
+
+
+def test_v7_matches_composed_v6_path():
+    scene = random_scene()
+    st = _make_state(1024)
+    cfg = RenderConfig(width=32, height=32, samples=4)
+
+    def hit6(sc, o, d, t, min_t=0.001):
+        return hit_spheres_pallas_v6(sc, o, d, t, min_t=min_t,
+                                     ray_block=RB, interpret=INTERPRET)
+
+    rec6, st6 = p_hit_step(scene, st, cfg=cfg, hit_fn=hit6)
+    rec7, st7 = p_hit_sky_step(hit_coeffs(scene), st, ray_block=RB,
+                               interpret=INTERPRET)
+
+    # On TPU the two paths are bit-identical (verified on hardware:
+    # bench worker job 220, 2026-08-17).  On CPU the two
+    # separately-compiled XLA programs round the bf16 contraction
+    # differently (the backend's matmul emulation is not reproducible
+    # across programs), so compare at v6's oracle tolerances instead:
+    # few boundary flips, t/geometry within split-bf16 error.
+    h6, h7 = np.asarray(rec6.hit[0]), np.asarray(rec7.hit[0])
+    assert (h6 != h7).mean() < 0.01
+    both = h6 & h7
+    same = both & (np.asarray(rec6.idx[0]) == np.asarray(rec7.idx[0]))
+    assert same.sum() > 0.95 * both.sum()
+    np.testing.assert_array_equal(np.asarray(rec6.mat_id[0])[same],
+                                  np.asarray(rec7.mat_id[0])[same])
+    t6 = np.asarray(rec6.t[0])[same]
+    t7 = np.asarray(rec7.t[0])[same]
+    rel = np.abs(t7 - t6) / np.maximum(np.abs(t6), 1e-3)
+    assert np.median(rel) < 1e-3, np.median(rel)
+    assert np.percentile(rel, 99) < 0.1, np.percentile(rel, 99)
+    # Material attributes are exact copies of attr rows.
+    for f in ("albedo", "fuzz", "ior"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(rec7, f))[:, same],
+            np.asarray(getattr(rec6, f))[:, same],
+            rtol=1e-6, atol=1e-6, err_msg=f)
+    # Normals are unit-ish (loose: near-tangent t error shifts the point).
+    nrm = np.asarray(rec7.normal)[:, same]
+    assert np.median(np.abs(np.linalg.norm(nrm, axis=0) - 1.0)) < 1e-3
+    # Alive/radiance agree wherever the hit verdict agrees.
+    agree = h6 == h7
+    np.testing.assert_array_equal(np.asarray(st6.path_alive[0])[agree],
+                                  np.asarray(st7.path_alive[0])[agree])
+    np.testing.assert_allclose(np.asarray(st7.radiance_sum)[:, agree],
+                               np.asarray(st6.radiance_sum)[:, agree],
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_v7_sky_on_all_miss():
+    """Rays pointing away from every sphere: pure sky, all lanes die."""
+    scene = random_scene()
+    n = 512
+    st = _make_state(n)._replace(
+        origin=jnp.zeros((3, n), jnp.float32).at[1].set(5.0),
+        direction=jnp.zeros((3, n), jnp.float32).at[1].set(1.0),
+        path_alive=jnp.ones((1, n), bool),
+        radiance_sum=jnp.zeros((3, n), jnp.float32),
+        throughput=jnp.ones((3, n), jnp.float32),
+    )
+    rec, st2 = p_hit_sky_step(hit_coeffs(scene), st, ray_block=RB,
+                              interpret=INTERPRET)
+    assert not np.asarray(rec.hit).any()
+    assert not np.asarray(st2.path_alive).any()
+    # Straight up: unit dir y=1 -> t=1 -> tint (0.5, 0.7, 1.0).
+    np.testing.assert_allclose(
+        np.asarray(st2.radiance_sum),
+        np.broadcast_to(np.array([[0.5], [0.7], [1.0]], np.float32),
+                        (3, n)), rtol=1e-6)

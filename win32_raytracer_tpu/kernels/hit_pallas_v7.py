@@ -1,0 +1,208 @@
+"""Pallas TPU hit kernel v7: the ENTIRE hit phase as one kernel program.
+
+bench/tpu_jobs anatomy (2026-08-17, 3.84M lanes x 512 spheres): the v6
+pair kernel itself runs in ~2.5 ms, but the full jitted hit step costs
+~32 ms — the difference is XLA's codegen for the row math AROUND the
+pallas call (ray packing, winner-record assembly, sky/alive update),
+which pessimizes badly in programs that mix a pallas call with an XLA
+epilogue (docs/axon_runtime_notes.md rule 11).  The fix is architectural:
+move EVERYTHING into the kernel so the jitted step program is exactly one
+pallas_call and XLA generates no elementwise code at all.
+
+v7 = v6's split-bf16 MXU pair math (hit_pallas_v6.py) + in-kernel:
+  * ray packing (|d|^2, feature rows) — was pack_rays_rows
+  * winner-record assembly (point, normal via center lerp, material rows)
+    — was hit_pallas_v4.assemble_hit_record_rows
+  * the miss->sky radiance update and alive mask
+    (persistent._hit_core semantics: RayTracer.cpp:690-701 sky gradient,
+    miss adds throughput*sky, alive &= hit)
+
+The step function p_hit_sky_step is a drop-in replacement for
+persistent.p_hit_step for plain sphere scenes; sphere coefficient
+matrices are precomputed once per render and passed as arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import MIN_HIT_T
+from ..ops.hit import (
+    ATTR_COLS, F32_MAX, _attr_matrix,
+    _A_T1, _A_INVDT, _A_RADIUS, _A_MAT, _A_ALR, _A_ALB, _A_FUZZ, _A_IOR,
+    _A_IDX, _A_C1X, _A_DCX,
+)
+from ..ops.rows import HitRecordRows
+from ..scene.spheres import SphereScene
+from .hit_pallas_v5 import sphere_coeff_matrices
+from .hit_pallas_v6 import _PAIRS, _split_limbs, stack_coeff_limbs
+
+DEFAULT_RAY_BLOCK_V7 = 2048
+_N_TERMS = 6
+
+
+def hit_coeffs(scene: SphereScene):
+    """(mb_stack, mc_stack, attrs) — precompute ONCE per render."""
+    m_b, m_c = sphere_coeff_matrices(scene)
+    return (stack_coeff_limbs(m_b, _N_TERMS),
+            stack_coeff_limbs(m_c, _N_TERMS),
+            _attr_matrix(scene))
+
+
+def _hit_sky_kernel(
+    mb_ref, mc_ref, attrs_ref,               # [S, K] bf16 x2, [S, 16] f32
+    o_ref, d_ref, tm_ref,                    # [3|3|1, R] f32
+    thr_ref, rad_ref, alv_ref,               # [3|3|1, R] f32/f32/i32
+    t_ref, pt_ref, nrm_ref,                  # outputs
+    idx_ref, mat_ref, alb_ref, fz_ref, ior_ref,
+    hit_ref, orad_ref, oalv_ref,
+    *, n_spheres, min_t,
+):
+    pairs = _PAIRS[_N_TERMS]
+    o = o_ref[:, :]
+    d = d_ref[:, :]
+    tm = tm_ref[:, :]
+    a = jnp.sum(d * d, axis=0, keepdims=True)
+
+    d_dot_o = jnp.sum(d * o, axis=0, keepdims=True)
+    o2 = jnp.sum(o * o, axis=0, keepdims=True)
+    ones = jnp.ones_like(tm)
+    feats = jnp.concatenate(
+        [d, tm * d, o, tm * o, ones, tm, tm * tm, jnp.zeros_like(tm)],
+        axis=0)                                           # [16, R] f32
+    n_limbs = 1 + max(j for _, j in pairs)
+    f_limbs = [l.astype(jnp.float32) for l in _split_limbs(feats, n_limbs)]
+    f_stack = jnp.concatenate(
+        [f_limbs[j] for _, j in pairs], axis=0).astype(jnp.bfloat16)
+
+    def pair_mm(m_ref):
+        return jax.lax.dot_general(
+            m_ref[:, :], f_stack,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    b_half = d_dot_o - pair_mm(mb_ref)                    # [S, R]
+    c = o2 + pair_mm(mc_ref)                              # [S, R]
+    disc = b_half * b_half - a * c
+    ta = -b_half - jnp.sqrt(jnp.maximum(disc, 0.0))
+    valid = (disc >= 0.0) & (ta > min_t * a)
+    ta = jnp.where(valid, ta, F32_MAX)
+
+    ta_min = jnp.min(ta, axis=0, keepdims=True)           # [1, R]
+    eq = ta == ta_min
+    sub = jax.lax.broadcasted_iota(jnp.int32, ta.shape, 0).astype(jnp.float32)
+    big = jnp.float32(n_spheres + 1)
+    winner = jnp.min(jnp.where(eq, sub, big), axis=0, keepdims=True)
+    onehot = (sub == winner).astype(jnp.float32)          # [S, R]
+
+    g = jax.lax.dot_general(
+        attrs_ref[:, :], onehot,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [16, R]
+
+    hit = ta_min < F32_MAX
+    t = jnp.where(hit, ta_min / a, F32_MAX)
+    t_safe = jnp.where(hit, t, 0.0)
+    point = o + t_safe * d
+    lerp = (tm - g[_A_T1:_A_T1 + 1]) * g[_A_INVDT:_A_INVDT + 1]
+    center = g[_A_C1X:_A_C1X + 3] + g[_A_DCX:_A_DCX + 3] * lerp
+    radius = g[_A_RADIUS:_A_RADIUS + 1]
+    denom = jnp.where(radius == 0.0, 1.0, radius)
+    normal = (point - center) / denom
+
+    # Sky + alive update (persistent._hit_core / RayTracer.cpp:690-701).
+    alive = alv_ref[:, :] > 0
+    inv = jax.lax.rsqrt(jnp.maximum(a, np.float32(1e-37) * np.float32(1e-37)))
+    sky_t = 0.5 * (d[1:2] * inv + 1.0)                    # [1, R]
+    sky_r = (1.0 - sky_t) + sky_t * np.float32(0.5)
+    sky_g = (1.0 - sky_t) + sky_t * np.float32(0.7)
+    sky_b = (1.0 - sky_t) + sky_t * np.float32(1.0)
+    miss = alive & ~hit
+    orad_ref[0:1, :] = rad_ref[0:1] + jnp.where(
+        miss, thr_ref[0:1] * sky_r, 0.0)
+    orad_ref[1:2, :] = rad_ref[1:2] + jnp.where(
+        miss, thr_ref[1:2] * sky_g, 0.0)
+    orad_ref[2:3, :] = rad_ref[2:3] + jnp.where(
+        miss, thr_ref[2:3] * sky_b, 0.0)
+    oalv_ref[:, :] = (alive & hit).astype(jnp.int32)
+
+    t_ref[:, :] = t
+    pt_ref[:, :] = point
+    nrm_ref[:, :] = normal
+    idx_ref[:, :] = g[_A_IDX:_A_IDX + 1].astype(jnp.int32)
+    mat_ref[:, :] = g[_A_MAT:_A_MAT + 1].astype(jnp.int32)
+    alb_ref[:, :] = g[_A_ALR:_A_ALB + 1]
+    fz_ref[:, :] = g[_A_FUZZ:_A_FUZZ + 1]
+    ior_ref[:, :] = g[_A_IOR:_A_IOR + 1]
+    hit_ref[:, :] = hit.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("min_t", "ray_block", "interpret"))
+def _hit_sky_raw(mb, mc, attrs, o, d, tm, thr, rad, alv, *, min_t,
+                 ray_block, interpret=False):
+    n = o.shape[1]
+    s = attrs.shape[0]
+    k = mb.shape[1]
+    kernel = functools.partial(_hit_sky_kernel, n_spheres=s, min_t=min_t)
+
+    def rowspec(rows):
+        return pl.BlockSpec((rows, ray_block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def whole(r, c_):
+        return pl.BlockSpec((r, c_), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // ray_block,),
+        in_specs=[whole(s, k), whole(s, k), whole(s, ATTR_COLS),
+                  rowspec(3), rowspec(3), rowspec(1),
+                  rowspec(3), rowspec(3), rowspec(1)],
+        out_specs=[rowspec(1), rowspec(3), rowspec(3),
+                   rowspec(1), rowspec(1), rowspec(3), rowspec(1),
+                   rowspec(1), rowspec(1), rowspec(3), rowspec(1)],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),   # t
+            jax.ShapeDtypeStruct((3, n), jnp.float32),   # point
+            jax.ShapeDtypeStruct((3, n), jnp.float32),   # normal
+            jax.ShapeDtypeStruct((1, n), jnp.int32),     # idx
+            jax.ShapeDtypeStruct((1, n), jnp.int32),     # mat
+            jax.ShapeDtypeStruct((3, n), jnp.float32),   # albedo
+            jax.ShapeDtypeStruct((1, n), jnp.float32),   # fuzz
+            jax.ShapeDtypeStruct((1, n), jnp.float32),   # ior
+            jax.ShapeDtypeStruct((1, n), jnp.int32),     # hit
+            jax.ShapeDtypeStruct((3, n), jnp.float32),   # radiance out
+            jax.ShapeDtypeStruct((1, n), jnp.int32),     # alive out
+        ],
+        interpret=interpret,
+    )(mb, mc, attrs, o, d, tm, thr, rad, alv)
+
+
+def p_hit_sky_step(coeffs, st, *, min_t: float = MIN_HIT_T,
+                   ray_block: int = DEFAULT_RAY_BLOCK_V7,
+                   interpret: bool = False):
+    """Drop-in for persistent.p_hit_step on plain sphere scenes.
+
+    ``coeffs`` = hit_coeffs(scene), precomputed once per render.  Returns
+    (HitRecordRows, st') with radiance_sum/path_alive updated — the whole
+    phase is ONE pallas program, no XLA elementwise code.  The batch must
+    be a multiple of ``ray_block`` (the scheduler's sizes are)."""
+    mb, mc, attrs = coeffs
+    (t, point, normal, idx, mat_id, albedo, fuzz, ior, hit, rad,
+     alv) = _hit_sky_raw(
+        mb, mc, attrs, st.origin, st.direction, st.time, st.throughput,
+        st.radiance_sum, st.path_alive.astype(jnp.int32),
+        min_t=float(min_t), ray_block=ray_block, interpret=interpret)
+    rec = HitRecordRows(hit=hit > 0, t=t, point=point, normal=normal,
+                        idx=idx, mat_id=mat_id, albedo=albedo, fuzz=fuzz,
+                        ior=ior)
+    return rec, st._replace(radiance_sum=rad, path_alive=alv > 0)

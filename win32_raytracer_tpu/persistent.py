@@ -281,11 +281,21 @@ def render_image_persistent(
     """Render the full image; returns linear radiance [H, W, 3] f32."""
     if cam is None:
         cam = default_camera(cfg.width, cfg.height)
+    hit_coeffs_v7 = None
     if hit_fn is None:
         # May swap the scene for its GridScene (candidate reduction); the
         # scatter/respawn steps ignore scene fields so the swap is free.
-        from .kernels.dispatch import get_hit_fn_rows_accel
+        from .kernels.dispatch import _resolve_backend, get_hit_fn_rows_accel
+        from .scene.spheres import SphereScene
         scene, hit_fn = get_hit_fn_rows_accel(cfg, scene, cam)
+        if (_resolve_backend(cfg) == "pallas"
+                and isinstance(scene, SphereScene)
+                and cfg.hit_kernel in ("auto", "v6", "v7")):
+            # v7: the whole hit+sky phase as ONE pallas program (no XLA
+            # elementwise code around the kernel — rule 11's fusion
+            # pessimization).  hit_fn remains for the fused tail path.
+            from .kernels.hit_pallas_v7 import hit_coeffs
+            hit_coeffs_v7 = hit_coeffs(scene)
     w, h, spp = cfg.width, cfg.height, cfg.samples
     # Replica lanes per pixel: fewer sequential steps for hard pixels.
     kpp = cfg.lanes_per_pixel
@@ -371,7 +381,13 @@ def render_image_persistent(
                     # (fusing it with the epilogue generates ~2.5x slower
                     # code at compute-bound sizes), then scatter+respawn
                     # fused.
-                    rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=hit_fn)
+                    if hit_coeffs_v7 is not None:
+                        from .kernels.hit_pallas_v7 import p_hit_sky_step
+                        rec, st = p_hit_sky_step(hit_coeffs_v7, st,
+                                                 min_t=cfg.min_hit_t)
+                    else:
+                        rec, st = p_hit_step(scene, st, cfg=cfg,
+                                             hit_fn=hit_fn)
                     st = scat_step(
                         scene, cam, st, rec, salt, jnp.int32(step),
                         cfg=cfg, width=w, height=h, spp=spp,
