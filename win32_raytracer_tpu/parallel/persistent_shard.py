@@ -47,24 +47,83 @@ def _sspec():
     return PathState(*(P(None, "tiles") for _ in PathState._fields))
 
 
+def _pick_ray_block(n_local: int, cap: int = 2048) -> int:
+    """Largest divisor of the per-shard batch that is a lane multiple
+    (128) and <= cap — v7's block size inside a shard."""
+    rb = 0
+    for cand in range(128, cap + 1, 128):
+        if n_local % cand == 0:
+            rb = cand
+    return rb
+
+
 @functools.lru_cache(maxsize=64)
 def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
-           spp: int, kpp: int, hit_fn):
+           spp: int, kpp: int, hit_fn, v7_rb: int = 0):
     """Shard-mapped step programs for one (mesh, config) — cached so jitted
-    closures are reused across chunks, frames and seeds."""
+    closures are reused across chunks, frames and seeds.
+
+    With ``v7_rb`` > 0 the bounce splits into TWO shard_mapped programs —
+    the v7 whole-hit-phase pallas kernel, then the fused scatter+respawn
+    row math — mirroring the single-chip driver (one XLA program mixing a
+    pallas call with an elementwise epilogue pessimizes ~2x, runtime notes
+    rule 11).  bounce_sm then takes the replicated coefficient arrays as
+    its first argument."""
     sspec = _sspec()
     kspec = P("tiles")  # per-device [D] draw-salt array
 
-    def bounce(scene, cam, st, salts, step_i):
-        salt = salts[0]
-        rec, st = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
-        st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
-        return _respawn_core(cam, st, salt, step_i, cfg=cfg, width=width,
-                             height=height, spp=spp, lanes_per_pixel=kpp)
+    if v7_rb:
+        from ..kernels.hit_pallas_v7 import _hit_sky_raw
+        from ..ops.rows import HitRecordRows
 
-    bounce_sm = jax.jit(jax.shard_map(
-        bounce, mesh=mesh, in_specs=(P(), P(), sspec, kspec, P()),
-        out_specs=sspec), static_argnames=())
+        def hit_phase(coeffs, st):
+            mb, mc, attrs = coeffs
+            (t, point, normal, idx, mat_id, albedo, fuzz, ior, hit, rad,
+             alv) = _hit_sky_raw(
+                mb, mc, attrs, st.origin, st.direction, st.time,
+                st.throughput, st.radiance_sum,
+                st.path_alive.astype(jnp.int32),
+                min_t=float(cfg.min_hit_t), ray_block=v7_rb)
+            rec = HitRecordRows(hit=hit > 0, t=t, point=point,
+                                normal=normal, idx=idx, mat_id=mat_id,
+                                albedo=albedo, fuzz=fuzz, ior=ior)
+            return rec, st._replace(radiance_sum=rad, path_alive=alv > 0)
+
+        rspec = HitRecordRows(*(P(None, "tiles")
+                                for _ in HitRecordRows._fields))
+        # check_vma=False: pallas_call's ShapeDtypeStruct outputs carry no
+        # varying-mesh-axes annotation, which strict shard_map rejects.
+        hit_sm = jax.jit(jax.shard_map(
+            hit_phase, mesh=mesh, in_specs=(P(), sspec),
+            out_specs=(rspec, sspec), check_vma=False))
+
+        def scat_phase(scene, cam, st, rec, salts, step_i):
+            salt = salts[0]
+            st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
+            return _respawn_core(cam, st, salt, step_i, cfg=cfg,
+                                 width=width, height=height, spp=spp,
+                                 lanes_per_pixel=kpp)
+
+        scat_sm = jax.jit(jax.shard_map(
+            scat_phase, mesh=mesh,
+            in_specs=(P(), P(), sspec, rspec, kspec, P()),
+            out_specs=sspec))
+
+        def bounce_sm(coeffs, scene, cam, st, salts, step_i):
+            rec, st = hit_sm(coeffs, st)
+            return scat_sm(scene, cam, st, rec, salts, step_i)
+    else:
+        def bounce(scene, cam, st, salts, step_i):
+            salt = salts[0]
+            rec, st = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
+            st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
+            return _respawn_core(cam, st, salt, step_i, cfg=cfg,
+                                 width=width, height=height, spp=spp,
+                                 lanes_per_pixel=kpp)
+
+        bounce_sm = jax.jit(jax.shard_map(
+            bounce, mesh=mesh, in_specs=(P(), P(), sspec, kspec, P()),
+            out_specs=sspec), static_argnames=())
 
     def first_respawn(cam, st, salts):
         return _respawn_core(cam, st, salts[0], jnp.int32(0), cfg=cfg,
@@ -166,6 +225,15 @@ def render_image_persistent_sharded(
         from ..kernels.dispatch import get_hit_fn_rows_accel
         scene, hit_fn = get_hit_fn_rows_accel(
             cfg, scene, cam, platform=mesh.devices.flat[0].platform)
+    from ..kernels.dispatch import _resolve_backend as _rb
+    coeffs = None
+    if (_rb(cfg, platform=mesh.devices.flat[0].platform) == "pallas"
+            and isinstance(scene, SphereScene)
+            and cfg.hit_kernel in ("auto", "v6", "v7")):
+        # v7 on a TPU mesh: whole hit phase in one pallas program per
+        # shard (persistent.py's production structure).
+        from ..kernels.hit_pallas_v7 import hit_coeffs
+        coeffs = hit_coeffs(scene)
     w, h, spp = cfg.width, cfg.height, cfg.samples
     d = mesh.devices.size
     kpp = cfg.lanes_per_pixel
@@ -234,6 +302,17 @@ def render_image_persistent_sharded(
 
     bounce_sm, alive_sm, flush_sm, respawn_sm = _steps(
         mesh, cfg, w, h, spp, kpp, hit_fn)
+
+    def bounce_for(n_local: int):
+        """Per-shard-size bounce: v7 two-program split when the size
+        admits a lane-multiple block, else the fused jnp program."""
+        if coeffs is not None:
+            rb = _pick_ray_block(n_local)
+            if rb:
+                b7 = _steps(mesh, cfg, w, h, spp, kpp, hit_fn, rb)[0]
+                return functools.partial(b7, coeffs)
+        return bounce_sm
+
     st = respawn_sm(cam, st, dev_keys)  # start sample 0 on every lane
 
     step = 0
@@ -243,9 +322,10 @@ def render_image_persistent_sharded(
         next_check = first_check if step < first_check else (step + period)
         budget = min(next_check, max_steps) - step
         cur = st.pixel.shape[1] // d
+        bounce = bounce_for(cur)
         for _ in range(budget):
             step += 1
-            st = bounce_sm(scene, cam, st, dev_keys, jnp.int32(step))
+            st = bounce(scene, cam, st, dev_keys, jnp.int32(step))
         # Overlapped alive check (persistent.py): dispatch the counts, hide
         # the fetch round trip behind a few optimistic steps, then read.
         # Counts are stale-but-upper-bound (monotone non-increasing), so
@@ -258,7 +338,7 @@ def render_image_persistent_sharded(
         ov = 1 if cur >= (1 << 18) else 4
         for _ in range(min(ov, max_steps - step)):
             step += 1
-            st = bounce_sm(scene, cam, st, dev_keys, jnp.int32(step))
+            st = bounce(scene, cam, st, dev_keys, jnp.int32(step))
         counts = np.asarray(cnt)                         # [D]
         worst = int(counts.max())
         if counts.sum() == 0:
