@@ -137,15 +137,24 @@ def test_scatter_pallas_render_statistics(setup):
     from win32_raytracer_tpu.persistent import render_image_persistent
     scene, cam, cfg, *_ = setup
 
-    img_j = np.asarray(render_image_persistent(scene, cam, cfg))
-    orig = P.p_scatter_respawn_step
+    # Drop the compaction floor so the tiny test batch takes the
+    # NON-fused path (which is where the scatter backend is dispatched);
+    # at the default floor the whole render runs p_bounce_step and the
+    # monkeypatch would never be exercised.
     import functools
-    P.p_scatter_respawn_step = functools.partial(
-        scatter_respawn_pallas, ray_block=RB, interpret=INTERPRET)
+    orig_floor = P._COMPACT_FLOOR
+    P._COMPACT_FLOOR = 0
     try:
-        img_p = np.asarray(render_image_persistent(scene, cam, cfg))
+        img_j = np.asarray(render_image_persistent(scene, cam, cfg))
+        orig = P.p_scatter_respawn_step
+        P.p_scatter_respawn_step = functools.partial(
+            scatter_respawn_pallas, ray_block=RB, interpret=INTERPRET)
+        try:
+            img_p = np.asarray(render_image_persistent(scene, cam, cfg))
+        finally:
+            P.p_scatter_respawn_step = orig
     finally:
-        P.p_scatter_respawn_step = orig
+        P._COMPACT_FLOOR = orig_floor
     assert np.isfinite(img_p).all()
     diff = np.abs(img_j - img_p)
     assert diff.mean() < 1e-4, diff.mean()  # bit-identical draws

@@ -78,10 +78,12 @@ class RenderConfig:
     # draw-bit-identical; "auto" follows the measured winner per platform.
     scatter_backend: str = "auto"  # "auto" | "pallas" | "jnp"
     # Pallas sphere-sweep kernel for the persistent scheduler's rows path:
-    # "v6" = MXU quadratic at split-bf16 precision (hit_pallas_v6.py,
-    # ~2.1x v4 at full batch, winner flips ~2e-4 vs v4 — same level as
-    # f32 MXU); "v4" = the exact VPU pair sweep.  "auto" = v6 on TPU.
-    hit_kernel: str = "auto"    # "auto" | "v4" | "v6"
+    # "v7" (= "auto" on TPU) runs the whole hit+sky phase as one pallas
+    # program built on v6's MXU split-bf16 quadratic (hit_pallas_v7.py);
+    # "v6" = the quadratic kernel with XLA assembly around it; "v4" = the
+    # exact VPU pair sweep (winner flips vs v6/v7 ~2e-4, the f32-MXU
+    # level).
+    hit_kernel: str = "auto"    # "auto" | "v4" | "v6" | "v7"
     # Acceleration structure for the sphere sweep.  "grid" forces the
     # uniform (x, z) footprint-mask grid (accel.py + kernels/hit_grid*.py)
     # — a measured win only for coherent ray batches (primary-dominated
@@ -90,7 +92,11 @@ class RenderConfig:
     # near-all tiles per block (bench/mask_stats.py measurements); "off"
     # forces brute (the reference's behavior, RayTracer.cpp:433-551).
     accel: str = "auto"         # "auto" | "grid" | "off"
-    rays_per_chunk: int = 1 << 20  # wavefront chunk size (lanes per jit call)
+    # Wavefront chunk size (lanes in flight per jit call).  4M lanes =
+    # ~280 MB of state: one-chunk renders up to ~1200x800 with 4
+    # lanes/pixel, the measured sweet spot on a v5e chip (bigger chunks
+    # amortize the sequential sample tail; HBM holds ~16 GB).
+    rays_per_chunk: int = 1 << 22
 
     # Scheduler: "wavefront" = one lane per (pixel, sample), fixed
     # max_depth+1 bounce steps (simple, but lanes idle once their path

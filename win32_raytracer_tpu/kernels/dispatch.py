@@ -124,10 +124,13 @@ def get_hit_fn_rows(cfg: RenderConfig, scene=None, platform=None):
 
     backend = _resolve_backend(cfg, platform)
     if backend == "pallas" and (scene is None or isinstance(scene, SphereScene)):
-        if cfg.hit_kernel in ("auto", "v6"):
+        if cfg.hit_kernel in ("auto", "v6", "v7"):
+            # "v7" selects the fused hit+sky pallas step in the drivers;
+            # as a plain hit FUNCTION (tail/fused paths) it means v6 —
+            # the same pair math without the in-kernel epilogue.
             return _pallas_v6_rb2048
         if cfg.hit_kernel == "v4":
             return _pallas_v4_rb2048
         raise ValueError(f"unknown hit_kernel {cfg.hit_kernel!r} "
-                         "(use auto|v4|v6)")
+                         "(use auto|v4|v6|v7)")
     return hit_rows_adapter(get_hit_fn(cfg, scene, platform))

@@ -89,16 +89,12 @@ def stack_coeff_limbs(m: jnp.ndarray, n_terms: int) -> jnp.ndarray:
     return jnp.concatenate([limbs[i] for i, _ in pairs], axis=1)
 
 
-def _hit_kernel_v6(rays_ref, mb_ref, mc_ref, attrs_ref, t_ref, g_ref,
-                   *, n_spheres, min_t, n_terms):
-    """rays [8, R]; M_b/M_c [S, 16*n_terms] bf16; attrs [S, 16];
-    outputs t [1, R], winner attr rows [16, R]."""
-    pairs = _PAIRS[n_terms]
-    o = rays_ref[0:3, :]
-    d = rays_ref[3:6, :]
-    tm = rays_ref[6:7, :]
-    a = rays_ref[7:8, :]
+def mxu_pair_sweep(o, d, tm, a, mb, mc, attrs, *, n_spheres, min_t, pairs):
+    """The split-bf16 MXU pair sweep, shared by the v6 and v7 kernels.
 
+    o/d [3, R], tm/a [1, R] f32; mb/mc [S, K] bf16 limb stacks; attrs
+    [S, 16] f32.  Returns (ta_min [1, R] — min of t*|d|^2 with F32_MAX
+    for no-hit — and g [16, R], the winner's attribute rows)."""
     d_dot_o = jnp.sum(d * o, axis=0, keepdims=True)      # [1, R]
     o2 = jnp.sum(o * o, axis=0, keepdims=True)           # [1, R]
     ones = jnp.ones_like(tm)
@@ -113,16 +109,16 @@ def _hit_kernel_v6(rays_ref, mb_ref, mc_ref, attrs_ref, t_ref, g_ref,
     f_stack = jnp.concatenate(
         [f_limbs[j] for _, j in pairs], axis=0).astype(jnp.bfloat16)
 
-    def pair_mm(m_ref):
+    def pair_mm(m):
         # [S, 16*P] x [16*P, R] -> [S, R]: every limb product in ONE
         # bf16 MXU contraction, f32 accumulate.
         return jax.lax.dot_general(
-            m_ref[:, :], f_stack,
+            m, f_stack,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    b_half = d_dot_o - pair_mm(mb_ref)                    # [S, R]
-    c = o2 + pair_mm(mc_ref)                              # [S, R]
+    b_half = d_dot_o - pair_mm(mb)                        # [S, R]
+    c = o2 + pair_mm(mc)                                  # [S, R]
     disc = b_half * b_half - a * c
     # Winner on t*a (a > 0 per ray): one division per ray, not per pair.
     ta = -b_half - jnp.sqrt(jnp.maximum(disc, 0.0))
@@ -136,10 +132,23 @@ def _hit_kernel_v6(rays_ref, mb_ref, mc_ref, attrs_ref, t_ref, g_ref,
     winner = jnp.min(jnp.where(eq, sub, big), axis=0, keepdims=True)
     onehot = (sub == winner).astype(jnp.float32)          # [S, R]
 
-    g_ref[:, :] = jax.lax.dot_general(
-        attrs_ref[:, :], onehot,
+    g = jax.lax.dot_general(
+        attrs, onehot,
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32)               # [16, R]
+    return ta_min, g
+
+
+def _hit_kernel_v6(rays_ref, mb_ref, mc_ref, attrs_ref, t_ref, g_ref,
+                   *, n_spheres, min_t, n_terms):
+    """rays [8, R]; M_b/M_c [S, 16*n_terms] bf16; attrs [S, 16];
+    outputs t [1, R], winner attr rows [16, R]."""
+    a = rays_ref[7:8, :]
+    ta_min, g = mxu_pair_sweep(
+        rays_ref[0:3, :], rays_ref[3:6, :], rays_ref[6:7, :], a,
+        mb_ref[:, :], mc_ref[:, :], attrs_ref[:, :],
+        n_spheres=n_spheres, min_t=min_t, pairs=_PAIRS[n_terms])
+    g_ref[:, :] = g
     t_ref[:, :] = jnp.where(ta_min < F32_MAX, ta_min / a, F32_MAX)
 
 

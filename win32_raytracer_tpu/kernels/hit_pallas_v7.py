@@ -35,14 +35,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import MIN_HIT_T
 from ..ops.hit import (
-    ATTR_COLS, F32_MAX, _attr_matrix,
+    ATTR_COLS, F32_MAX,
     _A_T1, _A_INVDT, _A_RADIUS, _A_MAT, _A_ALR, _A_ALB, _A_FUZZ, _A_IOR,
     _A_IDX, _A_C1X, _A_DCX,
 )
 from ..ops.rows import HitRecordRows
 from ..scene.spheres import SphereScene
-from .hit_pallas_v5 import sphere_coeff_matrices
-from .hit_pallas_v6 import _PAIRS, _split_limbs, stack_coeff_limbs
+from .hit_pallas_v6 import _PAIRS, mxu_pair_sweep
 
 DEFAULT_RAY_BLOCK_V7 = 2048
 _N_TERMS = 6
@@ -50,10 +49,8 @@ _N_TERMS = 6
 
 def hit_coeffs(scene: SphereScene):
     """(mb_stack, mc_stack, attrs) — precompute ONCE per render."""
-    m_b, m_c = sphere_coeff_matrices(scene)
-    return (stack_coeff_limbs(m_b, _N_TERMS),
-            stack_coeff_limbs(m_c, _N_TERMS),
-            _attr_matrix(scene))
+    from .hit_pallas_v6 import _coeffs_v6
+    return _coeffs_v6(scene, n_terms=_N_TERMS)
 
 
 def _hit_sky_kernel(
@@ -65,47 +62,13 @@ def _hit_sky_kernel(
     hit_ref, orad_ref, oalv_ref,
     *, n_spheres, min_t,
 ):
-    pairs = _PAIRS[_N_TERMS]
     o = o_ref[:, :]
     d = d_ref[:, :]
     tm = tm_ref[:, :]
     a = jnp.sum(d * d, axis=0, keepdims=True)
-
-    d_dot_o = jnp.sum(d * o, axis=0, keepdims=True)
-    o2 = jnp.sum(o * o, axis=0, keepdims=True)
-    ones = jnp.ones_like(tm)
-    feats = jnp.concatenate(
-        [d, tm * d, o, tm * o, ones, tm, tm * tm, jnp.zeros_like(tm)],
-        axis=0)                                           # [16, R] f32
-    n_limbs = 1 + max(j for _, j in pairs)
-    f_limbs = [l.astype(jnp.float32) for l in _split_limbs(feats, n_limbs)]
-    f_stack = jnp.concatenate(
-        [f_limbs[j] for _, j in pairs], axis=0).astype(jnp.bfloat16)
-
-    def pair_mm(m_ref):
-        return jax.lax.dot_general(
-            m_ref[:, :], f_stack,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    b_half = d_dot_o - pair_mm(mb_ref)                    # [S, R]
-    c = o2 + pair_mm(mc_ref)                              # [S, R]
-    disc = b_half * b_half - a * c
-    ta = -b_half - jnp.sqrt(jnp.maximum(disc, 0.0))
-    valid = (disc >= 0.0) & (ta > min_t * a)
-    ta = jnp.where(valid, ta, F32_MAX)
-
-    ta_min = jnp.min(ta, axis=0, keepdims=True)           # [1, R]
-    eq = ta == ta_min
-    sub = jax.lax.broadcasted_iota(jnp.int32, ta.shape, 0).astype(jnp.float32)
-    big = jnp.float32(n_spheres + 1)
-    winner = jnp.min(jnp.where(eq, sub, big), axis=0, keepdims=True)
-    onehot = (sub == winner).astype(jnp.float32)          # [S, R]
-
-    g = jax.lax.dot_general(
-        attrs_ref[:, :], onehot,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [16, R]
+    ta_min, g = mxu_pair_sweep(
+        o, d, tm, a, mb_ref[:, :], mc_ref[:, :], attrs_ref[:, :],
+        n_spheres=n_spheres, min_t=min_t, pairs=_PAIRS[_N_TERMS])
 
     hit = ta_min < F32_MAX
     t = jnp.where(hit, ta_min / a, F32_MAX)
@@ -119,7 +82,9 @@ def _hit_sky_kernel(
 
     # Sky + alive update (persistent._hit_core / RayTracer.cpp:690-701).
     alive = alv_ref[:, :] > 0
-    inv = jax.lax.rsqrt(jnp.maximum(a, np.float32(1e-37) * np.float32(1e-37)))
+    # Guard like ops.rows.rnormalize (d / max(sqrt(a), 1e-37)); note
+    # max(a, 1e-74) would NOT work — 1e-74 underflows f32 to 0.
+    inv = 1.0 / jnp.maximum(jnp.sqrt(a), np.float32(1e-37))
     sky_t = 0.5 * (d[1:2] * inv + 1.0)                    # [1, R]
     sky_r = (1.0 - sky_t) + sky_t * np.float32(0.5)
     sky_g = (1.0 - sky_t) + sky_t * np.float32(0.7)
@@ -187,6 +152,15 @@ def _hit_sky_raw(mb, mc, attrs, o, d, tm, thr, rad, alv, *, min_t,
     )(mb, mc, attrs, o, d, tm, thr, rad, alv)
 
 
+def _fit_ray_block(n: int, cap: int) -> int:
+    """Largest 128-multiple divisor of n that is <= cap (0 if none)."""
+    rb = 0
+    for cand in range(128, cap + 1, 128):
+        if n % cand == 0:
+            rb = cand
+    return rb
+
+
 def p_hit_sky_step(coeffs, st, *, min_t: float = MIN_HIT_T,
                    ray_block: int = DEFAULT_RAY_BLOCK_V7,
                    interpret: bool = False):
@@ -194,14 +168,35 @@ def p_hit_sky_step(coeffs, st, *, min_t: float = MIN_HIT_T,
 
     ``coeffs`` = hit_coeffs(scene), precomputed once per render.  Returns
     (HitRecordRows, st') with radiance_sum/path_alive updated — the whole
-    phase is ONE pallas program, no XLA elementwise code.  The batch must
-    be a multiple of ``ray_block`` (the scheduler's sizes are)."""
+    phase is ONE pallas program, no XLA elementwise code.  Batches that
+    are not a multiple of ``ray_block`` get a smaller fitting block, or —
+    last resort — dead-lane padding (costs the XLA pad/slice around the
+    kernel, so the drivers should size chunks to lane multiples)."""
     mb, mc, attrs = coeffs
+    n = st.origin.shape[1]
+    rb = ray_block if n % ray_block == 0 else _fit_ray_block(n, ray_block)
+    pad = 0 if rb else (-n) % ray_block
+    if pad:
+        rb = ray_block
+
+        def padded(x, fill=0):
+            return jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill)
+        o = padded(st.origin)
+        d = padded(st.direction).at[2, n:].set(1.0)
+        args = (o, d, padded(st.time), padded(st.throughput),
+                padded(st.radiance_sum),
+                padded(st.path_alive.astype(jnp.int32)))
+    else:
+        args = (st.origin, st.direction, st.time, st.throughput,
+                st.radiance_sum, st.path_alive.astype(jnp.int32))
     (t, point, normal, idx, mat_id, albedo, fuzz, ior, hit, rad,
      alv) = _hit_sky_raw(
-        mb, mc, attrs, st.origin, st.direction, st.time, st.throughput,
-        st.radiance_sum, st.path_alive.astype(jnp.int32),
-        min_t=float(min_t), ray_block=ray_block, interpret=interpret)
+        mb, mc, attrs, *args,
+        min_t=float(min_t), ray_block=rb, interpret=interpret)
+    if pad:
+        (t, point, normal, idx, mat_id, albedo, fuzz, ior, hit, rad,
+         alv) = (x[:, :n] for x in (t, point, normal, idx, mat_id, albedo,
+                                    fuzz, ior, hit, rad, alv))
     rec = HitRecordRows(hit=hit > 0, t=t, point=point, normal=normal,
                         idx=idx, mat_id=mat_id, albedo=albedo, fuzz=fuzz,
                         ior=ior)

@@ -193,9 +193,11 @@ def _scatter_respawn_kernel(
 
     is_met = mat_id == mat.METAL
     is_die = mat_id == mat.DIELECTRIC
-    new_ox = jnp.where(is_die, die_ox, jnp.where(is_met, lam_ox, lam_ox))
-    new_oy = jnp.where(is_die, die_oy, jnp.where(is_met, lam_oy, lam_oy))
-    new_oz = jnp.where(is_die, die_oz, jnp.where(is_met, lam_oz, lam_oz))
+    # Metal shares the lambertian origin (hp + eps*n), so origins are a
+    # two-way select.
+    new_ox = jnp.where(is_die, die_ox, lam_ox)
+    new_oy = jnp.where(is_die, die_oy, lam_oy)
+    new_oz = jnp.where(is_die, die_oz, lam_oz)
     new_dx = jnp.where(is_die, die_dx, jnp.where(is_met, met_dx, lam_dx))
     new_dy = jnp.where(is_die, die_dy, jnp.where(is_met, met_dy, lam_dy))
     new_dz = jnp.where(is_die, die_dz, jnp.where(is_met, met_dz, lam_dz))

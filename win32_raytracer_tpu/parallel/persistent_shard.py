@@ -33,7 +33,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import RenderConfig
 from ..persistent import (
     PathState, _COMPACT_FLOOR, _grid_size, _hit_core, _next_pow2,
-    _respawn_core, _scatter_core, _split,
+    _resolve_kpp, _respawn_core, _scatter_core, _split,
 )
 from ..scene.camera import Camera, default_camera
 from ..scene.spheres import SphereScene
@@ -236,16 +236,7 @@ def render_image_persistent_sharded(
         coeffs = hit_coeffs(scene)
     w, h, spp = cfg.width, cfg.height, cfg.samples
     d = mesh.devices.size
-    kpp = cfg.lanes_per_pixel
-    if kpp <= 0:
-        kpp = 1
-        for cand in (8, 4, 2):
-            if spp % cand == 0 and spp // cand >= 4:
-                kpp = cand
-                break
-    elif spp % kpp:
-        raise ValueError(f"lanes_per_pixel ({kpp}) must divide samples "
-                         f"({spp})")
+    kpp = _resolve_kpp(cfg, spp)
     quota = spp // kpp
     seed = cfg.seed
     cfg = cfg.replace(seed=0)

@@ -194,6 +194,22 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1)).bit_length()
 
 
+def _resolve_kpp(cfg: RenderConfig, spp: int) -> int:
+    """cfg.lanes_per_pixel, or the auto choice (largest of 8/4/2 dividing
+    spp with quota >= 4) — shared by the single- and multi-chip drivers."""
+    kpp = cfg.lanes_per_pixel
+    if kpp <= 0:
+        kpp = 1
+        for cand in (8, 4, 2):
+            if spp % cand == 0 and spp // cand >= 4:
+                return cand
+        return kpp
+    if spp % kpp:
+        raise ValueError(f"lanes_per_pixel ({kpp}) must divide samples "
+                         f"({spp})")
+    return kpp
+
+
 # Compaction size grid: multiples of 256k above the dispatch floor, powers
 # of two below.  Shapes are few (each compiles its own step programs, cached
 # persistently) yet fine enough that a compaction captures most of the
@@ -298,17 +314,16 @@ def render_image_persistent(
             hit_coeffs_v7 = hit_coeffs(scene)
     w, h, spp = cfg.width, cfg.height, cfg.samples
     # Replica lanes per pixel: fewer sequential steps for hard pixels.
-    kpp = cfg.lanes_per_pixel
-    if kpp <= 0:
-        kpp = 1
-        for cand in (8, 4, 2):
-            if spp % cand == 0 and spp // cand >= 4:
-                kpp = cand
-                break
-    elif spp % kpp:
-        raise ValueError(f"lanes_per_pixel ({kpp}) must divide samples "
-                         f"({spp})")
+    kpp = _resolve_kpp(cfg, spp)
     rows = max(1, min(h, cfg.rays_per_chunk // max(1, w * kpp)))
+    # Prefer a chunk that is a multiple of the v7 kernel's 2048-lane
+    # block: shaving a few rows is free, padding inside the hit step is
+    # not (XLA pad/slice around the pallas call).
+    if rows < h:
+        for r in range(rows, max(0, rows - 64), -1):
+            if (r * w * kpp) % 2048 == 0:
+                rows = r
+                break
     seed = cfg.seed
     # Seed feeds only the per-chunk draw salt (a traced argument); keep the
     # jitted-step cfg seedless so different seeds (e.g. animation frames)
