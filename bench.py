@@ -53,15 +53,19 @@ def main():
     warm_s = time.perf_counter() - t0
     print(f"# warm-up render (incl. compiles): {warm_s:.1f}s", file=sys.stderr)
 
-    # Timed run: full wall-clock to a fetched u8 image.
-    t0 = time.perf_counter()
-    img = render(scene, cfg=cfg)
-    dt = time.perf_counter() - t0
+    # Timed runs: full wall-clock to a fetched u8 image, best of 3 (the
+    # relay's throughput drifts within a process, runtime-notes rule 12).
+    dt = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        img = render(scene, cfg=cfg)
+        dt_i = time.perf_counter() - t0
+        print(f"# timed render[{rep}]: {dt_i:.2f}s, image mean "
+              f"{img.mean():.2f}", file=sys.stderr)
+        dt = min(dt, dt_i)
 
     rays = WIDTH * HEIGHT * SPP
     mrays = rays / dt / 1e6
-    print(f"# timed render: {dt:.2f}s, image mean {img.mean():.2f}",
-          file=sys.stderr)
 
     out_path = os.path.join(os.path.dirname(__file__), "bench_out.png")
     try:

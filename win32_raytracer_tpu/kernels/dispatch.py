@@ -112,25 +112,59 @@ def _pallas_v6_rb2048(scene, o, d, t, min_t=0.001):
                                  ray_block=2048, n_terms=6)
 
 
+def _tri_mxu_rb2048(scene, o, d, t, min_t=0.001):
+    from .tri_pallas_mxu import hit_triangles_mxu_rows
+    return hit_triangles_mxu_rows(scene, o, d, t, min_t=min_t,
+                                  ray_block=2048)
+
+
+@functools.lru_cache(maxsize=16)
+def _rows_composite_fn(sphere_fn, tri_fn):
+    """Rows-native composite hit fn (cached: hit fns are static jit args
+    downstream, so the same composite must return the same object)."""
+    from ..ops.rows import combine_hits_rows
+
+    def composite(sc, o, d, t, min_t=0.001):
+        if sc.spheres is None:
+            return tri_fn(sc.triangles, o, d, t, min_t=min_t)
+        rec = sphere_fn(sc.spheres, o, d, t, min_t=min_t)
+        if sc.triangles is None:
+            return rec
+        rec_t = tri_fn(sc.triangles, o, d, t, min_t=min_t)
+        return combine_hits_rows(rec, rec_t,
+                                 idx_offset_b=sc.spheres.padded_size)
+    return composite
+
+
 def get_hit_fn_rows(cfg: RenderConfig, scene=None, platform=None):
     """Rows-layout hit function (ops/rows.py interface) for the persistent
-    scheduler.  Plain sphere scenes on TPU get a native lane-major Pallas
-    kernel — cfg.hit_kernel picks v6 (MXU split-bf16 quadratic, the
-    measured default: ~1.35x faster full renders) or v4 (exact VPU
-    sweep); everything else (jnp oracle, triangle/composite scenes) goes
-    through the cached column adapter."""
+    scheduler.  On a Pallas backend every scene kind gets a native
+    lane-major kernel: plain sphere scenes the v6 MXU split-bf16
+    quadratic (cfg.hit_kernel can force the exact v4 VPU sweep),
+    triangle scenes the MXU Möller-Trumbore sweep (tri_pallas_mxu), and
+    composites the rows-native nearest-of-both merge.  The jnp oracle
+    path goes through the cached column adapter."""
     from ..ops.rows import hit_rows_adapter
+    from ..scene.composite import CompositeScene
     from ..scene.spheres import SphereScene
+    from ..scene.triangles import TriangleScene
 
     backend = _resolve_backend(cfg, platform)
-    if backend == "pallas" and (scene is None or isinstance(scene, SphereScene)):
+    if backend == "pallas":
         if cfg.hit_kernel in ("auto", "v6", "v7"):
             # "v7" selects the fused hit+sky pallas step in the drivers;
             # as a plain hit FUNCTION (tail/fused paths) it means v6 —
             # the same pair math without the in-kernel epilogue.
-            return _pallas_v6_rb2048
-        if cfg.hit_kernel == "v4":
-            return _pallas_v4_rb2048
-        raise ValueError(f"unknown hit_kernel {cfg.hit_kernel!r} "
-                         "(use auto|v4|v6|v7)")
+            sphere_fn = _pallas_v6_rb2048
+        elif cfg.hit_kernel == "v4":
+            sphere_fn = _pallas_v4_rb2048
+        else:
+            raise ValueError(f"unknown hit_kernel {cfg.hit_kernel!r} "
+                             "(use auto|v4|v6|v7)")
+        if scene is None or isinstance(scene, SphereScene):
+            return sphere_fn
+        if isinstance(scene, TriangleScene):
+            return _tri_mxu_rb2048
+        if isinstance(scene, CompositeScene):
+            return _rows_composite_fn(sphere_fn, _tri_mxu_rb2048)
     return hit_rows_adapter(get_hit_fn(cfg, scene, platform))

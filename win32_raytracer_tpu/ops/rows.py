@@ -48,6 +48,25 @@ def rdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(a * b, axis=0, keepdims=True)
 
 
+def combine_hits_rows(a: HitRecordRows, b: HitRecordRows,
+                      idx_offset_b: int = 0) -> HitRecordRows:
+    """Nearest of two rows hit records (ops.hit_tri.combine_hits in rows:
+    strict b.t < a.t, so geometry A wins exact ties like the column
+    path)."""
+    take_b = b.t < a.t
+    return HitRecordRows(
+        hit=a.hit | b.hit,
+        t=jnp.where(take_b, b.t, a.t),
+        point=jnp.where(take_b, b.point, a.point),
+        normal=jnp.where(take_b, b.normal, a.normal),
+        idx=jnp.where(take_b, b.idx + idx_offset_b, a.idx),
+        mat_id=jnp.where(take_b, b.mat_id, a.mat_id),
+        albedo=jnp.where(take_b, b.albedo, a.albedo),
+        fuzz=jnp.where(take_b, b.fuzz, a.fuzz),
+        ior=jnp.where(take_b, b.ior, a.ior),
+    )
+
+
 def rnormalize(a: jnp.ndarray) -> jnp.ndarray:
     return a / jnp.maximum(jnp.sqrt(rdot(a, a)), 1e-37)
 
