@@ -89,6 +89,30 @@ def test_v7_matches_composed_v6_path():
                                rtol=1e-6, atol=1e-7)
 
 
+def test_v7_unaligned_batch():
+    """Regression for the tail-drop bug: a batch that is NOT a multiple
+    of ray_block (and has no 128-multiple divisor) must produce the same
+    results as an aligned batch — via block fitting or padding."""
+    scene = random_scene()
+    st = _make_state(RB * 3 + 40)        # 808: no 128-divisor <= RB
+    ref = _make_state(RB * 3 + 40)
+    rec_u, st_u = p_hit_sky_step(hit_coeffs(scene), st, ray_block=RB,
+                                 interpret=INTERPRET)
+    assert rec_u.t.shape == (1, RB * 3 + 40)
+    # Same rays through an aligned call (first RB lanes only).
+    st_a = type(st)(*(x[:, :RB] for x in ref))
+    rec_a, _ = p_hit_sky_step(hit_coeffs(scene), st_a, ray_block=RB,
+                              interpret=INTERPRET)
+    np.testing.assert_array_equal(np.asarray(rec_u.hit[:, :RB]),
+                                  np.asarray(rec_a.hit))
+    np.testing.assert_array_equal(np.asarray(rec_u.t[:, :RB]),
+                                  np.asarray(rec_a.t))
+    # Tail lanes got real results too (not garbage): finite t/radiance.
+    tail = np.asarray(rec_u.t[0, RB * 3:])
+    assert np.isfinite(np.asarray(st_u.radiance_sum)[:, RB * 3:]).all()
+    assert ((tail > 0) | (tail > 1e30)).all()
+
+
 def test_v7_sky_on_all_miss():
     """Rays pointing away from every sphere: pure sky, all lanes die."""
     scene = random_scene()
