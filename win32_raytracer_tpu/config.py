@@ -84,6 +84,11 @@ class RenderConfig:
     # exact VPU pair sweep (winner flips vs v6/v7 ~2e-4, the f32-MXU
     # level).
     hit_kernel: str = "auto"    # "auto" | "v4" | "v6" | "v7"
+    # Fuse the whole bounce (hit+sky+scatter+respawn) into ONE Mosaic
+    # kernel program (kernels/bounce_pallas.py): every state row crosses
+    # HBM once per bounce instead of twice and the hit record never
+    # materializes.  "auto" follows the measured winner per platform.
+    fuse_bounce: str = "auto"   # "auto" | "on" | "off"
     # Acceleration structure for the sphere sweep.  "grid" forces the
     # uniform (x, z) footprint-mask grid (accel.py + kernels/hit_grid*.py)
     # — a measured win only for coherent ray batches (primary-dominated

@@ -1,0 +1,155 @@
+"""Pallas TPU fused bounce kernel: hit + sky + scatter + respawn in ONE
+kernel program.
+
+The two-program bounce (v7 hit kernel, then the scatter+respawn step)
+reads the full path state from HBM twice and writes it twice per bounce.
+This kernel chains hit_pallas_v7.hit_sky_values and
+scatter_pallas.scatter_respawn_values inside one Mosaic program, so every
+state row crosses HBM once per bounce and the hit record never
+materializes at all.  Unlike the old XLA-fused p_bounce_step (2.5x
+SLOWER — XLA's codegen for pallas+epilogue programs pessimizes, runtime
+notes rule 11), there is NO XLA code here: the whole bounce is Mosaic.
+
+Draw semantics are bit-identical to the two-step path (same
+kernel_draws counters), so this is an exact drop-in; A/B against the
+split path before defaulting (set RenderConfig.fuse_bounce)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..ops.hit import ATTR_COLS
+from .hit_pallas_v7 import _fit_ray_block, hit_sky_values
+from .scatter_pallas import (
+    CAM_ROWS, kernel_draws, pack_camera, scatter_respawn_values,
+)
+
+DEFAULT_RAY_BLOCK_BOUNCE = 2048
+
+
+def _bounce_kernel(
+    sp_ref,                                  # [2] i32 SMEM: salt31, step
+    mb_ref, mc_ref, attrs_ref,               # coeffs
+    cam_ref,                                 # [CAM_ROWS, 1]
+    o_ref, d_ref, tm_ref, thr_ref, rad_ref,  # state in
+    dep_ref, smp_ref, pix_ref, alv_ref, sb_ref, sq_ref,
+    oo_ref, od_ref, otm_ref, othr_ref, orad_ref,   # state out
+    odep_ref, osmp_ref, oalv_ref,
+    *, cfg: RenderConfig, n_spheres, width, height, spp, kpp,
+):
+    o = o_ref[:, :]
+    d = d_ref[:, :]
+    tm = tm_ref[:, :]
+    thr = thr_ref[:, :]
+    alive_in = alv_ref[:, :] > 0
+
+    (t, point, normal, _idx, mat_f, albedo, fuzz, ior, _hit, rad_out,
+     alive_hit) = hit_sky_values(
+        o, d, tm, thr, rad_ref[:, :], alive_in,
+        mb_ref[:, :], mc_ref[:, :], attrs_ref[:, :],
+        n_spheres=n_spheres, min_t=cfg.min_hit_t)
+
+    drw = kernel_draws(sp_ref, o.shape[1])
+    (out_o, out_d, out_tm, out_thr, out_dep, out_smp,
+     out_alv) = scatter_respawn_values(
+        drw, cam_ref, o, d, tm, thr, dep_ref[:, :], smp_ref[:, :],
+        pix_ref[:, :], alive_hit, sb_ref[:, :], sq_ref[:, :],
+        point, normal, mat_f.astype(jnp.int32), albedo, fuzz, ior,
+        cfg=cfg, width=width, height=height, spp=spp, kpp=kpp)
+
+    oo_ref[:, :] = out_o
+    od_ref[:, :] = out_d
+    otm_ref[:, :] = out_tm
+    othr_ref[:, :] = out_thr
+    orad_ref[:, :] = rad_out
+    odep_ref[:, :] = out_dep
+    osmp_ref[:, :] = out_smp
+    oalv_ref[:, :] = out_alv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "width", "height", "spp", "kpp", "ray_block",
+                     "interpret"))
+def _bounce_raw(sp, mb, mc, attrs, cam_rows,
+                o, d, tm, thr, rad, dep, smp, pix, alv, sb, sq,
+                *, cfg, width, height, spp, kpp, ray_block,
+                interpret=False):
+    n = o.shape[1]
+    s = attrs.shape[0]
+    k = mb.shape[1]
+    kernel = functools.partial(
+        _bounce_kernel, cfg=cfg, n_spheres=s, width=width, height=height,
+        spp=spp, kpp=kpp)
+
+    def rowspec(rows):
+        return pl.BlockSpec((rows, ray_block), lambda i, sp_: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def whole(r, c_):
+        return pl.BlockSpec((r, c_), lambda i, sp_: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // ray_block,),
+        in_specs=[whole(s, k), whole(s, k), whole(s, ATTR_COLS),
+                  whole(CAM_ROWS, 1),
+                  rowspec(3), rowspec(3), rowspec(1), rowspec(3),
+                  rowspec(3), rowspec(1), rowspec(1), rowspec(1),
+                  rowspec(1), rowspec(1), rowspec(1)],
+        out_specs=[rowspec(3), rowspec(3), rowspec(1), rowspec(3),
+                   rowspec(3), rowspec(1), rowspec(1), rowspec(1)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((3, n), jnp.float32),   # origin
+            jax.ShapeDtypeStruct((3, n), jnp.float32),   # direction
+            jax.ShapeDtypeStruct((1, n), jnp.float32),   # time
+            jax.ShapeDtypeStruct((3, n), jnp.float32),   # throughput
+            jax.ShapeDtypeStruct((3, n), jnp.float32),   # radiance
+            jax.ShapeDtypeStruct((1, n), jnp.int32),     # depth
+            jax.ShapeDtypeStruct((1, n), jnp.int32),     # sample
+            jax.ShapeDtypeStruct((1, n), jnp.int32),     # alive
+        ],
+        interpret=interpret,
+    )(sp, mb, mc, attrs, cam_rows, o, d, tm, thr, rad, dep, smp, pix,
+      alv, sb, sq)
+
+
+def p_bounce_fused(coeffs, cam, st, salt, step_i, *, cfg: RenderConfig,
+                   width: int, height: int, spp: int,
+                   lanes_per_pixel: int = 1,
+                   ray_block: int = DEFAULT_RAY_BLOCK_BOUNCE,
+                   interpret: bool = False):
+    """One full bounce (hit+sky+scatter+respawn) as a single Mosaic
+    program.  Drop-in for (p_hit_sky_step; p_scatter_respawn_step) — the
+    hit record is internal.  Batch must fit a 128-multiple block (the
+    drivers' sizes do)."""
+    mb, mc, attrs = coeffs
+    n = st.origin.shape[1]
+    rb = ray_block if n % ray_block == 0 else _fit_ray_block(n, ray_block)
+    if rb == 0:
+        raise ValueError(f"batch {n} has no 128-multiple block")
+    salt_bits = jax.lax.bitcast_convert_type(
+        jnp.asarray(salt, jnp.uint32), jnp.int32)
+    sp = jnp.stack([salt_bits, jnp.asarray(step_i, jnp.int32)])
+    cam_rows = pack_camera(cam)
+    o, d, tm, thr, rad, dep, smp, alv = _bounce_raw(
+        sp, mb, mc, attrs, cam_rows,
+        st.origin, st.direction, st.time, st.throughput, st.radiance_sum,
+        st.depth, st.sample, st.pixel, st.path_alive.astype(jnp.int32),
+        st.s_base, st.s_quota,
+        cfg=cfg, width=width, height=height, spp=spp, kpp=lanes_per_pixel,
+        ray_block=rb, interpret=interpret)
+    return st._replace(origin=o, direction=d, time=tm, throughput=thr,
+                       radiance_sum=rad, depth=dep, sample=smp,
+                       path_alive=alv > 0)

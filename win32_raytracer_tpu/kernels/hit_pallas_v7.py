@@ -53,21 +53,16 @@ def hit_coeffs(scene: SphereScene):
     return _coeffs_v6(scene, n_terms=_N_TERMS)
 
 
-def _hit_sky_kernel(
-    mb_ref, mc_ref, attrs_ref,               # [S, K] bf16 x2, [S, 16] f32
-    o_ref, d_ref, tm_ref,                    # [3|3|1, R] f32
-    thr_ref, rad_ref, alv_ref,               # [3|3|1, R] f32/f32/i32
-    t_ref, pt_ref, nrm_ref,                  # outputs
-    idx_ref, mat_ref, alb_ref, fz_ref, ior_ref,
-    hit_ref, orad_ref, oalv_ref,
-    *, n_spheres, min_t,
-):
-    o = o_ref[:, :]
-    d = d_ref[:, :]
-    tm = tm_ref[:, :]
+def hit_sky_values(o, d, tm, thr, rad, alive, mb, mc, attrs,
+                   *, n_spheres, min_t):
+    """The hit + assembly + sky phase on VALUES (rows), shared by the
+    standalone v7 kernel and the fused bounce kernel.
+
+    Returns (t, point, normal, idx_f32-as-i32, mat, albedo, fuzz, ior,
+    hit_bool, rad_out, alive_out_bool)."""
     a = jnp.sum(d * d, axis=0, keepdims=True)
     ta_min, g = mxu_pair_sweep(
-        o, d, tm, a, mb_ref[:, :], mc_ref[:, :], attrs_ref[:, :],
+        o, d, tm, a, mb, mc, attrs,
         n_spheres=n_spheres, min_t=min_t, pairs=_PAIRS[_N_TERMS])
 
     hit = ta_min < F32_MAX
@@ -81,7 +76,6 @@ def _hit_sky_kernel(
     normal = (point - center) / denom
 
     # Sky + alive update (persistent._hit_core / RayTracer.cpp:690-701).
-    alive = alv_ref[:, :] > 0
     # Guard like ops.rows.rnormalize (d / max(sqrt(a), 1e-37)); note
     # max(a, 1e-74) would NOT work — 1e-74 underflows f32 to 0.
     inv = 1.0 / jnp.maximum(jnp.sqrt(a), np.float32(1e-37))
@@ -90,22 +84,42 @@ def _hit_sky_kernel(
     sky_g = (1.0 - sky_t) + sky_t * np.float32(0.7)
     sky_b = (1.0 - sky_t) + sky_t * np.float32(1.0)
     miss = alive & ~hit
-    orad_ref[0:1, :] = rad_ref[0:1] + jnp.where(
-        miss, thr_ref[0:1] * sky_r, 0.0)
-    orad_ref[1:2, :] = rad_ref[1:2] + jnp.where(
-        miss, thr_ref[1:2] * sky_g, 0.0)
-    orad_ref[2:3, :] = rad_ref[2:3] + jnp.where(
-        miss, thr_ref[2:3] * sky_b, 0.0)
-    oalv_ref[:, :] = (alive & hit).astype(jnp.int32)
+    rad_out = jnp.concatenate([
+        rad[0:1] + jnp.where(miss, thr[0:1] * sky_r, 0.0),
+        rad[1:2] + jnp.where(miss, thr[1:2] * sky_g, 0.0),
+        rad[2:3] + jnp.where(miss, thr[2:3] * sky_b, 0.0)], axis=0)
+    alive_out = alive & hit
+    return (t, point, normal, g[_A_IDX:_A_IDX + 1],
+            g[_A_MAT:_A_MAT + 1], g[_A_ALR:_A_ALB + 1],
+            g[_A_FUZZ:_A_FUZZ + 1], g[_A_IOR:_A_IOR + 1],
+            hit, rad_out, alive_out)
 
+
+def _hit_sky_kernel(
+    mb_ref, mc_ref, attrs_ref,               # [S, K] bf16 x2, [S, 16] f32
+    o_ref, d_ref, tm_ref,                    # [3|3|1, R] f32
+    thr_ref, rad_ref, alv_ref,               # [3|3|1, R] f32/f32/i32
+    t_ref, pt_ref, nrm_ref,                  # outputs
+    idx_ref, mat_ref, alb_ref, fz_ref, ior_ref,
+    hit_ref, orad_ref, oalv_ref,
+    *, n_spheres, min_t,
+):
+    (t, point, normal, idx_f, mat_f, albedo, fuzz, ior, hit, rad_out,
+     alive_out) = hit_sky_values(
+        o_ref[:, :], d_ref[:, :], tm_ref[:, :], thr_ref[:, :],
+        rad_ref[:, :], alv_ref[:, :] > 0,
+        mb_ref[:, :], mc_ref[:, :], attrs_ref[:, :],
+        n_spheres=n_spheres, min_t=min_t)
+    orad_ref[:, :] = rad_out
+    oalv_ref[:, :] = alive_out.astype(jnp.int32)
     t_ref[:, :] = t
     pt_ref[:, :] = point
     nrm_ref[:, :] = normal
-    idx_ref[:, :] = g[_A_IDX:_A_IDX + 1].astype(jnp.int32)
-    mat_ref[:, :] = g[_A_MAT:_A_MAT + 1].astype(jnp.int32)
-    alb_ref[:, :] = g[_A_ALR:_A_ALB + 1]
-    fz_ref[:, :] = g[_A_FUZZ:_A_FUZZ + 1]
-    ior_ref[:, :] = g[_A_IOR:_A_IOR + 1]
+    idx_ref[:, :] = idx_f.astype(jnp.int32)
+    mat_ref[:, :] = mat_f.astype(jnp.int32)
+    alb_ref[:, :] = albedo
+    fz_ref[:, :] = fuzz
+    ior_ref[:, :] = ior
     hit_ref[:, :] = hit.astype(jnp.int32)
 
 

@@ -65,23 +65,11 @@ def pack_camera(cam: Camera) -> jnp.ndarray:
     ]).reshape(CAM_ROWS, 1)
 
 
-def _scatter_respawn_kernel(
-    sp_ref,                                  # [2] i32 SMEM: salt31, step
-    cam_ref,                                 # [CAM_ROWS, 1] f32
-    o_ref, d_ref, tm_ref, thr_ref,           # [3|3|1|3, R] f32
-    dep_ref, smp_ref, pix_ref, alv_ref,      # [1, R] i32 (alv 0/1)
-    sb_ref, sq_ref,                          # [1, R] i32
-    hp_ref, nrm_ref,                         # [3, R] f32
-    mat_ref,                                 # [1, R] i32
-    alb_ref, fz_ref, ior_ref,                # [3|1|1, R] f32
-    oo_ref, od_ref, otm_ref, othr_ref,       # outputs
-    odep_ref, osmp_ref, oalv_ref,
-    *, cfg: RenderConfig, width, height, spp, kpp,
-):
-    r = o_ref.shape[1]
-    # In-kernel core.rng.hash_uniform01 with GLOBAL lane counters — the
-    # draws are bit-identical to the jnp step's, so this kernel is an
-    # exact drop-in (and needs no pltpu PRNG, which interpret mode lacks).
+def kernel_draws(sp_ref, r: int):
+    """In-kernel core.rng.hash_uniform01 with GLOBAL lane counters — the
+    draws are bit-identical to the jnp step's (and need no pltpu PRNG,
+    which interpret mode lacks).  Returns [10, R]: rows 0-4 the scatter
+    stream, 5-9 the respawn stream."""
     salt_u = jnp.uint32(sp_ref[0])          # i32 arg carries the u32 bits
     step_u = jnp.uint32(sp_ref[1])
     k1 = jnp.uint32(0x85EBCA6B)
@@ -106,7 +94,19 @@ def _scatter_respawn_kernel(
 
     drw_s = draws(0x5CA77E12)   # scatter stream (persistent._scatter_core)
     drw_r = draws(0x2E59A301)   # respawn stream (persistent._respawn_core)
-    drw = jnp.concatenate([drw_s, drw_r], axis=0)     # [10, R]
+    return jnp.concatenate([drw_s, drw_r], axis=0)     # [10, R]
+
+
+def scatter_respawn_values(
+    drw, cam_ref, o, d, tm, thr, dep, smp, pix, alive, sb, sq,
+    hp, nrm, mat_id_rows, alb, fuzz_rows, ior_rows,
+    *, cfg: RenderConfig, width, height, spp, kpp,
+):
+    """The scatter + state-update + respawn math on VALUES (rows), shared
+    by the standalone scatter kernel and the fused bounce kernel.
+
+    Returns (origin, direction, time, throughput, depth, sample, alive) —
+    all new-state rows."""
 
     def cam_row(k):
         return cam_ref[k:k + 1, 0:1]                  # [1, 1] broadcasts
@@ -115,14 +115,21 @@ def _scatter_respawn_kernel(
         return ax * bx + ay * by + az * bz
 
     eps = np.float32(cfg.epsilon)
-    ox, oy, oz = o_ref[0:1], o_ref[1:2], o_ref[2:3]
-    dx, dy, dz = d_ref[0:1], d_ref[1:2], d_ref[2:3]
-    nx, ny, nz = nrm_ref[0:1], nrm_ref[1:2], nrm_ref[2:3]
-    hx, hy, hz = hp_ref[0:1], hp_ref[1:2], hp_ref[2:3]
-    alive = alv_ref[0:1] > 0
-    mat_id = mat_ref[0:1]
-    fuzz = fz_ref[0:1]
-    ior = ior_ref[0:1]
+    ox, oy, oz = o[0:1], o[1:2], o[2:3]
+    dx, dy, dz = d[0:1], d[1:2], d[2:3]
+    nx, ny, nz = nrm[0:1], nrm[1:2], nrm[2:3]
+    hx, hy, hz = hp[0:1], hp[1:2], hp[2:3]
+    mat_id = mat_id_rows[0:1]
+    fuzz = fuzz_rows[0:1]
+    ior = ior_rows[0:1]
+    tm_ref = tm  # row aliases keep the body below unchanged
+    thr_ref = thr
+    dep_ref = dep
+    smp_ref = smp
+    pix_ref = pix
+    sb_ref = sb
+    sq_ref = sq
+    alb_ref = alb
 
     # --- unit-ball sample (core.rng.sample_unit_ball) ---
     bz_ = 1.0 - 2.0 * drw[0:1]
@@ -269,19 +276,50 @@ def _scatter_respawn_kernel(
     cam_dz = (cam_row(_C_LLC + 2) + u * cam_row(_C_HORIZ + 2)
               + v * cam_row(_C_VERT + 2) - cam_oz)
 
-    oo_ref[0:1, :] = jnp.where(start, cam_ox, cur_ox)
-    oo_ref[1:2, :] = jnp.where(start, cam_oy, cur_oy)
-    oo_ref[2:3, :] = jnp.where(start, cam_oz, cur_oz)
-    od_ref[0:1, :] = jnp.where(start, cam_dx, cur_dx)
-    od_ref[1:2, :] = jnp.where(start, cam_dy, cur_dy)
-    od_ref[2:3, :] = jnp.where(start, cam_dz, cur_dz)
-    otm_ref[:, :] = jnp.where(start, tm_new, tm_ref[0:1])
-    othr_ref[0:1, :] = jnp.where(start, 1.0, thr_r)
-    othr_ref[1:2, :] = jnp.where(start, 1.0, thr_g)
-    othr_ref[2:3, :] = jnp.where(start, 1.0, thr_b)
-    odep_ref[:, :] = jnp.where(start, 0, depth)
-    osmp_ref[:, :] = new_sample
-    oalv_ref[:, :] = (alive2 | start).astype(jnp.int32)
+    out_o = jnp.concatenate([jnp.where(start, cam_ox, cur_ox),
+                             jnp.where(start, cam_oy, cur_oy),
+                             jnp.where(start, cam_oz, cur_oz)], axis=0)
+    out_d = jnp.concatenate([jnp.where(start, cam_dx, cur_dx),
+                             jnp.where(start, cam_dy, cur_dy),
+                             jnp.where(start, cam_dz, cur_dz)], axis=0)
+    out_tm = jnp.where(start, tm_new, tm_ref[0:1])
+    out_thr = jnp.concatenate([jnp.where(start, 1.0, thr_r),
+                               jnp.where(start, 1.0, thr_g),
+                               jnp.where(start, 1.0, thr_b)], axis=0)
+    out_dep = jnp.where(start, 0, depth)
+    out_alv = (alive2 | start).astype(jnp.int32)
+    return out_o, out_d, out_tm, out_thr, out_dep, new_sample, out_alv
+
+
+def _scatter_respawn_kernel(
+    sp_ref,                                  # [2] i32 SMEM: salt31, step
+    cam_ref,                                 # [CAM_ROWS, 1] f32
+    o_ref, d_ref, tm_ref, thr_ref,           # [3|3|1|3, R] f32
+    dep_ref, smp_ref, pix_ref, alv_ref,      # [1, R] i32 (alv 0/1)
+    sb_ref, sq_ref,                          # [1, R] i32
+    hp_ref, nrm_ref,                         # [3, R] f32
+    mat_ref,                                 # [1, R] i32
+    alb_ref, fz_ref, ior_ref,                # [3|1|1, R] f32
+    oo_ref, od_ref, otm_ref, othr_ref,       # outputs
+    odep_ref, osmp_ref, oalv_ref,
+    *, cfg: RenderConfig, width, height, spp, kpp,
+):
+    drw = kernel_draws(sp_ref, o_ref.shape[1])
+    (out_o, out_d, out_tm, out_thr, out_dep, out_smp,
+     out_alv) = scatter_respawn_values(
+        drw, cam_ref, o_ref[:, :], d_ref[:, :], tm_ref[:, :],
+        thr_ref[:, :], dep_ref[:, :], smp_ref[:, :], pix_ref[:, :],
+        alv_ref[0:1] > 0, sb_ref[:, :], sq_ref[:, :],
+        hp_ref[:, :], nrm_ref[:, :], mat_ref[:, :], alb_ref[:, :],
+        fz_ref[:, :], ior_ref[:, :],
+        cfg=cfg, width=width, height=height, spp=spp, kpp=kpp)
+    oo_ref[:, :] = out_o
+    od_ref[:, :] = out_d
+    otm_ref[:, :] = out_tm
+    othr_ref[:, :] = out_thr
+    odep_ref[:, :] = out_dep
+    osmp_ref[:, :] = out_smp
+    oalv_ref[:, :] = out_alv
 
 
 @functools.partial(

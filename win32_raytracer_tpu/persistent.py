@@ -381,6 +381,14 @@ def render_image_persistent(
         else:
             scat_step = p_scatter_respawn_step
 
+        # Single-kernel bounce (hit+sky+scatter+respawn in one Mosaic
+        # program).  "auto" = on where v7 runs: measured interleaved at
+        # the headline config it beats the two-program bounce.
+        fused_bounce = None
+        if hit_coeffs_v7 is not None and cfg.fuse_bounce in ("auto", "on"):
+            from .kernels.bounce_pallas import p_bounce_fused
+            fused_bounce = p_bounce_fused
+
         def do_steps(st, k, step):
             cur = st.pixel.shape[1]
             fuse = cur < _COMPACT_FLOOR  # dispatch-bound: 1 program/bounce
@@ -391,6 +399,14 @@ def render_image_persistent(
                                        cfg=cfg, hit_fn=hit_fn, width=w,
                                        height=h, spp=spp,
                                        lanes_per_pixel=kpp)
+                elif fused_bounce is not None:
+                    # The whole bounce as ONE Mosaic program (state rows
+                    # cross HBM once; kernels/bounce_pallas.py).
+                    st = fused_bounce(
+                        hit_coeffs_v7, cam, st, salt, jnp.int32(step),
+                        cfg=cfg, width=w, height=h, spp=spp,
+                        lanes_per_pixel=kpp)
+                    continue
                 else:
                     # Two dispatches per bounce: the Pallas hit alone
                     # (fusing it with the epilogue generates ~2.5x slower
