@@ -395,6 +395,11 @@ def render_image_persistent(
             for _ in range(k):
                 step += 1
                 if fuse:
+                    # Tail: one XLA program per bounce.  Measured 2.5x
+                    # FASTER than the Mosaic fused kernel at tail sizes
+                    # (0.30 vs 0.77-1.14 s tail at 320x200@64) — small
+                    # pallas dispatches carry more fixed cost than small
+                    # XLA programs on this runtime.
                     st = p_bounce_step(scene, cam, st, salt, jnp.int32(step),
                                        cfg=cfg, hit_fn=hit_fn, width=w,
                                        height=h, spp=spp,
