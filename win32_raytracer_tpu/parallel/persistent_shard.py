@@ -72,7 +72,33 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
     sspec = _sspec()
     kspec = P("tiles")  # per-device [D] draw-salt array
 
-    if v7_rb:
+    if v7_rb and cfg.fuse_bounce in ("auto", "on"):
+        # Fused single-Mosaic-program bounce per shard (the single-chip
+        # production structure, kernels/bounce_pallas.py).
+        from ..kernels.bounce_pallas import _bounce_raw
+        from ..kernels.scatter_pallas import pack_camera
+
+        def bounce_fused(coeffs, scene, cam, st, salts, step_i):
+            mb, mc, attrs = coeffs
+            salt_bits = jax.lax.bitcast_convert_type(
+                salts[0].astype(jnp.uint32), jnp.int32)
+            sp = jnp.stack([salt_bits, step_i.astype(jnp.int32)])
+            o, d, tm, thr, rad, dep, smp, alv = _bounce_raw(
+                sp, mb, mc, attrs, pack_camera(cam),
+                st.origin, st.direction, st.time, st.throughput,
+                st.radiance_sum, st.depth, st.sample, st.pixel,
+                st.path_alive.astype(jnp.int32), st.s_base, st.s_quota,
+                cfg=cfg, width=width, height=height, spp=spp, kpp=kpp,
+                ray_block=v7_rb)
+            return st._replace(origin=o, direction=d, time=tm,
+                               throughput=thr, radiance_sum=rad,
+                               depth=dep, sample=smp, path_alive=alv > 0)
+
+        bounce_sm = jax.jit(jax.shard_map(
+            bounce_fused, mesh=mesh,
+            in_specs=(P(), P(), P(), sspec, kspec, P()),
+            out_specs=sspec, check_vma=False))
+    elif v7_rb:
         from ..kernels.hit_pallas_v7 import _hit_sky_raw
         from ..ops.rows import HitRecordRows
 
