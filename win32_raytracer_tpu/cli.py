@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scatter-backend", default="auto",
                    choices=["auto", "pallas", "jnp"],
                    help="persistent scheduler scatter+respawn step backend")
+    p.add_argument("--hit-kernel", default="auto",
+                   choices=["auto", "v4", "v6", "v7"],
+                   help="Pallas sphere-sweep kernel (see RenderConfig)")
+    p.add_argument("--fuse-bounce", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="single-kernel fused bounce (RenderConfig.fuse_bounce)")
     p.add_argument("--accel", default="auto", choices=["auto", "grid", "off"],
                    help="sphere-sweep acceleration structure (see "
                         "RenderConfig.accel)")
@@ -90,6 +96,7 @@ def main(argv=None) -> int:
         width=args.width, height=args.height, samples=args.samples,
         max_depth=args.depth, seed=args.seed, backend=args.backend,
         scatter_backend=args.scatter_backend,
+        hit_kernel=args.hit_kernel, fuse_bounce=args.fuse_bounce,
         accel=args.accel, scheduler=args.scheduler,
         lanes_per_pixel=args.lanes_per_pixel, stratify=args.stratify,
         russian_roulette=args.russian_roulette,
