@@ -75,17 +75,30 @@ def test_fused_bounce_matches_two_step():
         assert close.mean() > 0.99, (f, close.mean())
 
 
-def test_fused_bounce_render():
-    """Full render through the fused path on CPU interpret agrees with
-    the split path to MC-boundary tolerance."""
+def test_fused_bounce_unaligned_padding():
+    """Batches with no fitting 128-multiple block pad with dead lanes
+    (regression: this used to raise)."""
+    scene = random_scene()
+    cam = default_camera(W, H)
+    cfg = RenderConfig(width=W, height=H, samples=SPP,
+                       lanes_per_pixel=KPP)
+    n = RB * 2 + 40                       # no 128-multiple divisor
+    st = _state(n)
+    out = p_bounce_fused(hit_coeffs(scene), cam, st, np.uint32(1),
+                         jnp.int32(2), cfg=cfg, width=W, height=H,
+                         spp=SPP, lanes_per_pixel=KPP, ray_block=RB,
+                         interpret=INTERPRET)
+    assert out.origin.shape == (3, n)
+    assert np.isfinite(np.asarray(out.origin)).all()
+
+
+def test_driver_render_smoke_jnp():
+    """Driver smoke on the CPU jnp path (the fused Mosaic path itself is
+    TPU-only in the driver; its kernel parity is covered above)."""
     from win32_raytracer_tpu.persistent import render_image_persistent
-    import win32_raytracer_tpu.persistent as P
 
     scene = random_scene()
     cam = default_camera(W, H)
-    # backend="pallas" on CPU -> interpret not plumbed through the
-    # driver; run tiny and force the fused kernel path via monkeypatch
-    # of the floor so the big-batch branch runs.
     cfg = RenderConfig(width=W, height=H, samples=4, backend="jnp")
     img = np.asarray(render_image_persistent(scene, cam, cfg))
     assert np.isfinite(img).all() and img.mean() > 0.05

@@ -107,10 +107,13 @@ def test_v7_unaligned_batch():
                                   np.asarray(rec_a.hit))
     np.testing.assert_array_equal(np.asarray(rec_u.t[:, :RB]),
                                   np.asarray(rec_a.t))
-    # Tail lanes got real results too (not garbage): finite t/radiance.
+    # Tail lanes got real results too (not garbage): every tail t is
+    # either a genuine hit distance (bounded by the scene diameter) or
+    # the F32_MAX miss sentinel — pad junk (tiny or mid-range values
+    # from uninitialized memory) fails both.
     tail = np.asarray(rec_u.t[0, RB * 3:])
     assert np.isfinite(np.asarray(st_u.radiance_sum)[:, RB * 3:]).all()
-    assert ((tail > 0) | (tail > 1e30)).all()
+    assert (((tail >= 9e-4) & (tail < 1e5)) | (tail >= 1e30)).all()
 
 
 def test_v7_sky_on_all_miss():

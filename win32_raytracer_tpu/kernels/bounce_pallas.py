@@ -132,24 +132,39 @@ def p_bounce_fused(coeffs, cam, st, salt, step_i, *, cfg: RenderConfig,
                    interpret: bool = False):
     """One full bounce (hit+sky+scatter+respawn) as a single Mosaic
     program.  Drop-in for (p_hit_sky_step; p_scatter_respawn_step) — the
-    hit record is internal.  Batch must fit a 128-multiple block (the
-    drivers' sizes do)."""
+    hit record is internal.  Batches without a fitting 128-multiple block
+    fall back to dead-lane padding (zero-quota lanes never respawn), like
+    p_hit_sky_step."""
     mb, mc, attrs = coeffs
     n = st.origin.shape[1]
     rb = ray_block if n % ray_block == 0 else _fit_ray_block(n, ray_block)
-    if rb == 0:
-        raise ValueError(f"batch {n} has no 128-multiple block")
+    pad = 0 if rb else (-n) % ray_block
+    if pad:
+        rb = ray_block
+        from ..persistent import PathState
+
+        def padded(a):
+            return jnp.pad(a, ((0, 0), (0, pad)))
+        st_in = PathState(*(padded(getattr(st, f)) for f in
+                            PathState._fields))
+        st_in = st_in._replace(
+            direction=st_in.direction.at[2, n:].set(1.0))
+    else:
+        st_in = st
     salt_bits = jax.lax.bitcast_convert_type(
         jnp.asarray(salt, jnp.uint32), jnp.int32)
     sp = jnp.stack([salt_bits, jnp.asarray(step_i, jnp.int32)])
     cam_rows = pack_camera(cam)
     o, d, tm, thr, rad, dep, smp, alv = _bounce_raw(
         sp, mb, mc, attrs, cam_rows,
-        st.origin, st.direction, st.time, st.throughput, st.radiance_sum,
-        st.depth, st.sample, st.pixel, st.path_alive.astype(jnp.int32),
-        st.s_base, st.s_quota,
+        st_in.origin, st_in.direction, st_in.time, st_in.throughput,
+        st_in.radiance_sum, st_in.depth, st_in.sample, st_in.pixel,
+        st_in.path_alive.astype(jnp.int32), st_in.s_base, st_in.s_quota,
         cfg=cfg, width=width, height=height, spp=spp, kpp=lanes_per_pixel,
         ray_block=rb, interpret=interpret)
+    if pad:
+        (o, d, tm, thr, rad, dep, smp, alv) = (
+            x[:, :n] for x in (o, d, tm, thr, rad, dep, smp, alv))
     return st._replace(origin=o, direction=d, time=tm, throughput=thr,
                        radiance_sum=rad, depth=dep, sample=smp,
                        path_alive=alv > 0)

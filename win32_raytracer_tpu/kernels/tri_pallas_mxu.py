@@ -100,6 +100,11 @@ def tri_coeff_matrices(scene: TriangleScene):
 
 @functools.partial(jax.jit, static_argnames=())
 def _tri_coeffs_stacked(scene: TriangleScene):
+    """Coefficient build per hit call — re-executed inside every step
+    program (unlike the sphere path's once-per-render precompute).  The
+    cost is [T, 16] einsums/crosses for T <= a few thousand, ~us-scale
+    next to the [T, R] sweep; revisit with a coeffs-carrying scene
+    pytree if meshes grow past that."""
     md, mu, mv, mt = tri_coeff_matrices(scene)
     return (tuple(stack_coeff_limbs(m, _N_TERMS_TRI)
                   for m in (md, mu, mv, mt)),

@@ -74,25 +74,14 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
 
     if v7_rb and cfg.fuse_bounce in ("auto", "on"):
         # Fused single-Mosaic-program bounce per shard (the single-chip
-        # production structure, kernels/bounce_pallas.py).
-        from ..kernels.bounce_pallas import _bounce_raw
-        from ..kernels.scatter_pallas import pack_camera
+        # production structure; plumbing shared with p_bounce_fused).
+        from ..kernels.bounce_pallas import p_bounce_fused
 
         def bounce_fused(coeffs, scene, cam, st, salts, step_i):
-            mb, mc, attrs = coeffs
-            salt_bits = jax.lax.bitcast_convert_type(
-                salts[0].astype(jnp.uint32), jnp.int32)
-            sp = jnp.stack([salt_bits, step_i.astype(jnp.int32)])
-            o, d, tm, thr, rad, dep, smp, alv = _bounce_raw(
-                sp, mb, mc, attrs, pack_camera(cam),
-                st.origin, st.direction, st.time, st.throughput,
-                st.radiance_sum, st.depth, st.sample, st.pixel,
-                st.path_alive.astype(jnp.int32), st.s_base, st.s_quota,
-                cfg=cfg, width=width, height=height, spp=spp, kpp=kpp,
-                ray_block=v7_rb)
-            return st._replace(origin=o, direction=d, time=tm,
-                               throughput=thr, radiance_sum=rad,
-                               depth=dep, sample=smp, path_alive=alv > 0)
+            return p_bounce_fused(coeffs, cam, st, salts[0], step_i,
+                                  cfg=cfg, width=width, height=height,
+                                  spp=spp, lanes_per_pixel=kpp,
+                                  ray_block=v7_rb)
 
         bounce_sm = jax.jit(jax.shard_map(
             bounce_fused, mesh=mesh,
@@ -147,9 +136,12 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
                                  width=width, height=height, spp=spp,
                                  lanes_per_pixel=kpp)
 
+        # check_vma=False: hit_fn may be a pallas kernel (TPU tail
+        # fallback), whose ShapeDtypeStruct outputs carry no
+        # varying-mesh-axes annotation.
         bounce_sm = jax.jit(jax.shard_map(
             bounce, mesh=mesh, in_specs=(P(), P(), sspec, kspec, P()),
-            out_specs=sspec), static_argnames=())
+            out_specs=sspec, check_vma=False), static_argnames=())
 
     def first_respawn(cam, st, salts):
         return _respawn_core(cam, st, salts[0], jnp.int32(0), cfg=cfg,
@@ -321,9 +313,12 @@ def render_image_persistent_sharded(
         mesh, cfg, w, h, spp, kpp, hit_fn)
 
     def bounce_for(n_local: int):
-        """Per-shard-size bounce: v7 two-program split when the size
-        admits a lane-multiple block, else the fused jnp program."""
-        if coeffs is not None:
+        """Per-shard-size bounce: the v7/fused Mosaic path when the size
+        admits a lane-multiple block AND is above the dispatch-bound
+        floor (small pallas dispatches measured 2.5x slower than small
+        XLA programs — persistent.py tail note); else the one-XLA-program
+        bounce."""
+        if coeffs is not None and n_local >= floor:
             rb = _pick_ray_block(n_local)
             if rb:
                 b7 = _steps(mesh, cfg, w, h, spp, kpp, hit_fn, rb)[0]

@@ -383,9 +383,14 @@ def render_image_persistent(
 
         # Single-kernel bounce (hit+sky+scatter+respawn in one Mosaic
         # program).  "auto" = on where v7 runs: measured interleaved at
-        # the headline config it beats the two-program bounce.
+        # the headline config it beats the two-program bounce.  An
+        # explicit scatter_backend request disables auto-fusing (the
+        # fused kernel has its own scatter; honoring the A/B intent).
         fused_bounce = None
-        if hit_coeffs_v7 is not None and cfg.fuse_bounce in ("auto", "on"):
+        fuse_wanted = (cfg.fuse_bounce == "on"
+                       or (cfg.fuse_bounce == "auto"
+                           and cfg.scatter_backend == "auto"))
+        if hit_coeffs_v7 is not None and fuse_wanted:
             from .kernels.bounce_pallas import p_bounce_fused
             fused_bounce = p_bounce_fused
 
@@ -411,7 +416,6 @@ def render_image_persistent(
                         hit_coeffs_v7, cam, st, salt, jnp.int32(step),
                         cfg=cfg, width=w, height=h, spp=spp,
                         lanes_per_pixel=kpp)
-                    continue
                 else:
                     # Two dispatches per bounce: the Pallas hit alone
                     # (fusing it with the epilogue generates ~2.5x slower
