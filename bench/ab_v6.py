@@ -22,7 +22,7 @@ print(f"# sync flip: {time.perf_counter() - t0:.1f}s", flush=True)
 
 from win32_raytracer_tpu.config import RenderConfig
 from win32_raytracer_tpu.kernels.hit_pallas_v4 import hit_spheres_pallas_v4
-from win32_raytracer_tpu.kernels.hit_pallas_v5 import hit_spheres_pallas_v5
+from win32_raytracer_tpu.kernels.experimental.hit_pallas_v5 import hit_spheres_pallas_v5
 from win32_raytracer_tpu.kernels.hit_pallas_v6 import hit_spheres_pallas_v6
 from win32_raytracer_tpu.persistent import (
     PathState, p_hit_step, p_respawn_step, p_scatter_respawn_step,

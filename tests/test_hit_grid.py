@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from win32_raytracer_tpu.accel import build_grid_accel
-from win32_raytracer_tpu.kernels.hit_grid import hit_spheres_grid_pallas
+from win32_raytracer_tpu.kernels.experimental.hit_grid import hit_spheres_grid_pallas
 from win32_raytracer_tpu.ops.hit import hit_spheres
 from win32_raytracer_tpu.scene.builders import random_scene
 

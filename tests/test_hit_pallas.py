@@ -10,7 +10,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from win32_raytracer_tpu.kernels.hit_pallas import hit_spheres_pallas
+from win32_raytracer_tpu.kernels.experimental.hit_pallas_v1 import hit_spheres_pallas
 from win32_raytracer_tpu.ops.hit import hit_spheres
 from win32_raytracer_tpu.scene.builders import test_scene as make_test_scene, random_scene
 
@@ -72,7 +72,7 @@ def test_render_with_pallas_backend_matches_jnp():
     """End-to-end: tiny deterministic render, pallas vs jnp backends."""
     from win32_raytracer_tpu.config import RenderConfig
     from win32_raytracer_tpu.render import render
-    from win32_raytracer_tpu.kernels.hit_pallas import hit_spheres_pallas
+    from win32_raytracer_tpu.kernels.experimental.hit_pallas_v1 import hit_spheres_pallas
     import functools
 
     scene = make_test_scene()
@@ -89,7 +89,7 @@ def test_render_with_pallas_backend_matches_jnp():
 
 def test_pallas_v2_factored_matches_oracle():
     """v2 (MXU-factored features) under the interpreter vs the jnp oracle."""
-    from win32_raytracer_tpu.kernels.hit_pallas_v2 import hit_spheres_pallas_v2
+    from win32_raytracer_tpu.kernels.experimental.hit_pallas_v2 import hit_spheres_pallas_v2
 
     scene = random_scene()
     rng = np.random.default_rng(4)

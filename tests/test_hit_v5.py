@@ -11,7 +11,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from win32_raytracer_tpu.kernels.hit_pallas_v5 import hit_spheres_pallas_v5
+from win32_raytracer_tpu.kernels.experimental.hit_pallas_v5 import hit_spheres_pallas_v5
 from win32_raytracer_tpu.ops.hit import hit_spheres
 from win32_raytracer_tpu.scene.builders import (
     random_scene, test_scene as make_test_scene)

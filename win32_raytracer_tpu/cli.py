@@ -38,8 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="literal 'perfTest' for perf-harness mode "
                         "(Main.cpp:112-118)")
     p.add_argument("--scene", default="random",
-                   help="test | random | final (default: random, like the "
-                        "reference)")
+                   help="test | random | final | mesh (default: random, "
+                        "like the reference; see scene.builders.SCENES)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--depth", type=int, default=MAX_RECURSION)
     p.add_argument("--out", default="out.bmp",

@@ -13,7 +13,6 @@ import jax
 
 from ..config import RenderConfig
 from ..ops.hit import hit_spheres as hit_spheres_jnp
-from .hit_pallas import hit_spheres_pallas
 from .hit_pallas_v3 import hit_spheres_pallas_v3
 
 

@@ -33,16 +33,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..accel import (
+from ...accel import (
     GRID_ATTR_COLS, GridScene, assemble_hit_record, footprint_block_mask,
     merge_best,
 )
-from ..config import MIN_HIT_T
-from ..ops.hit import (
+from ...config import MIN_HIT_T
+from ...ops.hit import (
     ATTR_COLS, F32_MAX,
     _A_T1, _A_INVDT, _A_RADIUS, _A_C1X, _A_C1Z, _A_DCX, _A_DCZ,
 )
-from .hit_pallas_v3 import _hit_pallas_v3_raw
+from ..hit_pallas_v3 import _hit_pallas_v3_raw
 
 DEFAULT_RAY_BLOCK_GRID = 2048
 

@@ -33,8 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import MIN_HIT_T
-from ..ops.hit import (
+from ...config import MIN_HIT_T
+from ...ops.hit import (
     ATTR_COLS,
     F32_MAX,
     HitRecord,
@@ -42,7 +42,7 @@ from ..ops.hit import (
     _A_T1, _A_INVDT, _A_RADIUS, _A_MAT, _A_ALR, _A_ALB, _A_FUZZ, _A_IOR,
     _A_IDX, _A_C1X, _A_C1Z, _A_DCX, _A_DCZ,
 )
-from ..scene.spheres import SphereScene
+from ...scene.spheres import SphereScene
 
 # Attribute-matrix rows in the transposed [16, S] kernel layout.
 _R_C1X, _R_C1Y, _R_C1Z = 0, 1, 2

@@ -42,8 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import MIN_HIT_T
-from ..ops.hit import (
+from ...config import MIN_HIT_T
+from ...ops.hit import (
     ATTR_COLS,
     F32_MAX,
     HitRecord,
@@ -51,7 +51,7 @@ from ..ops.hit import (
     _A_T1, _A_INVDT, _A_RADIUS, _A_MAT, _A_ALR, _A_ALB, _A_FUZZ, _A_IOR,
     _A_IDX, _A_C1X, _A_C1Z, _A_DCX, _A_DCZ,
 )
-from ..scene.spheres import SphereScene
+from ...scene.spheres import SphereScene
 
 NB = 8    # b_half feature count (7 used)
 NC = 16   # c_coef feature count (10 used)

@@ -40,48 +40,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import MIN_HIT_T
-from ..ops.hit import ATTR_COLS, F32_MAX, _attr_matrix
-from ..ops.rows import HitRecordRows
-from ..scene.spheres import SphereScene
-from .hit_pallas_v4 import assemble_hit_record_rows, pack_rays_rows
+from ...config import MIN_HIT_T
+from ...ops.hit import ATTR_COLS, F32_MAX, _attr_matrix
+from ...ops.rows import HitRecordRows
+from ...scene.spheres import SphereScene
+from ..hit_pallas_v4 import assemble_hit_record_rows, pack_rays_rows
 
 DEFAULT_RAY_BLOCK_V5 = 2048
 
-_NFEAT = 16  # feature rows (padded to a sublane multiple)
-
-
-def sphere_coeff_matrices(scene: SphereScene):
-    """Per-sphere coefficient matrices (M_b, M_c), each [S, 16].
-
-    Rows of the ray-feature vector F (built in-kernel):
-      0..2  d         3..5  tm*d
-      6..8  o         9..11 tm*o
-      12    1         13    tm        14 tm^2      15 (zero pad)
-    M_b uses rows 0..5; M_c uses rows 6..14.
-    """
-    s = scene.padded_size
-    inv_dt = 1.0 / (scene.t2 - scene.t1)
-    a_c = scene.center1 - (scene.center2 - scene.center1) * (
-        scene.t1 * inv_dt)[:, None]
-    b_c = (scene.center2 - scene.center1) * inv_dt[:, None]
-    r2 = scene.radius * scene.radius
-    # Park padding lanes so c is huge positive -> disc hugely negative.
-    parked = ~scene.active
-    big = jnp.float32(1e18)
-
-    m_b = jnp.zeros((s, _NFEAT), jnp.float32)
-    m_b = m_b.at[:, 0:3].set(a_c).at[:, 3:6].set(b_c)
-    m_b = jnp.where(parked[:, None], 0.0, m_b)
-
-    m_c = jnp.zeros((s, _NFEAT), jnp.float32)
-    m_c = m_c.at[:, 6:9].set(-2.0 * a_c).at[:, 9:12].set(-2.0 * b_c)
-    m_c = m_c.at[:, 13].set(2.0 * jnp.sum(a_c * b_c, axis=1))
-    m_c = m_c.at[:, 14].set(jnp.sum(b_c * b_c, axis=1))
-    m_c = jnp.where(parked[:, None], 0.0, m_c)
-    m_c = m_c.at[:, 12].set(jnp.where(
-        parked, big, jnp.sum(a_c * a_c, axis=1) - r2))
-    return m_b, m_c
+# The coefficient construction graduated to production with v6; v5 keeps
+# only the single-contraction kernel as the documented negative result.
+from ..hit_pallas_v6 import _NFEAT, sphere_coeff_matrices  # noqa: E402
 
 
 def _hit_kernel_v5(rays_ref, mb_ref, mc_ref, attrs_ref, t_ref, g_ref,

@@ -10,11 +10,16 @@ hand-schedules the whole phase as one VMEM-resident block program and
 generates its 10 uniforms/lane with the on-core PRNG
 (``pltpu.prng_random_bits``) instead of a separate XLA pass.
 
-Semantics match persistent._scatter_core + persistent._respawn_core
-EXACTLY: the kernel reimplements core.rng.hash_uniform01 with global lane
-counters, so its draws are bit-identical to the jnp step's and the two
-paths agree to float round-off.  The jnp path remains the oracle and the
-CPU-backend fallback.
+Semantics match persistent._scatter_core + persistent._respawn_core: the
+kernel reimplements core.rng.hash_uniform01 with global lane counters, so
+its uniform DRAWS are bit-identical to the jnp step's.  Per-lane results
+agree to float round-off — the kernel uses reciprocal-multiply forms
+(``x * (1/w)`` vs ``x / w``, ``omc^5`` by multiplies vs ``jnp.power``),
+so a threshold decision (Schlick reflect, RR survive, metal absorb) can
+flip on a rare lane whose draw sits within an ulp of the threshold; the
+two paths are statistically equivalent Monte Carlo estimators, not
+lane-exact.  The jnp path remains the oracle and the CPU-backend
+fallback.
 """
 
 from __future__ import annotations
@@ -245,14 +250,14 @@ def scatter_respawn_values(
     new_sample = jnp.where(start, sample + 1, sample)
 
     u_j, v_j = drw[5:6], drw[6:7]
-    if cfg.stratify:
-        k = int(np.sqrt(spp))
-        if k * k == spp and k > 1:
-            gs = sb_ref[0:1] + new_sample
-            sx = (gs % k).astype(jnp.float32)
-            sy = ((gs // k) % k).astype(jnp.float32)
-            u_j = (sx + u_j) * np.float32(1.0 / k)
-            v_j = (sy + v_j) * np.float32(1.0 / k)
+    if cfg.stratify and spp > 1:
+        from ..persistent import _stratify_grid  # shared kx*ky factoring
+        kx, ky = _stratify_grid(spp)
+        gs = sb_ref[0:1] + new_sample
+        sx = (gs % kx).astype(jnp.float32)
+        sy = ((gs // kx) % ky).astype(jnp.float32)
+        u_j = (sx + u_j) * np.float32(1.0 / kx)
+        v_j = (sy + v_j) * np.float32(1.0 / ky)
     pix = pix_ref[0:1] // kpp
     ypix = pix // width
     xpix = pix % width

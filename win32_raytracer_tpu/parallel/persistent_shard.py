@@ -32,8 +32,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
 from ..persistent import (
-    PathState, _COMPACT_FLOOR, _grid_size, _hit_core, _next_pow2,
-    _resolve_kpp, _respawn_core, _scatter_core, _split,
+    PathState, _COMPACT_FLOOR, _COMPACT_SHRINK, _grid_size, _hit_core,
+    _next_pow2, _resolve_kpp, _respawn_core, _scatter_core, _split,
 )
 from ..scene.camera import Camera, default_camera
 from ..scene.spheres import SphereScene
@@ -72,7 +72,14 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
     sspec = _sspec()
     kspec = P("tiles")  # per-device [D] draw-salt array
 
-    if v7_rb and cfg.fuse_bounce in ("auto", "on"):
+    # Mirror the single-chip driver's resolution (persistent.py): "auto"
+    # fuses only when the scatter backend is also "auto" — an explicit
+    # scatter_backend request is an A/B intent the fused kernel (which has
+    # its own in-kernel scatter) would silently override.
+    fuse_wanted = (cfg.fuse_bounce == "on"
+                   or (cfg.fuse_bounce == "auto"
+                       and cfg.scatter_backend == "auto"))
+    if v7_rb and fuse_wanted:
         # Fused single-Mosaic-program bounce per shard (the single-chip
         # production structure; plumbing shared with p_bounce_fused).
         from ..kernels.bounce_pallas import p_bounce_fused
@@ -112,17 +119,28 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
             hit_phase, mesh=mesh, in_specs=(P(), sspec),
             out_specs=(rspec, sspec), check_vma=False))
 
-        def scat_phase(scene, cam, st, rec, salts, step_i):
-            salt = salts[0]
-            st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
-            return _respawn_core(cam, st, salt, step_i, cfg=cfg,
-                                 width=width, height=height, spp=spp,
-                                 lanes_per_pixel=kpp)
+        if cfg.scatter_backend == "pallas":
+            # Honor the knob on a mesh too: the fused Pallas scatter+
+            # respawn kernel, one shard-local call per device.
+            from ..kernels.scatter_pallas import scatter_respawn_pallas
+
+            def scat_phase(scene, cam, st, rec, salts, step_i):
+                return scatter_respawn_pallas(
+                    scene, cam, st, rec, salts[0], step_i, cfg=cfg,
+                    width=width, height=height, spp=spp,
+                    lanes_per_pixel=kpp, ray_block=v7_rb)
+        else:
+            def scat_phase(scene, cam, st, rec, salts, step_i):
+                salt = salts[0]
+                st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
+                return _respawn_core(cam, st, salt, step_i, cfg=cfg,
+                                     width=width, height=height, spp=spp,
+                                     lanes_per_pixel=kpp)
 
         scat_sm = jax.jit(jax.shard_map(
             scat_phase, mesh=mesh,
             in_specs=(P(), P(), sspec, rspec, kspec, P()),
-            out_specs=sspec))
+            out_specs=sspec, check_vma=False))
 
         def bounce_sm(coeffs, scene, cam, st, salts, step_i):
             rec, st = hit_sm(coeffs, st)
@@ -247,7 +265,7 @@ def render_image_persistent_sharded(
     coeffs = None
     if (_rb(cfg, platform=mesh.devices.flat[0].platform) == "pallas"
             and isinstance(scene, SphereScene)
-            and cfg.hit_kernel in ("auto", "v6", "v7")):
+            and cfg.hit_kernel in ("auto", "v7")):
         # v7 on a TPU mesh: whole hit phase in one pallas program per
         # shard (persistent.py's production structure).
         from ..kernels.hit_pallas_v7 import hit_coeffs
@@ -369,7 +387,7 @@ def render_image_persistent_sharded(
                     st, accum)
             continue
         k_new = _grid_size(worst, min_lanes)
-        if k_new <= int(cur * 0.55):
+        if k_new <= int(cur * _COMPACT_SHRINK):
             st, accum = _compact_split_sm(mesh, kpp, k_new, False)(
                 st, accum)
 

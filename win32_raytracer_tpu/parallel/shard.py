@@ -140,10 +140,12 @@ def render_image_sharded(
     """
     if mode == "persistent":
         # The production scheduler, sharded: lane-local steps shard-mapped
-        # over the mesh with interleaved row-block ownership.
+        # over the mesh with interleaved row-block ownership.  NOTE: a
+        # caller-supplied hit_fn must use the rows interface
+        # (ops/rows.py), unlike the column-layout hit_fn of rows/spp mode.
         from .persistent_shard import render_image_persistent_sharded
         return render_image_persistent_sharded(scene, cam, cfg, mesh,
-                                               hit_fn=None)
+                                               hit_fn=hit_fn)
     if hit_fn is None:
         hit_fn = hit_spheres
     if cam is None:

@@ -99,6 +99,16 @@ def _scatter_core(scene: SphereScene, st: PathState, rec,
                        path_alive=alive)
 
 
+@functools.lru_cache(maxsize=None)
+def _stratify_grid(spp: int) -> tuple:
+    """(kx, ky) with kx*ky == spp and kx the largest divisor <= sqrt(spp)."""
+    kx = 1
+    for cand in range(1, int(np.sqrt(spp)) + 1):
+        if spp % cand == 0:
+            kx = cand
+    return kx, spp // kx
+
+
 def _respawn_core(cam: Camera, st: PathState, salt: jnp.ndarray,
                   step_i: jnp.ndarray, *, cfg: RenderConfig, width: int,
                   height: int, spp: int, lanes_per_pixel: int = 1
@@ -119,14 +129,16 @@ def _respawn_core(cam: Camera, st: PathState, salt: jnp.ndarray,
 
     draws = hash_uniform01((5, n), salt, step_i, 0x2E59A301)
     u_j, v_j = draws[0:1], draws[1:2]
-    if cfg.stratify:
-        k = int(np.sqrt(spp))
-        if k * k == spp and k > 1:
-            gs = st.s_base + new_sample  # global sample index
-            sx = (gs % k).astype(jnp.float32)
-            sy = ((gs // k) % k).astype(jnp.float32)
-            u_j = (sx + u_j) / k
-            v_j = (sy + v_j) / k
+    if cfg.stratify and spp > 1:
+        # Any spp factors as a kx*ky grid (kx = largest divisor <=
+        # sqrt(spp)); square spp reproduces the classic k x k layout,
+        # prime spp degrades to 1 x spp (v-only) strata — never a no-op.
+        kx, ky = _stratify_grid(spp)
+        gs = st.s_base + new_sample  # global sample index
+        sx = (gs % kx).astype(jnp.float32)
+        sy = ((gs // kx) % ky).astype(jnp.float32)
+        u_j = (sx + u_j) / kx
+        v_j = (sy + v_j) / ky
     # Pixel mapping as RayTracer.cpp:941-943 (u=(x+r0)/W, v=(H-y+r1)/H).
     u = (x.astype(jnp.float32) + u_j) / width
     v = ((height - y).astype(jnp.float32) + v_j) / height
@@ -306,7 +318,7 @@ def render_image_persistent(
         scene, hit_fn = get_hit_fn_rows_accel(cfg, scene, cam)
         if (_resolve_backend(cfg) == "pallas"
                 and isinstance(scene, SphereScene)
-                and cfg.hit_kernel in ("auto", "v6", "v7")):
+                and cfg.hit_kernel in ("auto", "v7")):
             # v7: the whole hit+sky phase as ONE pallas program (no XLA
             # elementwise code around the kernel — rule 11's fusion
             # pessimization).  hit_fn remains for the fused tail path.
@@ -393,6 +405,15 @@ def render_image_persistent(
         if hit_coeffs_v7 is not None and fuse_wanted:
             from .kernels.bounce_pallas import p_bounce_fused
             fused_bounce = p_bounce_fused
+        elif cfg.fuse_bounce == "on":
+            # Mirror the accel='grid' contract: an explicit request that
+            # cannot be honored raises instead of silently unfusing.
+            raise ValueError(
+                "fuse_bounce='on' requires the fused Mosaic kernel, which "
+                "needs a Pallas backend, a plain sphere scene, and "
+                "hit_kernel auto/v7 (got backend="
+                f"{cfg.backend!r}, hit_kernel={cfg.hit_kernel!r}, "
+                f"scene={type(scene).__name__})")
 
         def do_steps(st, k, step):
             cur = st.pixel.shape[1]
