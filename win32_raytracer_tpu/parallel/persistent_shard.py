@@ -32,8 +32,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
 from ..persistent import (
-    PathState, _COMPACT_FLOOR, _COMPACT_SHRINK, _grid_size, _hit_core,
-    _next_pow2, _resolve_kpp, _respawn_core, _scatter_core, _split,
+    PathState, _COMPACT_FLOOR, _COMPACT_SHRINK, _compact_core, _grid_size,
+    _hit_core, _next_pow2, _resolve_kpp, _respawn_core, _scatter_core,
+    _split,
 )
 from ..scene.camera import Camera, default_camera
 from ..scene.spheres import SphereScene
@@ -196,19 +197,13 @@ def _compact_split_sm(mesh: Mesh, kpp: int, k_new: int, do_split: bool):
     sspec = _sspec()
 
     def compact(st, accum):
-        sort_key = (~st.path_alive[0]).astype(jnp.int32)
-        lane = jnp.arange(st.pixel.shape[1], dtype=jnp.int32)
-        _, perm = jax.lax.sort_key_val(sort_key, lane)
-        head, tail = perm[:k_new], perm[k_new:]
-        new = PathState(*(jnp.take(getattr(st, f), head, axis=1)
-                          for f in PathState._fields))
-        drop_pix = jnp.take(st.pixel[0], tail) // kpp
-        drop_rad = jnp.take(st.radiance_sum, tail, axis=1)
-        order = jnp.argsort(drop_pix)
-        flushed = jax.ops.segment_sum(
-            jnp.take(drop_rad, order, axis=1).T, drop_pix[order],
-            num_segments=accum.shape[2], indices_are_sorted=True)
-        accum = accum + flushed.T[None]
+        # Shared multi-operand-sort compactor (persistent._compact_core).
+        # tail_sorted=False: a shard's lane->pixel map is interleaved
+        # row-blocks with wrap padding, not globally ascending.
+        new, acc2 = _compact_core(
+            st, accum[0], k_new=k_new, lanes_per_pixel=kpp,
+            tail_sorted=False)
+        accum = acc2[None]
         if do_split:
             new = _split(new)
         return new, accum

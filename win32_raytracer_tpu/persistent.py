@@ -245,36 +245,62 @@ def _grid_size(n_alive: int, min_lanes: int) -> int:
     return max(min_lanes, _next_pow2(n_alive))
 
 
-@functools.partial(jax.jit, static_argnames=("k_new", "lanes_per_pixel"))
-def _compact(st: PathState, accum: jnp.ndarray, *, k_new: int,
-             lanes_per_pixel: int = 1):
+def _compact_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
+                  lanes_per_pixel: int = 1, tail_sorted: bool = False):
     """Keep the live lanes (alive-first stable sort) in a [k_new] batch;
     flush ONLY the dropped lanes' radiance into the device accumulator.
 
-    Cost profile on the target runtime (measured at 3.84M lanes): the sort
-    itself is cheap (~9 ms); the 17-row gather is the bulk (~35 ns/lane);
-    scatter-add is ~27 ns/element, so flushing everything (~315 ms) would
-    triple the cost — survivors keep accumulating in place and only the
-    dropped tail (contiguous after the sort) is scattered out.  Device-side
-    throughout: the relay's device->host path is ~12 MB/s
-    (docs/axon_runtime_notes.md)."""
-    sort_key = (~st.path_alive[0]).astype(jnp.int32)
-    lane = jnp.arange(st.pixel.shape[1], dtype=jnp.int32)
-    _, perm = jax.lax.sort_key_val(sort_key, lane)
+    Cost profile on the target runtime (measured at 3.84M lanes,
+    bench/tpu_jobs 140/150): one multi-operand ``lax.sort`` carrying every
+    state row costs ~93 ms where the old sort-perm + 11 separate
+    ``jnp.take`` gathers cost ~420 ms — XLA's TPU gather is ~4x worse
+    than moving the same bytes through the sort network, and the sorted
+    output hands us the dropped tail for free.  Scatter-add is
+    ~27 ns/element, so flushing everything would triple the cost —
+    survivors keep accumulating in place and only the dropped tail is
+    segment-summed out.
 
-    head, tail = perm[:k_new], perm[k_new:]
-    new = PathState(*(jnp.take(getattr(st, f), head, axis=1)
-                      for f in PathState._fields))
+    ``tail_sorted``: promise that ``st.pixel`` is ascending (true above
+    the compaction floor: chunks start pixel-identity and the stable sort
+    preserves survivor order; _split's clone concat breaks it).  Then the
+    dropped tail is ascending too and the flush needs no argsort."""
+    key = (~st.path_alive[0]).astype(jnp.int32)
+    ops = [key]
+    row_fields = []  # (field, n_rows) in operand order
+    for f in PathState._fields:
+        if f == "path_alive":
+            continue  # recovered from the sorted key
+        arr = getattr(st, f)
+        row_fields.append((f, arr.shape[0]))
+        ops.extend(arr[i] for i in range(arr.shape[0]))
+    out = jax.lax.sort(tuple(ops), dimension=0, num_keys=1, is_stable=True)
+    key_s, rest = out[0], list(out[1:])
+
+    cols = {}
+    for f, rows_n in row_fields:
+        cols[f] = rest[:rows_n]
+        rest = rest[rows_n:]
+    new = PathState(*(
+        (key_s[:k_new] == 0)[None] if f == "path_alive"
+        else jnp.stack([r[:k_new] for r in cols[f]])
+        for f in PathState._fields))
+
     # Dropped lanes are all dead (k_new >= n_alive): radiance is final.
-    # Flush via sort + sorted segment-sum — measured ~1.5x cheaper than
-    # XLA scatter-add at these sizes.
-    drop_pix = jnp.take(st.pixel[0], tail) // lanes_per_pixel
-    drop_rad = jnp.take(st.radiance_sum, tail, axis=1)
-    order = jnp.argsort(drop_pix)
+    drop_pix = cols["pixel"][0][k_new:] // lanes_per_pixel
+    drop_rad = jnp.stack([r[k_new:] for r in cols["radiance_sum"]])
+    if not tail_sorted:
+        order = jnp.argsort(drop_pix)
+        drop_pix = drop_pix[order]
+        drop_rad = jnp.take(drop_rad, order, axis=1)
     flushed = jax.ops.segment_sum(
-        jnp.take(drop_rad, order, axis=1).T, drop_pix[order],
+        drop_rad.T, drop_pix,
         num_segments=accum.shape[1], indices_are_sorted=True)
     return new, accum + flushed.T
+
+
+_compact = functools.partial(
+    jax.jit, static_argnames=("k_new", "lanes_per_pixel", "tail_sorted"),
+)(_compact_core)
 
 
 @jax.jit
@@ -500,10 +526,14 @@ def render_image_persistent(
                 continue
             # Compact on a >=30% shrink (above the floor shrinking the
             # batch is the whole point — steps are compute-bound).
+            # tail_sorted: chunks start pixel-identity and every
+            # above-floor compaction preserves ascending pixel order
+            # (stable sort, no clone concat yet).
             k_new = _grid_size(n_alive, min_lanes)
             if k_new <= int(cur * _COMPACT_SHRINK):
                 st, accum = _compact(st, accum, k_new=k_new,
-                                     lanes_per_pixel=kpp)
+                                     lanes_per_pixel=kpp,
+                                     tail_sorted=True)
         # Flush this chunk's remaining radiance into the accumulator.
         accum = accum.at[:, st.pixel[0] // kpp].add(st.radiance_sum)
 
