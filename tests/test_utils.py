@@ -45,6 +45,50 @@ def test_checkpoint_resume_identical_image(tmp_path):
     np.testing.assert_array_equal(img_resumed, img_full)
 
 
+def test_checkpoint_resume_persistent_pass_level(tmp_path):
+    """The production scheduler checkpoints at pass granularity (VERDICT
+    round-1 item 4: config-3-shaped work through scheduler='persistent',
+    killed and resumed, must byte-match an uninterrupted run)."""
+    scene = make_test_scene()
+    cfg = RenderConfig(width=24, height=12, samples=32, seed=6,
+                       backend="jnp", scheduler="persistent",
+                       russian_roulette=True, stratify=True)
+    ck = str(tmp_path / "p.ckpt.npz")
+    img_full = render_with_checkpoints(scene, None, cfg, ck, passes=2)
+    assert img_full is not None
+
+    ck2 = str(tmp_path / "p_partial.ckpt.npz")
+    partial = render_with_checkpoints(scene, None, cfg, ck2, passes=2,
+                                      max_passes_per_run=1)
+    assert partial is None
+    img_resumed = render_with_checkpoints(scene, None, cfg, ck2, passes=2)
+    np.testing.assert_array_equal(img_resumed, img_full)
+
+
+def test_checkpoint_resume_persistent_chunk_level(tmp_path):
+    """Mid-pass (row-chunk) resume on the persistent scheduler: kill after
+    one chunk of a multi-chunk pass, resume, byte-match."""
+    scene = make_test_scene()
+    cfg = RenderConfig(width=32, height=16, samples=16, seed=9,
+                       backend="jnp", scheduler="persistent",
+                       rays_per_chunk=32 * 4 * 4)  # 4-row chunks, kpp=4
+    ck = str(tmp_path / "c.ckpt.npz")
+    img_full = render_with_checkpoints(scene, None, cfg, ck, passes=1)
+    assert img_full is not None
+
+    ck2 = str(tmp_path / "c_partial.ckpt.npz")
+    partial = render_with_checkpoints(scene, None, cfg, ck2, passes=1,
+                                      max_chunks_per_run=2)
+    assert partial is None
+    state = load_checkpoint(ck2)
+    assert state is not None
+    assert state[2]["chunk_accum"] is not None  # mid-pass state persisted
+    assert state[2]["chunk_y0"] > 0
+    img_resumed = render_with_checkpoints(scene, None, cfg, ck2, passes=1,
+                                          chunk_checkpoints=True)
+    np.testing.assert_array_equal(img_resumed, img_full)
+
+
 def test_checkpoint_config_mismatch(tmp_path):
     scene = make_test_scene()
     cfg = RenderConfig(width=16, height=8, samples=4, seed=1, backend="jnp",

@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--perf-test", action="store_true")
     p.add_argument("--perf-file", default="perf.txt",
                    help="timing file written in perf mode (Game.cpp:187-191)")
+    p.add_argument("--checkpoint", default="",
+                   help="checkpoint file for resumable rendering (.npz); "
+                        "an interrupted render resumes from it")
+    p.add_argument("--passes", type=int, default=10,
+                   help="resumable passes for --checkpoint (must divide "
+                        "samples)")
     p.add_argument("--russian-roulette", action="store_true",
                    help="enable RR path termination (extension; the "
                         "reference never terminates diffuse paths early)")
@@ -120,8 +126,26 @@ def main(argv=None) -> int:
         mesh = make_mesh(args.devices)
         log(f"mesh: {mesh.devices.size} device(s)")
 
-    t0 = time.perf_counter()
-    result = render(args.scene, cfg=cfg, mesh=mesh, shard_mode=args.shard_mode)
+    if args.checkpoint:
+        # Resumable render (SURVEY §5 checkpoint gap: the reference only
+        # ever persists out.bmp, Game.cpp:104).
+        from .scene.builders import get_scene
+        from .utils.checkpoint import render_with_checkpoints
+        t0 = time.perf_counter()
+        img = render_with_checkpoints(get_scene(args.scene), None, cfg,
+                                      args.checkpoint, passes=args.passes)
+        dur = (time.perf_counter() - t0) * 1e3
+        if img is None:
+            log("checkpoint budget exhausted; rerun to resume")
+            return 0
+        from .api import RenderResult
+        rays = cfg.width * cfg.height * cfg.samples
+        result = RenderResult(image=img, duration_ms=dur, config=cfg,
+                              mrays_per_sec=rays / (dur / 1e3) / 1e6)
+    else:
+        t0 = time.perf_counter()
+        result = render(args.scene, cfg=cfg, mesh=mesh,
+                        shard_mode=args.shard_mode)
     log(f"render duration: {result.duration_ms:.0f} ms "
         f"({result.mrays_per_sec:.2f} Mrays/s primary)")
 

@@ -331,8 +331,23 @@ def render_image_persistent(
     cam: Optional[Camera],
     cfg: RenderConfig,
     hit_fn=None,
+    resume_accum: Optional[jnp.ndarray] = None,
+    resume_y0: int = 0,
+    chunk_callback=None,
 ) -> jnp.ndarray:
-    """Render the full image; returns linear radiance [H, W, 3] f32."""
+    """Render the full image; returns linear radiance [H, W, 3] f32.
+
+    Checkpoint/resume hooks (the reference persists only out.bmp,
+    Game.cpp:104 — long renders here can persist partial work):
+
+    * ``chunk_callback(accum, next_y0)`` fires after each row-chunk's
+      radiance is flushed; ``accum`` is the running [3, H*W] f32 device
+      accumulator and ``next_y0`` the first unrendered row.
+    * ``resume_accum`` / ``resume_y0`` continue a render from a saved
+      (accum, next_y0) pair.  Per-chunk RNG salts depend only on
+      (seed, y0), so a resumed render is bit-identical to an
+      uninterrupted one.
+    """
     if cam is None:
         cam = default_camera(cfg.width, cfg.height)
     hit_coeffs_v7 = None
@@ -376,9 +391,13 @@ def render_image_persistent(
     max_steps = (quota + 1) * (cfg.max_depth + 2)
     min_lanes = 1 << 12
 
-    accum = jnp.zeros((3, h * w), jnp.float32)  # rows, like the state
+    if resume_accum is not None:
+        accum = jnp.asarray(resume_accum, jnp.float32)
+        assert accum.shape == (3, h * w), accum.shape
+    else:
+        accum = jnp.zeros((3, h * w), jnp.float32)  # rows, like the state
 
-    for y0 in range(0, h, rows):
+    for y0 in range(resume_y0, h, rows):
         take = min(rows, h - y0)
         n = take * w * kpp
         salt = np.uint32((seed * 0x9E3779B1 ^ (y0 + 1) * 0x85EBCA77)
@@ -536,5 +555,7 @@ def render_image_persistent(
                                      tail_sorted=True)
         # Flush this chunk's remaining radiance into the accumulator.
         accum = accum.at[:, st.pixel[0] // kpp].add(st.radiance_sum)
+        if chunk_callback is not None:
+            chunk_callback(accum, y0 + take)
 
     return (accum / spp).T.reshape(h, w, 3)

@@ -1,13 +1,26 @@
 """Checkpoint / resume for long high-spp renders.
 
 The reference has none (SURVEY.md §5: a render runs start-to-finish and
-only ``out.bmp`` persists), but its tile decomposition was already
-resumable-shaped (``RenderResult::imageParts``).  Here the natural unit is
-the per-pixel linear sample accumulator: a render is split into passes of
-``samples/passes`` spp each; after every pass the running radiance sum and
-pass count go to an ``.npz``, and a restarted render continues from there.
-Pass RNG keys derive from (seed, pass index), so a resumed render produces
-exactly the image an uninterrupted one would.
+only ``out.bmp`` persists, Game.cpp:104), but its tile decomposition was
+already resumable-shaped (``RenderResult::imageParts``).  Two granularities
+here:
+
+* **Pass level** (both schedulers): a render is split into ``passes`` of
+  ``samples/passes`` spp each; after every pass the running radiance sum
+  and pass count go to an ``.npz``.  Pass RNG seeds derive from
+  (seed, pass index), so a resumed render produces exactly the image an
+  uninterrupted (checkpointed) one would.
+* **Chunk level** (persistent scheduler): within a pass, the production
+  scheduler renders row-chunks (persistent.py driver); after each chunk
+  the [3, H*W] device accumulator and the next row index are persisted
+  too, so even a single-pass 4K render resumes mid-image.  Per-chunk RNG
+  salts depend only on (seed, y0) — resume is bit-exact.
+
+Fetch-cost note: every save pulls the accumulator device->host through
+the relay's ~12 MB/s device->host path (docs/axon_runtime_notes.md) —
+~8 MB per pass at 4K for the f64 pass accumulator, plus ~100 MB per
+chunk save at 4K for the f32 chunk accumulator.  Chunk-level saves are
+therefore opt-in via ``chunk_checkpoints=True``.
 """
 
 from __future__ import annotations
@@ -23,29 +36,55 @@ from ..render import render_image, tonemap
 from ..scene.camera import Camera, default_camera
 from ..scene.spheres import SphereScene
 
-_FORMAT = 1
+_FORMAT = 2
+
+
+class _Budget(Exception):
+    """Internal: raised by the chunk callback when the chunk budget for
+    this invocation is exhausted (after saving the checkpoint)."""
 
 
 def load_checkpoint(path: str):
-    """Returns (accumulator [H,W,3] f64, passes_done, meta dict) or None."""
+    """Returns (accumulator [H,W,3] f64, passes_done, meta dict) or None.
+
+    ``meta`` additionally carries ``chunk_accum`` ([3, H*W] f32 or None)
+    and ``chunk_y0`` for a mid-pass persistent-scheduler checkpoint.
+    """
     if not os.path.exists(path):
         return None
     with np.load(path, allow_pickle=False) as z:
-        if int(z["format"]) != _FORMAT:
+        if int(z["format"]) not in (1, _FORMAT):
             raise ValueError(f"unsupported checkpoint format {z['format']}")
         meta = dict(width=int(z["width"]), height=int(z["height"]),
                     samples=int(z["samples"]), seed=int(z["seed"]),
-                    passes=int(z["passes"]))
+                    passes=int(z["passes"]),
+                    chunk_accum=None, chunk_y0=0)
+        if int(z["format"]) >= 2 and z["chunk_accum"].size:
+            meta["chunk_accum"] = np.asarray(z["chunk_accum"], np.float32)
+            meta["chunk_y0"] = int(z["chunk_y0"])
         return np.asarray(z["accum"], np.float64), int(z["passes_done"]), meta
 
 
 def _save(path: str, accum: np.ndarray, passes_done: int,
-          cfg: RenderConfig, passes: int) -> None:
+          cfg: RenderConfig, passes: int,
+          chunk_accum: Optional[np.ndarray] = None,
+          chunk_y0: int = 0) -> None:
     tmp = path + ".tmp.npz"  # ends in .npz so np.savez won't rename it
     np.savez(tmp, format=_FORMAT, accum=accum, passes_done=passes_done,
              width=cfg.width, height=cfg.height, samples=cfg.samples,
-             seed=cfg.seed, passes=passes)
+             seed=cfg.seed, passes=passes,
+             chunk_accum=(np.zeros(0, np.float32) if chunk_accum is None
+                          else chunk_accum),
+             chunk_y0=chunk_y0)
     os.replace(tmp, path)  # atomic publish
+
+
+def _resolve_scheduler(cfg: RenderConfig, spp_pass: int) -> str:
+    """Mirror render.render's auto rule, on the PER-PASS spp."""
+    if cfg.scheduler != "auto":
+        return cfg.scheduler
+    return ("persistent"
+            if spp_pass >= 8 and not cfg.deterministic else "wavefront")
 
 
 def render_with_checkpoints(
@@ -56,23 +95,36 @@ def render_with_checkpoints(
     passes: int = 10,
     hit_fn=None,
     max_passes_per_run: Optional[int] = None,
+    chunk_checkpoints: bool = False,
+    max_chunks_per_run: Optional[int] = None,
 ) -> Optional[np.ndarray]:
     """Render ``cfg.samples`` spp in ``passes`` resumable passes.
 
+    Honors ``cfg.scheduler`` (auto resolves per pass like render.render),
+    so the production persistent scheduler is checkpointable — closing
+    the round-1 gap where only the wavefront path could resume.
+
     Returns the u8 image once all passes are done; the checkpoint holds
-    partial sums until then.  ``max_passes_per_run`` bounds how many passes
-    this invocation performs (time-budgeted rendering); if the render is
-    still incomplete afterwards, returns None — call again to resume.
+    partial sums until then.  ``max_passes_per_run`` bounds how many
+    passes this invocation performs; ``chunk_checkpoints`` additionally
+    saves after every row-chunk on the persistent path (mid-pass
+    resume), and ``max_chunks_per_run`` bounds chunks per invocation
+    (implies chunk_checkpoints).  If the render is still incomplete
+    afterwards, returns None — call again to resume.
     """
     if cfg.samples % passes:
         raise ValueError(f"samples ({cfg.samples}) must divide into "
                          f"passes ({passes})")
+    if max_chunks_per_run is not None:
+        chunk_checkpoints = True
     if cam is None:
         cam = default_camera(cfg.width, cfg.height)
-    if hit_fn is None:
+    spp_pass = cfg.samples // passes
+    scheduler = _resolve_scheduler(cfg, spp_pass)
+
+    if hit_fn is None and scheduler == "wavefront":
         from ..kernels.dispatch import get_hit_fn
         hit_fn = get_hit_fn(cfg)
-    spp_pass = cfg.samples // passes
 
     state = load_checkpoint(checkpoint_path)
     if state is not None:
@@ -81,17 +133,52 @@ def render_with_checkpoints(
                 meta["passes"]) != (cfg.width, cfg.height, cfg.samples,
                                     cfg.seed, passes):
             raise ValueError("checkpoint does not match this render config")
+        chunk_accum, chunk_y0 = meta["chunk_accum"], meta["chunk_y0"]
     else:
         accum = np.zeros((cfg.height, cfg.width, 3), np.float64)
         done = 0
+        chunk_accum, chunk_y0 = None, 0
 
     end = passes if max_passes_per_run is None else min(
         passes, done + max_passes_per_run)
+    chunks_left = [max_chunks_per_run] if max_chunks_per_run else [None]
+
     for p in range(done, end):
         pass_cfg = cfg.replace(samples=spp_pass,
                                seed=cfg.seed * 1000003 + p)
-        linear = np.asarray(render_image(scene, cam, pass_cfg,
-                                         hit_fn=hit_fn), np.float64)
+        if scheduler == "persistent":
+            from ..persistent import render_image_persistent
+            resume_kw = {}
+            if chunk_accum is not None:
+                resume_kw = dict(resume_accum=chunk_accum,
+                                 resume_y0=chunk_y0)
+                chunk_accum, chunk_y0 = None, 0
+
+            def on_chunk(acc, next_y0, _p=p, _cfg=pass_cfg):
+                if next_y0 >= _cfg.height:
+                    return  # final chunk: the pass-level save handles it
+                if chunk_checkpoints:
+                    _save(checkpoint_path, accum, _p, cfg, passes,
+                          chunk_accum=np.asarray(acc, np.float32),
+                          chunk_y0=next_y0)
+                if chunks_left[0] is not None:
+                    chunks_left[0] -= 1
+                    if chunks_left[0] <= 0:
+                        raise _Budget()
+
+            try:
+                linear = np.asarray(
+                    render_image_persistent(
+                        scene, cam, pass_cfg, hit_fn=hit_fn,
+                        chunk_callback=(on_chunk if chunk_checkpoints
+                                        else None),
+                        **resume_kw),
+                    np.float64)
+            except _Budget:
+                return None  # chunk budget exhausted; checkpoint saved
+        else:
+            linear = np.asarray(render_image(scene, cam, pass_cfg,
+                                             hit_fn=hit_fn), np.float64)
         accum += linear * spp_pass
         _save(checkpoint_path, accum, p + 1, cfg, passes)
     if end < passes:
