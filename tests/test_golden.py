@@ -103,6 +103,31 @@ def test_statistical_test_scene():
     assert diff.mean() < 4.0, f"mean diff {diff.mean()}"
 
 
+def test_statistical_random_scene():
+    """The FULL 488-sphere RTIOW random scene (moving lambertians + mixed
+    materials at depth 10) against the native oracle — round-1 VERDICT
+    item 5a: the complete production render path had no oracle comparison
+    at any resolution.  Different RNG streams, same distribution."""
+    cfg = RenderConfig(width=96, height=64, samples=16, seed=11)
+    from win32_raytracer_tpu.scene.builders import random_scene
+    scene = random_scene()
+    from win32_raytracer_tpu.scene.camera import default_camera
+    cam = default_camera(cfg.width, cfg.height)
+    ours = render(scene, cam=cam, cfg=cfg)
+    focus = float(np.linalg.norm(np.array([15.0, 2, 4]) - np.array([0.0, 1, 0])))
+    ref = oracle.oracle_render(scene, (15, 2, 4), (0, 1, 0), (0, 1, 0),
+                               20.0, 0.1, focus, cfg)
+    diff = np.abs(ours.astype(float) - ref.astype(float))
+    # Monte-Carlo noise at 16 spp after sqrt-tonemap: a few u8 steps
+    # (measures ~3-4 when correct; a wrong material/motion path is >>10).
+    assert diff.mean() < 6.0, f"mean diff {diff.mean()}"
+    # Spatial structure must agree too, not just the global mean.
+    a = ours.astype(float).reshape(-1) - ours.mean()
+    b = ref.astype(float).reshape(-1) - ref.mean()
+    r = float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
+    assert r > 0.97, f"structural correlation {r:.4f}"
+
+
 def test_reference_lane_truncation_quirk_documented():
     """The reference's AVX loop drops size%8 trailing spheres
     (RayTracer.cpp:432-434): with the 6-sphere test scene that is *all* of
