@@ -229,11 +229,12 @@ def _resolve_kpp(cfg: RenderConfig, spp: int) -> int:
 # full-size steps on a ~50%-dead batch (~1.9 s of dead-lane sweeps).
 _COMPACT_QUANTUM = 1 << 18   # 256k lanes
 # Compact when the quantized live-lane batch would shrink below this
-# fraction of the current batch (larger = compact more eagerly; 0.55
-# measured best vs 0.70/0.80 at the headline config with the v6 kernel:
-# a compaction costs ~0.2 s at 3.84M lanes, a dead full-batch lane-step
-# ~6 ns).
-_COMPACT_SHRINK = 0.55
+# fraction of the current batch (larger = compact more eagerly).  Round 1
+# measured 0.55 best when a compaction cost ~0.5 s (perm + 11 gathers);
+# with the multisort compactor (~0.17 s at 3.84M) eager wins: 0.82 beats
+# 0.70 beats 0.55 (interleaved headline medians 2.30 / 2.40 / 2.46 s,
+# bench/tpu_jobs 190).
+_COMPACT_SHRINK = 0.82
 _COMPACT_FLOOR = 1 << 19     # below this, steps are dispatch-bound: never
                              # compact (it costs more than it saves)
 
