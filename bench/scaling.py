@@ -27,7 +27,7 @@ def main():
                     help="WxHxSPP (reference sweep unit)")
     ap.add_argument("--scene", default="random")
     ap.add_argument("--devices", default="1,2,4,8")
-    ap.add_argument("--mode", default="rows", choices=["rows", "spp"])
+    ap.add_argument("--mode", default="rows", choices=["rows", "spp", "persistent"])
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
 

@@ -1,0 +1,134 @@
+"""Triangle Morton-tile grid (tri_accel.py + kernels/tri_grid_rows.py).
+
+Exactness contract: the accelerated sweep must match the brute jnp
+oracle (ops/hit_tri.hit_triangles) on every ray — the mask is
+conservative, so only the cross-tile tie rule may differ (measure-zero;
+these meshes have none)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from win32_raytracer_tpu.ops.hit_tri import hit_triangles
+from win32_raytracer_tpu.scene.triangles import (
+    box_mesh, build_triangle_scene, icosphere_mesh)
+from win32_raytracer_tpu.tri_accel import (
+    build_tri_grid, hit_triangles_grid_jnp, tri_block_mask_rows)
+from win32_raytracer_tpu.kernels.tri_grid_rows import hit_triangles_grid_rows
+
+
+def _mesh(subdiv=3):
+    v1, f1 = icosphere_mesh((0.0, 1.0, 0.0), 1.0, subdivisions=subdiv)
+    v2, f2 = box_mesh((2.0, 0.4, 0.5), (0.8, 0.8, 0.8))
+    verts = np.concatenate([v1, v2], axis=0)
+    faces = np.concatenate([f1, f2 + len(v1)], axis=0)
+    return build_triangle_scene(verts, faces)
+
+
+def _rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    o = np.asarray(rng.uniform(-4, 4, (3, n)), np.float32)
+    d = np.asarray(rng.normal(size=(3, n)), np.float32)
+    tm = np.zeros((1, n), np.float32)
+    return jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm)
+
+
+def test_build_tri_grid_structure():
+    scene = _mesh(3)  # 1292 active tris
+    grid = build_tri_grid(scene, tile_rows=64)
+    assert grid is not None
+    assert grid.n_tiles == -(-int(np.asarray(scene.active).sum()) // 64)
+    boxes = np.asarray(grid.tile_boxes)
+    assert (boxes[:, 1] >= boxes[:, 0]).all()
+    # Morton tiling keeps tiles spatially compact: the mean tile box
+    # diagonal must be far below the scene diagonal.
+    diag = np.linalg.norm(boxes[:, 1::2] - boxes[:, 0::2], axis=1)
+    sbox = np.asarray(grid.scene_box)
+    sdiag = np.linalg.norm(sbox[1::2] - sbox[0::2])
+    assert diag.mean() < 0.45 * sdiag
+    # every active triangle appears exactly once
+    idxs = np.asarray(grid.tile_attrs)[:, -2]  # _T_IDX column
+    ones = np.asarray(grid.tile_attrs)[:, -1]
+    real = idxs[np.asarray(grid.tile_attrs)[:, 3:9].any(axis=1)]
+    assert len(np.unique(real)) == int(np.asarray(scene.active).sum())
+    assert (ones == 1.0).all()
+
+
+def test_small_mesh_declines():
+    scene = _mesh(1)  # 92 tris: below min_tris
+    assert build_tri_grid(scene) is None
+
+
+def test_mask_is_conservative_and_grid_jnp_exact():
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    o, d, tm = _rays(1024, seed=3)
+    ref = hit_triangles(scene, np.asarray(o).T, np.asarray(d).T,
+                        np.asarray(tm)[0])
+    t_g, g = hit_triangles_grid_jnp(grid, o, d, tm, ray_block=256)
+    ref_t = np.asarray(ref.t)
+    got_t = np.asarray(t_g)[0]
+    np.testing.assert_allclose(got_t, ref_t, rtol=1e-5)
+    hit = np.asarray(ref.hit)
+    got_idx = np.asarray(g)[-2]
+    assert (got_idx[hit] == np.asarray(ref.idx)[hit]).all()
+
+
+def test_mask_tightens_with_t_cap():
+    """The mask is BLOCK-granular, so tightening shows on coherent rays
+    (clustered origins, like primary blocks or post-compaction pixel
+    neighborhoods), not on uniformly scattered ones."""
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    rng = np.random.default_rng(5)
+    n = 512
+    o = jnp.asarray(np.float32(
+        np.array([[4.0], [1.0], [0.0]])
+        + rng.normal(0, 0.05, (3, n))))        # cluster right of the mesh
+    d = jnp.asarray(np.float32(
+        np.array([[-1.0], [0.0], [0.0]]) + rng.normal(0, 0.1, (3, n))))
+    open_mask = tri_block_mask_rows(grid, o, d, None, 0.001, 256)
+    # cap at t=0.2: segments end ~3.8 units before the icosphere
+    capped = tri_block_mask_rows(
+        grid, o, d, jnp.full((1, n), 0.2, jnp.float32), 0.001, 256)
+    assert int(open_mask.sum()) > 0
+    assert int(capped.sum()) < int(open_mask.sum())
+    # capped mask is a subset of the open mask
+    assert bool(((capped == 1) <= (open_mask == 1)).all())
+
+
+def test_grid_kernel_interpret_matches_oracle():
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    o, d, tm = _rays(512, seed=7)
+    ref = hit_triangles(scene, np.asarray(o).T, np.asarray(d).T,
+                        np.asarray(tm)[0])
+    rec = hit_triangles_grid_rows(grid, o, d, tm, ray_block=256,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(rec.hit)[0],
+                                  np.asarray(ref.hit))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(rec.t)[0][hit],
+                               np.asarray(ref.t)[hit], rtol=1e-5)
+    assert (np.asarray(rec.idx)[0][hit] == np.asarray(ref.idx)[hit]).all()
+    np.testing.assert_allclose(np.asarray(rec.normal)[:, hit],
+                               np.asarray(ref.normal).T[:, hit],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_grid_kernel_t_cap_never_drops_nearer_hits():
+    """With t_cap from a fake occluder pass, every tri hit NEARER than
+    the cap must survive."""
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    o, d, tm = _rays(512, seed=9)
+    ref = hit_triangles(scene, np.asarray(o).T, np.asarray(d).T,
+                        np.asarray(tm)[0])
+    cap = jnp.full((1, 512), 2.0, jnp.float32)
+    rec = hit_triangles_grid_rows(grid, o, d, tm, ray_block=256,
+                                  interpret=True, t_cap=cap)
+    ref_t = np.asarray(ref.t)
+    near = np.asarray(ref.hit) & (ref_t < 2.0)
+    np.testing.assert_allclose(np.asarray(rec.t)[0][near], ref_t[near],
+                               rtol=1e-5)

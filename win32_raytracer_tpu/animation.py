@@ -46,6 +46,21 @@ def orbit_path(
     return cams
 
 
+def _auto_batch_frames(cfg: RenderConfig) -> int:
+    """Frames per persistent batch: frame batching amortizes the
+    scheduler tail, the alive-check syncs, and the dispatch floor over
+    all frames in a batch.  The budget is 2x the normal ray chunk (state
+    is ~76 B/lane, so 8M lanes is ~0.6 GB of HBM — cheap next to the
+    per-frame fixed costs it removes); frames beyond the budget would
+    split into multiple chunks and amortize nothing extra."""
+    from .persistent import _resolve_kpp
+
+    kpp = _resolve_kpp(cfg, cfg.samples)
+    per_frame = cfg.width * cfg.height * kpp
+    budget = max(cfg.rays_per_chunk, 1 << 23)
+    return max(1, min(8, budget // max(1, per_frame)))
+
+
 def render_animation(
     scene,
     cameras: Sequence[Camera],
@@ -54,17 +69,67 @@ def render_animation(
     mesh=None,
     shard_mode: str = "rows",
     frame_callback: Optional[Callable[[int, np.ndarray, float], None]] = None,
+    batch_frames: int = 0,
 ) -> List[np.ndarray]:
     """Render one image per camera; optionally write ``out_pattern % i``
     (e.g. ``"fly_%04d.png"``) and/or invoke ``frame_callback(i, img, ms)``.
 
-    Frame seeds derive from (cfg.seed, frame index) so animations are
+    Frame seeds derive from (cfg.seed, batch index) so animations are
     reproducible and frames decorrelated.
+
+    ``batch_frames`` (0 = auto): on the single-device persistent
+    scheduler, render this many frames per BATCH — the whole group runs
+    as one virtual tall image (persistent.py multi-frame contract), so
+    per-frame fixed costs amortize.  1 disables batching (and is the
+    only mode for mesh or wavefront renders).
     """
+    cfg = cfg or RenderConfig()
+    scheduler = cfg.scheduler
+    if scheduler == "auto":
+        scheduler = ("persistent"
+                     if cfg.samples >= 8 and not cfg.deterministic
+                     else "wavefront")
+    if batch_frames <= 0:
+        batch_frames = (_auto_batch_frames(cfg)
+                        if mesh is None and scheduler == "persistent" else 1)
+
+    def emit(i, img, ms):
+        if out_pattern:
+            from .io.image import write_image
+            os.makedirs(os.path.dirname(out_pattern) or ".", exist_ok=True)
+            write_image(out_pattern % i, img)
+        if frame_callback:
+            frame_callback(i, img, ms)
+
+    frames: List[np.ndarray] = []
+    if batch_frames > 1:
+        from .persistent import render_image_persistent
+        from .render import tonemap
+
+        from .persistent import _resolve_kpp
+
+        per_frame = cfg.width * cfg.height * _resolve_kpp(cfg, cfg.samples)
+        cameras = list(cameras)
+        for b0 in range(0, len(cameras), batch_frames):
+            group = cameras[b0:b0 + batch_frames]
+            # One chunk per batch: chunking the virtual tall image would
+            # reintroduce the per-chunk tail the batching exists to kill.
+            fcfg = cfg.replace(
+                seed=cfg.seed * 1000003 + b0,
+                rays_per_chunk=max(cfg.rays_per_chunk,
+                                   len(group) * per_frame))
+            t0 = time.perf_counter()
+            linear = render_image_persistent(scene, group, fcfg)
+            imgs = [np.asarray(tonemap(linear[i]))
+                    for i in range(len(group))]
+            ms = (time.perf_counter() - t0) * 1e3 / len(group)
+            for i, img in enumerate(imgs):
+                frames.append(img)
+                emit(b0 + i, img, ms)
+        return frames
+
     from .api import render as _render
 
-    cfg = cfg or RenderConfig()
-    frames = []
     for i, cam in enumerate(cameras):
         fcfg = cfg.replace(seed=cfg.seed * 1000003 + i)
         t0 = time.perf_counter()
@@ -72,10 +137,5 @@ def render_animation(
                       shard_mode=shard_mode)
         ms = (time.perf_counter() - t0) * 1e3
         frames.append(res.image)
-        if out_pattern:
-            from .io.image import write_image
-            os.makedirs(os.path.dirname(out_pattern) or ".", exist_ok=True)
-            write_image(out_pattern % i, res.image)
-        if frame_callback:
-            frame_callback(i, res.image, ms)
+        emit(i, res.image, ms)
     return frames

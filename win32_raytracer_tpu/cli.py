@@ -70,6 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--perf-test", action="store_true")
     p.add_argument("--perf-file", default="perf.txt",
                    help="timing file written in perf mode (Game.cpp:187-191)")
+    p.add_argument("--animate", type=int, default=0, metavar="N",
+                   help="render an N-frame orbit flythrough (frames "
+                        "batched through the persistent scheduler); "
+                        "--out becomes the frame pattern")
+    p.add_argument("--orbit-radius", type=float, default=16.0,
+                   help="camera orbit radius for --animate")
+    p.add_argument("--batch-frames", type=int, default=0,
+                   help="frames per persistent batch for --animate "
+                        "(0 = auto)")
     p.add_argument("--checkpoint", default="",
                    help="checkpoint file for resumable rendering (.npz); "
                         "an interrupted render resumes from it")
@@ -125,6 +134,40 @@ def main(argv=None) -> int:
         from .parallel.shard import make_mesh
         mesh = make_mesh(args.devices)
         log(f"mesh: {mesh.devices.size} device(s)")
+
+    if args.animate:
+        # Flythrough (BASELINE config 5; the interactive-shell analogue of
+        # Game.cpp:140-270's Tick loop, batched the TPU way).
+        import os as _os
+        from .animation import orbit_path, render_animation
+        from .scene.builders import get_scene
+        root, ext = _os.path.splitext(args.out)
+        pattern = f"{root}_%04d{ext or '.png'}"
+        cams = orbit_path(n_frames=args.animate,
+                          radius=args.orbit_radius,
+                          aspect_ratio=cfg.width / cfg.height)
+        t0 = time.perf_counter()
+        frames = render_animation(get_scene(args.scene), cams, cfg,
+                                  out_pattern=pattern, mesh=mesh,
+                                  shard_mode=args.shard_mode,
+                                  batch_frames=args.batch_frames)
+        dt = time.perf_counter() - t0
+        fps = len(frames) / dt
+        log(f"{len(frames)} frames in {dt:.2f}s = {fps:.2f} fps "
+            f"({cfg.width * cfg.height * cfg.samples * len(frames) / dt / 1e6:.1f}"
+            " Mrays/s primary)")
+        log(f"wrote {pattern % 0} .. {pattern % (len(frames) - 1)}")
+        if perf_mode:
+            with open(args.perf_file, "w") as f:
+                f.write(f"{dt * 1e3:.0f}\n")
+            print(json.dumps({
+                "metric": "flythrough fps",
+                "value": round(fps, 3), "unit": "fps",
+                "wall_ms": round(dt * 1e3, 1),
+                "config": f"{cfg.width}x{cfg.height}@{cfg.samples}spp "
+                          f"x{len(frames)} frames scene={args.scene}",
+            }))
+        return 0
 
     if args.checkpoint:
         # Resumable render (SURVEY §5 checkpoint gap: the reference only

@@ -25,9 +25,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
 from ..ops.hit import ATTR_COLS
+from ..scene.camera import Camera
 from .hit_pallas_v7 import _fit_ray_block, hit_sky_values
 from .scatter_pallas import (
-    CAM_ROWS, kernel_draws, pack_camera, scatter_respawn_values,
+    CAM_ROWS, kernel_draws, pack_camera, pack_cameras,
+    scatter_respawn_values,
 )
 
 DEFAULT_RAY_BLOCK_BOUNCE = 2048
@@ -100,7 +102,7 @@ def _bounce_raw(sp, mb, mc, attrs, cam_rows,
         num_scalar_prefetch=1,
         grid=(n // ray_block,),
         in_specs=[whole(s, k), whole(s, k), whole(s, ATTR_COLS),
-                  whole(CAM_ROWS, 1),
+                  whole(CAM_ROWS, cam_rows.shape[1]),
                   rowspec(3), rowspec(3), rowspec(1), rowspec(3),
                   rowspec(3), rowspec(1), rowspec(1), rowspec(1),
                   rowspec(1), rowspec(1), rowspec(1)],
@@ -154,7 +156,10 @@ def p_bounce_fused(coeffs, cam, st, salt, step_i, *, cfg: RenderConfig,
     salt_bits = jax.lax.bitcast_convert_type(
         jnp.asarray(salt, jnp.uint32), jnp.int32)
     sp = jnp.stack([salt_bits, jnp.asarray(step_i, jnp.int32)])
-    cam_rows = pack_camera(cam)
+    cam_rows = (pack_cameras(cam)
+                if isinstance(cam, (list, tuple))
+                and not isinstance(cam, Camera)
+                else pack_camera(cam))
     o, d, tm, thr, rad, dep, smp, alv = _bounce_raw(
         sp, mb, mc, attrs, cam_rows,
         st_in.origin, st_in.direction, st_in.time, st_in.throughput,

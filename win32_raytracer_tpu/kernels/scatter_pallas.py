@@ -70,6 +70,12 @@ def pack_camera(cam: Camera) -> jnp.ndarray:
     ]).reshape(CAM_ROWS, 1)
 
 
+def pack_cameras(cams) -> jnp.ndarray:
+    """[CAM_ROWS, F] camera matrix for multi-frame batches (one column
+    per animation frame; scatter_respawn_values selects per lane)."""
+    return jnp.concatenate([pack_camera(c) for c in cams], axis=1)
+
+
 def kernel_draws(sp_ref, r: int):
     """In-kernel core.rng.hash_uniform01 with GLOBAL lane counters — the
     draws are bit-identical to the jnp step's (and need no pltpu PRNG,
@@ -111,10 +117,24 @@ def scatter_respawn_values(
     by the standalone scatter kernel and the fused bounce kernel.
 
     Returns (origin, direction, time, throughput, depth, sample, alive) —
-    all new-state rows."""
+    all new-state rows.
 
-    def cam_row(k):
-        return cam_ref[k:k + 1, 0:1]                  # [1, 1] broadcasts
+    ``cam_ref`` is [CAM_ROWS, F]: F == 1 renders one frame; F > 1 renders
+    F animation frames in ONE batch (pixel-lane ids span a virtual
+    F*height image; persistent._respawn_core's multi-frame contract) and
+    the camera is selected per lane by frame id."""
+    n_frames = cam_ref.shape[1]
+    if n_frames == 1:
+        def cam_row(k):
+            return cam_ref[k:k + 1, 0:1]              # [1, 1] broadcasts
+    else:
+        fid_all = pix // jnp.int32(kpp * width * height)   # [1, R]
+
+        def cam_row(k):
+            v = cam_ref[k:k + 1, 0:1]
+            for f in range(1, n_frames):
+                v = jnp.where(fid_all == f, cam_ref[k:k + 1, f:f + 1], v)
+            return v
 
     def dot3(ax, ay, az, bx, by, bz):
         return ax * bx + ay * by + az * bz
@@ -261,6 +281,8 @@ def scatter_respawn_values(
     pix = pix_ref[0:1] // kpp
     ypix = pix // width
     xpix = pix % width
+    if n_frames > 1:
+        ypix = ypix - fid_all * height  # virtual row -> frame-local row
     u = (xpix.astype(jnp.float32) + u_j) * np.float32(1.0 / width)
     v = ((height - ypix).astype(jnp.float32) + v_j) * np.float32(1.0 / height)
 
@@ -345,8 +367,8 @@ def _scatter_respawn_pallas_raw(
         return pl.BlockSpec((rows, ray_block), lambda i, s: (0, i),
                             memory_space=pltpu.VMEM)
 
-    cam_spec = pl.BlockSpec((CAM_ROWS, 1), lambda i, s: (0, 0),
-                            memory_space=pltpu.VMEM)
+    cam_spec = pl.BlockSpec((CAM_ROWS, cam_rows.shape[1]),
+                            lambda i, s: (0, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
@@ -379,14 +401,18 @@ def _scatter_respawn_pallas_raw(
 def scatter_respawn_pallas(scene, cam, st, rec, salt, step_i, *,
                            cfg: RenderConfig, width: int, height: int,
                            spp: int, lanes_per_pixel: int = 1,
+                           n_frames: int = 1,
                            ray_block: int = DEFAULT_RAY_BLOCK_SCAT,
                            interpret: bool = False):
     """Drop-in replacement for persistent.p_scatter_respawn_step.
 
-    ``scene`` is accepted (and ignored) for signature parity.  The batch
+    ``scene`` is accepted (and ignored) for signature parity, and so is
+    ``n_frames`` — the kernel derives the frame count from the packed
+    camera width (pass a camera LIST for multi-frame batches).  The batch
     must be a multiple of ``ray_block`` (the scheduler's sizes are); other
     sizes are padded with dead zero-quota lanes.
     """
+    del n_frames
     from ..persistent import PathState
 
     n = st.origin.shape[1]
@@ -400,7 +426,10 @@ def scatter_respawn_pallas(scene, cam, st, rec, salt, step_i, *,
     salt_bits = jax.lax.bitcast_convert_type(
         jnp.asarray(salt, jnp.uint32), jnp.int32)
     sp = jnp.stack([salt_bits, jnp.asarray(step_i, jnp.int32)])
-    cam_rows = pack_camera(cam)
+    cam_rows = (pack_cameras(cam)
+                if isinstance(cam, (list, tuple))
+                and not isinstance(cam, Camera)
+                else pack_camera(cam))
     o, d, tm, thr, dep, smp, alv = _scatter_respawn_pallas_raw(
         sp, cam_rows, st.origin, st.direction, st.time, st.throughput,
         st.depth, st.sample, st.pixel, st.path_alive.astype(jnp.int32),

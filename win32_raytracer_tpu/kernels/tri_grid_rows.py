@@ -1,0 +1,193 @@
+"""Pallas TPU grid-accelerated triangle kernel, lane-major in and out.
+
+The triangle twin of kernels/hit_grid_rows.py: a scalar-prefetched
+per-ray-block schedule (active Morton tiles, from tri_accel's
+conservative block mask) drives a fori_loop that Möller-Trumbore-sweeps
+ONLY the scheduled tiles, with the winner carried as (t, attribute rows)
+and merged via the one-hot MXU gather whose extra ones-column returns the
+per-lane "this tile won" flag.
+
+At bunny scale (BASELINE config 4: >=10k triangles) the brute MXU sweep
+(tri_pallas_mxu.py) does T/128 matmul tiles per ray block regardless of
+geometry; here a block pays only for tiles its rays' t-segments can
+reach, and a composite scene's sphere pass caps t so occluded tiles drop
+out too.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import MIN_HIT_T
+from ..ops.hit import F32_MAX
+from ..ops.hit_tri import (
+    TRI_ATTR_COLS, _T_E1X, _T_E2X, _T_MAT, _T_ALR, _T_ALB, _T_FUZZ,
+    _T_IOR, _T_IDX,
+)
+from ..ops.rows import HitRecordRows
+from ..tri_accel import (
+    TRI_GRID_COLS, TriGridScene, _sweep_tile_rows, tri_block_mask_rows,
+)
+
+DEFAULT_TRI_GRID_RAY_BLOCK = 2048
+# SMEM holds the double-buffered [NB, 1+T] i32 schedule; cap a single
+# pallas_call's block count so it stays under budget and split the batch
+# into segments above that (the driver's batches are pipelined anyway).
+_SMEM_BUDGET = 640 * 1024
+
+
+def _tri_grid_kernel(sched_ref, rays_ref, attrs_ref, t_ref, g_ref,
+                     *, st, min_t):
+    """sched [NB, 1+T] i32 (SMEM): col 0 = active count, cols 1.. = active
+    tile ids ascending; rays [6, R] (o rows 0-2, d rows 3-5); attrs
+    [T*St, 17] VMEM-resident; outputs t [1, R], winner rows [17, R]."""
+    i = pl.program_id(0)
+    t_ref[:, :] = jnp.full_like(t_ref[:, :], F32_MAX)
+    g_ref[:, :] = jnp.zeros_like(g_ref[:, :])
+
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    def body(j, carry):
+        tid = sched_ref[i, 1 + j]
+        tl = attrs_ref[pl.ds(tid * st, st), :]            # [St, 17]
+        t = _sweep_tile_rows(tl, ox, oy, oz, dx, dy, dz, min_t)
+
+        tile_t = jnp.min(t, axis=0, keepdims=True)        # [1, R]
+        better = tile_t < t_ref[:, :]
+        eq = t == tile_t
+        sub = jax.lax.broadcasted_iota(
+            jnp.int32, t.shape, 0).astype(jnp.float32)
+        big = jnp.float32(st + 1)
+        winner = jnp.min(jnp.where(eq, sub, big), axis=0, keepdims=True)
+        onehot = ((sub == winner) & better).astype(jnp.float32)
+
+        delta = jax.lax.dot_general(
+            tl, onehot,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [17, R]
+        flag = delta[TRI_ATTR_COLS:TRI_ATTR_COLS + 1, :]
+        g_ref[:, :] = g_ref[:, :] * (1.0 - flag) + delta
+        t_ref[:, :] = jnp.where(better, tile_t, t_ref[:, :])
+        return carry
+
+    jax.lax.fori_loop(0, sched_ref[i, 0], body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles", "st", "min_t", "ray_block",
+                              "interpret"))
+def _tri_grid_raw(rays6, tile_attrs, mask, *, n_tiles, st, min_t,
+                  ray_block, interpret=False):
+    n = rays6.shape[1]
+    nb = n // ray_block
+    kernel = functools.partial(_tri_grid_kernel, st=st, min_t=min_t)
+    t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    key = jnp.where(mask > 0, t_ids, n_tiles + t_ids)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    count = jnp.sum(mask > 0, axis=1, dtype=jnp.int32)
+    sched = jnp.concatenate([count[:, None], order], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((6, ray_block), lambda i, m: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles * st, TRI_GRID_COLS), lambda i, m: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ray_block), lambda i, m: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TRI_GRID_COLS, ray_block), lambda i, m: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((TRI_GRID_COLS, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sched, rays6, tile_attrs)
+
+
+def hit_triangles_grid_rows(
+    grid: TriGridScene,
+    origin: jnp.ndarray,     # [3, N]
+    direction: jnp.ndarray,  # [3, N]
+    time: jnp.ndarray,       # [1, N] (unused: meshes are static)
+    min_t: float = MIN_HIT_T,
+    ray_block: int = DEFAULT_TRI_GRID_RAY_BLOCK,
+    interpret: bool = False,
+    t_cap: Optional[jnp.ndarray] = None,
+) -> HitRecordRows:
+    """Drop-in rows hit function for TriGridScene.  ``t_cap`` [1, N] (a
+    nearer hit from another pass) tightens the block mask."""
+    del time
+    n = origin.shape[1]
+    pad = (-n) % ray_block
+    o, d = origin, direction
+    if pad:
+        # Park filler rays below everything with an empty footprint.
+        o = jnp.pad(o, ((0, 0), (0, pad))).at[1, n:].set(-1e9)
+        d = jnp.pad(d, ((0, 0), (0, pad))).at[2, n:].set(1.0)
+        if t_cap is not None:
+            t_cap = jnp.pad(t_cap, ((0, 0), (0, pad)))
+
+    mask = tri_block_mask_rows(grid, o, d, t_cap, float(min_t), ray_block)
+    rays6 = jnp.concatenate([o, d], axis=0)
+
+    # Segment the batch so the SMEM-resident schedule fits (see module
+    # doc); segments pipeline like any other dispatches.
+    np_ = o.shape[1]
+    nb = np_ // ray_block
+    per_seg = max(1, _SMEM_BUDGET // ((1 + grid.n_tiles) * 4 * 2))
+    outs_t, outs_g = [], []
+    for b0 in range(0, nb, per_seg):
+        b1 = min(nb, b0 + per_seg)
+        sl = slice(b0 * ray_block, b1 * ray_block)
+        t_o, g_o = _tri_grid_raw(
+            rays6[:, sl], grid.tile_attrs, mask[b0:b1],
+            n_tiles=grid.n_tiles, st=grid.tile_rows, min_t=float(min_t),
+            ray_block=ray_block, interpret=interpret)
+        outs_t.append(t_o)
+        outs_g.append(g_o)
+    t_out = jnp.concatenate(outs_t, axis=1) if len(outs_t) > 1 else outs_t[0]
+    g = jnp.concatenate(outs_g, axis=1) if len(outs_g) > 1 else outs_g[0]
+
+    hit = t_out < F32_MAX
+    t_safe = jnp.where(hit, t_out, 0.0)
+    point = o + t_safe * d
+    e1 = g[_T_E1X:_T_E1X + 3]
+    e2 = g[_T_E2X:_T_E2X + 3]
+    gx = e1[1:2] * e2[2:3] - e1[2:3] * e2[1:2]
+    gy = e1[2:3] * e2[0:1] - e1[0:1] * e2[2:3]
+    gz = e1[0:1] * e2[1:2] - e1[1:2] * e2[0:1]
+    norm = jnp.sqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
+    normal = jnp.concatenate([gx, gy, gz], axis=0) / norm
+    rec = HitRecordRows(
+        hit=hit, t=t_out, point=point, normal=normal,
+        idx=g[_T_IDX:_T_IDX + 1].astype(jnp.int32),
+        mat_id=g[_T_MAT:_T_MAT + 1].astype(jnp.int32),
+        albedo=g[_T_ALR:_T_ALB + 1],
+        fuzz=g[_T_FUZZ:_T_FUZZ + 1], ior=g[_T_IOR:_T_IOR + 1],
+    )
+    if pad:
+        rec = HitRecordRows(*(x[:, :n] for x in rec))
+    return rec

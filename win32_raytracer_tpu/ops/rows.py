@@ -109,16 +109,22 @@ def sample_unit_ball_rows(u: jnp.ndarray) -> jnp.ndarray:
 def camera_rays_rows(cam: Camera, u: jnp.ndarray, v: jnp.ndarray,
                      draws: jnp.ndarray):
     """Rows version of scene.camera.camera_rays: u/v [1, N], draws [3, N]
-    -> (origin [3, N], direction [3, N], time [1, N])."""
+    -> (origin [3, N], direction [3, N], time [1, N]).
+
+    Camera vector fields may be [3] (one camera) or pre-broadcast [3, N]
+    row operands (per-lane cameras, persistent multi-frame batching)."""
+    def col(f):
+        return f[:, None] if f.ndim == 1 else f
+
     time = cam.shutter_open + (cam.shutter_close - cam.shutter_open) * draws[0:1]
     r = jnp.sqrt(draws[1:2]) * cam.lens_radius
     theta = (2.0 * jnp.pi) * draws[2:3]
-    offset = (cam.right_axis[:, None] * (r * jnp.cos(theta))
-              + cam.up_axis[:, None] * (r * jnp.sin(theta)))
-    origin = cam.origin[:, None] + offset
-    direction = (cam.lower_left_corner[:, None]
-                 + u * cam.horizontal[:, None]
-                 + v * cam.vertical[:, None]
+    offset = (col(cam.right_axis) * (r * jnp.cos(theta))
+              + col(cam.up_axis) * (r * jnp.sin(theta)))
+    origin = col(cam.origin) + offset
+    direction = (col(cam.lower_left_corner)
+                 + u * col(cam.horizontal)
+                 + v * col(cam.vertical)
                  - origin)
     return origin, direction, time
 

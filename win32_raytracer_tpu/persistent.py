@@ -111,18 +111,47 @@ def _stratify_grid(spp: int) -> tuple:
 
 def _respawn_core(cam: Camera, st: PathState, salt: jnp.ndarray,
                   step_i: jnp.ndarray, *, cfg: RenderConfig, width: int,
-                  height: int, spp: int, lanes_per_pixel: int = 1
-                  ) -> PathState:
+                  height: int, spp: int, lanes_per_pixel: int = 1,
+                  n_frames: int = 1) -> PathState:
     """Start the next camera sample on every lane whose path just ended.
 
     With ``lanes_per_pixel`` K > 1, each pixel's spp samples are split over
     K replica lanes (quota spp//K each) — K-fold fewer sequential steps for
-    hard pixels at identical total work."""
+    hard pixels at identical total work.
+
+    With ``n_frames`` F > 1, the batch renders F frames of an animation at
+    once (pixel-lane ids span a virtual F*height image; lane frame =
+    row // height) and ``cam`` is a frame-stacked Camera (every field with
+    a leading [F] axis).  Batching frames amortizes the scheduler tail,
+    the alive-check syncs, and the dispatch floor over F frames — the
+    wavefront answer to "interactive-rate small renders" (the reference's
+    Tick loop, Game.cpp:140-270, draws one frame at a time because a CPU
+    has no batch dimension to waste)."""
     n = st.pixel.shape[1]
     kpp = lanes_per_pixel
     pix = st.pixel // kpp
-    y = pix // width
+    y_virt = pix // width
     x = pix % width
+    if n_frames > 1:
+        fid = y_virt // height
+        y = y_virt - fid * height
+        # Per-lane camera: unrolled select over the (static, small) frame
+        # count — [F]-leading camera fields become [.., N] row operands
+        # that camera_rays_rows broadcasts like scalars.
+        def sel(field):
+            field = jnp.asarray(field, jnp.float32)
+            if field.ndim == 2:           # [F, 3] vector -> [3, N]
+                v = field[0][:, None]
+                for f in range(1, n_frames):
+                    v = jnp.where(fid == f, field[f][:, None], v)
+            else:                         # [F] scalar -> [1, N]
+                v = jnp.broadcast_to(field[0], fid.shape)
+                for f in range(1, n_frames):
+                    v = jnp.where(fid == f, field[f], v)
+            return v
+        cam = Camera(*(sel(getattr(cam, f)) for f in cam._fields))
+    else:
+        y = y_virt
 
     start = ~st.path_alive & (st.sample < st.s_quota - 1)
     new_sample = jnp.where(start, st.sample + 1, st.sample)
@@ -160,17 +189,18 @@ p_hit_step = functools.partial(jax.jit, static_argnames=("cfg", "hit_fn"))(_hit_
 p_scatter_step = functools.partial(jax.jit, static_argnames=("cfg",))(_scatter_core)
 p_respawn_step = functools.partial(
     jax.jit, static_argnames=("cfg", "width", "height", "spp",
-                              "lanes_per_pixel"))(_respawn_core)
+                              "lanes_per_pixel", "n_frames"))(_respawn_core)
 
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "width", "height", "spp",
-                              "lanes_per_pixel"))
+                              "lanes_per_pixel", "n_frames"))
 def p_scatter_respawn_step(scene: SphereScene, cam: Camera, st: PathState,
                            rec, salt: jnp.ndarray,
                            step_i: jnp.ndarray, *, cfg: RenderConfig,
                            width: int, height: int, spp: int,
-                           lanes_per_pixel: int = 1) -> PathState:
+                           lanes_per_pixel: int = 1,
+                           n_frames: int = 1) -> PathState:
     """Scatter + respawn in ONE dispatch (pure row arithmetic, no Pallas —
     XLA fuses it cleanly, unlike the pallas+epilogue fusion note below).
     Halves the non-hit dispatch count; the tail of a render is dispatch-
@@ -178,16 +208,17 @@ def p_scatter_respawn_step(scene: SphereScene, cam: Camera, st: PathState,
     st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
     return _respawn_core(cam, st, salt, step_i, cfg=cfg, width=width,
                          height=height, spp=spp,
-                         lanes_per_pixel=lanes_per_pixel)
+                         lanes_per_pixel=lanes_per_pixel, n_frames=n_frames)
 
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "hit_fn", "width", "height", "spp",
-                              "lanes_per_pixel"))
+                              "lanes_per_pixel", "n_frames"))
 def p_bounce_step(scene: SphereScene, cam: Camera, st: PathState,
                   salt: jnp.ndarray, step_i: jnp.ndarray, *, cfg: RenderConfig,
                   hit_fn, width: int, height: int,
-                  spp: int, lanes_per_pixel: int = 1) -> PathState:
+                  spp: int, lanes_per_pixel: int = 1,
+                  n_frames: int = 1) -> PathState:
     """Fused hit + scatter + respawn in one dispatch.
 
     NOT used by the driver: measured interleaved against the split
@@ -199,7 +230,37 @@ def p_bounce_step(scene: SphereScene, cam: Camera, st: PathState,
     # Respawn draws decorrelate via their purpose tag (hash_uniform01).
     return _respawn_core(cam, st, salt, step_i, cfg=cfg, width=width,
                          height=height, spp=spp,
-                         lanes_per_pixel=lanes_per_pixel)
+                         lanes_per_pixel=lanes_per_pixel, n_frames=n_frames)
+
+
+# Bounces per tail multi-step program (lax.fori_loop inside one jit):
+# fewer dispatches through the ~3 ms relay floor.  Kept small — remote
+# compile cost grows super-linearly with program size (runtime notes
+# rule 5; an 11-bounce program took minutes).
+_MULTI_K = 4
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "hit_fn", "width", "height", "spp",
+                              "lanes_per_pixel", "n_frames", "k"))
+def p_bounce_multi_step(scene: SphereScene, cam: Camera, st: PathState,
+                        salt: jnp.ndarray, step0: jnp.ndarray, *,
+                        cfg: RenderConfig, hit_fn, width: int, height: int,
+                        spp: int, lanes_per_pixel: int = 1,
+                        n_frames: int = 1, k: int = _MULTI_K) -> PathState:
+    """``k`` full bounces in ONE dispatch (tail economics: below the
+    compaction floor the render is dispatch-bound).  ``step0`` is the
+    step index of the FIRST bounce; draws are bit-identical to ``k``
+    successive p_bounce_step calls at steps step0..step0+k-1."""
+    def body(i, st):
+        step_i = step0 + i
+        rec, st = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
+        st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
+        return _respawn_core(cam, st, salt, step_i, cfg=cfg, width=width,
+                             height=height, spp=spp,
+                             lanes_per_pixel=lanes_per_pixel,
+                             n_frames=n_frames)
+    return jax.lax.fori_loop(0, k, body, st)
 
 
 def _next_pow2(x: int) -> int:
@@ -231,10 +292,10 @@ _COMPACT_QUANTUM = 1 << 18   # 256k lanes
 # Compact when the quantized live-lane batch would shrink below this
 # fraction of the current batch (larger = compact more eagerly).  Round 1
 # measured 0.55 best when a compaction cost ~0.5 s (perm + 11 gathers);
-# with the multisort compactor (~0.17 s at 3.84M) eager wins: 0.82 beats
-# 0.70 beats 0.55 (interleaved headline medians 2.30 / 2.40 / 2.46 s,
-# bench/tpu_jobs 190).
-_COMPACT_SHRINK = 0.82
+# with the multisort compactor (~0.17 s at 3.84M) eager wins: medians
+# 2.46 (0.55) / 2.40 (0.70) / 2.30-2.35 (0.82-0.95, flat) s interleaved
+# at the headline config (bench/tpu_jobs 190/210).
+_COMPACT_SHRINK = 0.90
 _COMPACT_FLOOR = 1 << 19     # below this, steps are dispatch-bound: never
                              # compact (it costs more than it saves)
 
@@ -348,7 +409,17 @@ def render_image_persistent(
       (accum, next_y0) pair.  Per-chunk RNG salts depend only on
       (seed, y0), so a resumed render is bit-identical to an
       uninterrupted one.
+
+    Multi-frame batching: pass a LIST of cameras as ``cam`` to render
+    len(cam) animation frames in ONE batch (virtual image of height
+    F*height; scheduler tail, alive-check syncs, and the dispatch floor
+    amortize over all frames).  Returns [F, H, W, 3].
     """
+    cams = None
+    n_frames = 1
+    if isinstance(cam, (list, tuple)) and not isinstance(cam, Camera):
+        cams = list(cam)
+        n_frames = len(cams)
     if cam is None:
         cam = default_camera(cfg.width, cfg.height)
     hit_coeffs_v7 = None
@@ -357,7 +428,8 @@ def render_image_persistent(
         # scatter/respawn steps ignore scene fields so the swap is free.
         from .kernels.dispatch import _resolve_backend, get_hit_fn_rows_accel
         from .scene.spheres import SphereScene
-        scene, hit_fn = get_hit_fn_rows_accel(cfg, scene, cam)
+        scene, hit_fn = get_hit_fn_rows_accel(
+            cfg, scene, cams[0] if cams else cam)
         if (_resolve_backend(cfg) == "pallas"
                 and isinstance(scene, SphereScene)
                 and cfg.hit_kernel in ("auto", "v7")):
@@ -367,13 +439,23 @@ def render_image_persistent(
             from .kernels.hit_pallas_v7 import hit_coeffs
             hit_coeffs_v7 = hit_coeffs(scene)
     w, h, spp = cfg.width, cfg.height, cfg.samples
+    h_virt = h * n_frames  # multi-frame: frames stack as a taller image
+    if cams is not None:
+        # XLA steps consume a frame-stacked Camera ([F]-leading fields);
+        # Mosaic kernels take the camera list (packed to [CAM_ROWS, F]).
+        cam_x = Camera(*(jnp.stack([jnp.asarray(getattr(c, f), jnp.float32)
+                                    for c in cams])
+                         for f in Camera._fields))
+        cam_m = cams
+    else:
+        cam_x = cam_m = cam
     # Replica lanes per pixel: fewer sequential steps for hard pixels.
     kpp = _resolve_kpp(cfg, spp)
-    rows = max(1, min(h, cfg.rays_per_chunk // max(1, w * kpp)))
+    rows = max(1, min(h_virt, cfg.rays_per_chunk // max(1, w * kpp)))
     # Prefer a chunk that is a multiple of the v7 kernel's 2048-lane
     # block: shaving a few rows is free, padding inside the hit step is
     # not (XLA pad/slice around the pallas call).
-    if rows < h:
+    if rows < h_virt:
         for r in range(rows, max(0, rows - 64), -1):
             if (r * w * kpp) % 2048 == 0:
                 rows = r
@@ -394,12 +476,12 @@ def render_image_persistent(
 
     if resume_accum is not None:
         accum = jnp.asarray(resume_accum, jnp.float32)
-        assert accum.shape == (3, h * w), accum.shape
+        assert accum.shape == (3, h_virt * w), accum.shape
     else:
-        accum = jnp.zeros((3, h * w), jnp.float32)  # rows, like the state
+        accum = jnp.zeros((3, h_virt * w), jnp.float32)  # rows, like state
 
-    for y0 in range(resume_y0, h, rows):
-        take = min(rows, h - y0)
+    for y0 in range(resume_y0, h_virt, rows):
+        take = min(rows, h_virt - y0)
         n = take * w * kpp
         salt = np.uint32((seed * 0x9E3779B1 ^ (y0 + 1) * 0x85EBCA77)
                          & 0xFFFFFFFF)
@@ -418,9 +500,9 @@ def render_image_persistent(
             s_quota=jnp.full((1, n), quota, jnp.int32),
         )
         step = 0
-        st = p_respawn_step(cam, st, salt, jnp.int32(step), cfg=cfg,
+        st = p_respawn_step(cam_x, st, salt, jnp.int32(step), cfg=cfg,
                             width=w, height=h, spp=spp,
-                            lanes_per_pixel=kpp)
+                            lanes_per_pixel=kpp, n_frames=n_frames)
         period = check_period
         last_alive = n
 
@@ -435,9 +517,17 @@ def render_image_persistent(
             sb = "jnp"
         if sb == "pallas" and _resolve_backend(cfg) == "pallas":
             from .kernels.scatter_pallas import scatter_respawn_pallas
-            scat_step = scatter_respawn_pallas
+
+            def scat_step(scene_, st_, rec_, salt_, step_i_):
+                return scatter_respawn_pallas(
+                    scene_, cam_m, st_, rec_, salt_, step_i_, cfg=cfg,
+                    width=w, height=h, spp=spp, lanes_per_pixel=kpp)
         else:
-            scat_step = p_scatter_respawn_step
+            def scat_step(scene_, st_, rec_, salt_, step_i_):
+                return p_scatter_respawn_step(
+                    scene_, cam_x, st_, rec_, salt_, step_i_, cfg=cfg,
+                    width=w, height=h, spp=spp, lanes_per_pixel=kpp,
+                    n_frames=n_frames)
 
         # Single-kernel bounce (hit+sky+scatter+respawn in one Mosaic
         # program).  "auto" = on where v7 runs: measured interleaved at
@@ -463,24 +553,35 @@ def render_image_persistent(
 
         def do_steps(st, k, step):
             cur = st.pixel.shape[1]
-            fuse = cur < _COMPACT_FLOOR  # dispatch-bound: 1 program/bounce
+            # Tail regime (<= floor): XLA programs beat Mosaic dispatches
+            # (at 524288: 4.6 vs 9.0 ms/bounce; bench/tpu_jobs 200 — the
+            # boundary itself belongs to XLA).  Multi-bounce programs
+            # (fori_loop over MULTI_K bounces) shave the dispatch floor
+            # another ~10-25% at tail sizes.
+            fuse = cur <= _COMPACT_FLOOR
+            if fuse and k >= _MULTI_K:
+                while k >= _MULTI_K:
+                    st = p_bounce_multi_step(
+                        scene, cam_x, st, salt, jnp.int32(step + 1),
+                        cfg=cfg, hit_fn=hit_fn, width=w, height=h,
+                        spp=spp, lanes_per_pixel=kpp, n_frames=n_frames,
+                        k=_MULTI_K)
+                    step += _MULTI_K
+                    k -= _MULTI_K
             for _ in range(k):
                 step += 1
                 if fuse:
-                    # Tail: one XLA program per bounce.  Measured 2.5x
-                    # FASTER than the Mosaic fused kernel at tail sizes
-                    # (0.30 vs 0.77-1.14 s tail at 320x200@64) — small
-                    # pallas dispatches carry more fixed cost than small
-                    # XLA programs on this runtime.
-                    st = p_bounce_step(scene, cam, st, salt, jnp.int32(step),
+                    st = p_bounce_step(scene, cam_x, st, salt,
+                                       jnp.int32(step),
                                        cfg=cfg, hit_fn=hit_fn, width=w,
                                        height=h, spp=spp,
-                                       lanes_per_pixel=kpp)
+                                       lanes_per_pixel=kpp,
+                                       n_frames=n_frames)
                 elif fused_bounce is not None:
                     # The whole bounce as ONE Mosaic program (state rows
                     # cross HBM once; kernels/bounce_pallas.py).
                     st = fused_bounce(
-                        hit_coeffs_v7, cam, st, salt, jnp.int32(step),
+                        hit_coeffs_v7, cam_m, st, salt, jnp.int32(step),
                         cfg=cfg, width=w, height=h, spp=spp,
                         lanes_per_pixel=kpp)
                 else:
@@ -495,10 +596,7 @@ def render_image_persistent(
                     else:
                         rec, st = p_hit_step(scene, st, cfg=cfg,
                                              hit_fn=hit_fn)
-                    st = scat_step(
-                        scene, cam, st, rec, salt, jnp.int32(step),
-                        cfg=cfg, width=w, height=h, spp=spp,
-                        lanes_per_pixel=kpp)
+                    st = scat_step(scene, st, rec, salt, jnp.int32(step))
             return st, step
 
         while step < max_steps:
@@ -559,4 +657,7 @@ def render_image_persistent(
         if chunk_callback is not None:
             chunk_callback(accum, y0 + take)
 
-    return (accum / spp).T.reshape(h, w, 3)
+    out = (accum / spp).T.reshape(h_virt, w, 3)
+    if cams is not None:
+        return out.reshape(n_frames, h, w, 3)
+    return out

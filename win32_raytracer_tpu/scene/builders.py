@@ -83,10 +83,14 @@ def random_scene(seed: int = 666, pad_to: int = LANE_PAD) -> SphereScene:
     return b.build(pad_to)
 
 
-def mesh_scene(pad_to: int = LANE_PAD):
+def mesh_scene(pad_to: int = LANE_PAD, subdivisions: int = 2):
     """Demo composite scene (extension): diffuse ground + hero spheres plus
     a metal icosphere mesh and a glass box mesh (BASELINE.json config 4 —
-    the triangle path; load real assets with scene.triangles.load_obj)."""
+    the triangle path; load real assets with scene.triangles.load_obj).
+
+    ``subdivisions`` sets the icosphere density: 2 -> 320 tris (the
+    round-1 demo), 5 -> 20480 tris (bunny-class; rendered through the
+    Morton-tile grid, tri_accel.py)."""
     import numpy as np
     from .composite import CompositeScene
     from .triangles import box_mesh, build_triangle_scene, icosphere_mesh
@@ -97,7 +101,7 @@ def mesh_scene(pad_to: int = LANE_PAD):
     b.add_dielectric((2.5, 1.0, -1.0), 1.0, 1.5)
     spheres = b.build(pad_to)
 
-    v1, f1 = icosphere_mesh((0.0, 1.0, 0.0), 1.0, subdivisions=2)
+    v1, f1 = icosphere_mesh((0.0, 1.0, 0.0), 1.0, subdivisions=subdivisions)
     v2, f2 = box_mesh((0.0, 0.35, 2.2), (0.7, 0.7, 0.7))
     verts = np.concatenate([v1, v2], axis=0)
     faces = np.concatenate([f1, f2 + len(v1)], axis=0)
@@ -115,6 +119,9 @@ SCENES = {
     "random": random_scene,
     "final": random_scene,  # alias: RTIOW "final scene"
     "mesh": mesh_scene,
+    # Bunny-class mesh (20480-tri icosphere + glass box + spheres):
+    # BASELINE config 4 at the scale it was written for.
+    "mesh20k": lambda pad_to=LANE_PAD: mesh_scene(pad_to, subdivisions=5),
 }
 
 
