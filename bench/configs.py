@@ -65,7 +65,10 @@ def run_config(idx: int, scale: float, platform: str, obj: str = ""):
                 triangles=build_triangle_scene(v, f))
             label = f"mesh {obj} ({len(f)} tris)"
         else:
-            scene, label = mesh_scene(), "mesh demo (icosphere+box)"
+            # Bunny-class mesh (BASELINE config 4 as written: >=10k tris),
+            # rendered through the Morton-tile grid (tri_accel.py).
+            scene = mesh_scene(subdivisions=5)
+            label = "mesh20k (20480-tri icosphere + box + spheres)"
         cfg = RenderConfig(width=sc(800), height=sc(450), samples=sc(50),
                            seed=3)
     elif idx == 5:

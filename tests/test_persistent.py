@@ -37,6 +37,81 @@ def test_persistent_sample_accounting():
     assert np.abs(lin - lin_w).mean() < 0.02
 
 
+def test_compact_receiver_redistribution_conserves_samples():
+    """_compact with n_receivers: per-pixel remaining-sample totals and
+    radiance are conserved exactly; receivers are dead lanes that adopted
+    donor pixels with sample=-1."""
+    import jax.numpy as jnp
+    from win32_raytracer_tpu.persistent import PathState, _compact
+
+    rng = np.random.default_rng(7)
+    n, kpp, quota = 4096, 4, 25
+    hw = n // kpp
+    alive = rng.uniform(size=n) < 0.4
+    sample = rng.integers(0, quota, n).astype(np.int32)
+    sample[~alive] = quota - 1  # dead lanes exhausted their quota
+    st = PathState(
+        origin=jnp.asarray(rng.normal(size=(3, n)), jnp.float32),
+        direction=jnp.asarray(rng.normal(size=(3, n)), jnp.float32),
+        time=jnp.zeros((1, n), jnp.float32),
+        throughput=jnp.ones((3, n), jnp.float32),
+        radiance_sum=jnp.asarray(rng.uniform(size=(3, n)), jnp.float32),
+        depth=jnp.zeros((1, n), jnp.int32),
+        sample=jnp.asarray(sample[None]),
+        pixel=jnp.arange(n, dtype=jnp.int32)[None],
+        path_alive=jnp.asarray(alive[None]),
+        s_base=jnp.asarray((np.arange(n) % kpp * quota)[None], jnp.int32),
+        s_quota=jnp.full((1, n), quota, jnp.int32),
+    )
+    accum = jnp.zeros((3, hw), jnp.float32)
+    k_new, n_recv = 3072, 1024
+
+    def remaining_per_pixel(stt):
+        # unstarted samples after the current one, per pixel
+        rem = np.maximum(
+            np.asarray(stt.s_quota[0]) - 1 - np.asarray(stt.sample[0]), 0)
+        out = np.zeros(hw)
+        np.add.at(out, np.asarray(stt.pixel[0]) // kpp, rem)
+        return out
+
+    before = remaining_per_pixel(st)
+    new, acc = _compact(st, accum, k_new=k_new, lanes_per_pixel=kpp,
+                        tail_sorted=True, n_receivers=n_recv)
+    after = remaining_per_pixel(new)
+    np.testing.assert_array_equal(after, before)
+    # radiance conservation: accum + surviving radiance == original total
+    tot0 = float(np.asarray(st.radiance_sum).sum())
+    tot1 = float(np.asarray(acc).sum() + np.asarray(new.radiance_sum).sum())
+    np.testing.assert_allclose(tot1, tot0, rtol=1e-5)
+    # receivers: dead, fresh, and their radiance rows are zeroed
+    r0 = k_new - n_recv
+    assert not np.asarray(new.path_alive[0, r0:]).any()
+    assert (np.asarray(new.sample[0, r0:]) == -1).all()
+    assert (np.asarray(new.radiance_sum[:, r0:]) == 0.0).all()
+    # at 40% alive there IS real work to adopt
+    assert int(np.asarray(new.s_quota[0, r0:]).sum()) > 0
+
+
+def test_persistent_render_with_redistribution_statistics():
+    """End-to-end render with receivers active at tiny thresholds must
+    match the wavefront render statistically."""
+    import win32_raytracer_tpu.persistent as P
+
+    scene = make_test_scene()
+    cfg = RenderConfig(width=32, height=16, samples=32, seed=3,
+                       backend="jnp", rays_per_chunk=1 << 13)
+    old_floor, old_min = P._COMPACT_FLOOR, P._RECV_MIN
+    try:
+        P._COMPACT_FLOOR = 256   # force the above-floor path at toy sizes
+        P._RECV_MIN = 64
+        lin = np.asarray(render_image_persistent(scene, None, cfg))
+    finally:
+        P._COMPACT_FLOOR, P._RECV_MIN = old_floor, old_min
+    lin_w = np.asarray(render_image(scene, None, cfg))
+    assert np.isfinite(lin).all()
+    assert np.abs(lin - lin_w).mean() < 0.03
+
+
 def test_persistent_scheduler_selected_by_auto():
     scene = make_test_scene()
     cfg = RenderConfig(width=32, height=16, samples=16, seed=2,

@@ -308,7 +308,8 @@ def _grid_size(n_alive: int, min_lanes: int) -> int:
 
 
 def _compact_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
-                  lanes_per_pixel: int = 1, tail_sorted: bool = False):
+                  lanes_per_pixel: int = 1, tail_sorted: bool = False,
+                  n_receivers: int = 0):
     """Keep the live lanes (alive-first stable sort) in a [k_new] batch;
     flush ONLY the dropped lanes' radiance into the device accumulator.
 
@@ -324,8 +325,19 @@ def _compact_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
 
     ``tail_sorted``: promise that ``st.pixel`` is ascending (true above
     the compaction floor: chunks start pixel-identity and the stable sort
-    preserves survivor order; _split's clone concat breaks it).  Then the
-    dropped tail is ascending too and the flush needs no argsort."""
+    preserves survivor order; _split's clone concat and receiver
+    redistribution break it).  Then the dropped tail is ascending too and
+    the flush needs no argsort.
+
+    ``n_receivers`` > 0 enables WORK REDISTRIBUTION (the above-floor
+    analogue of _split, docs/perf_roadmap.md lever 1): the LAST
+    n_receivers lanes of the compacted batch — which the caller
+    guarantees are dead (choose n_receivers <= k_new - alive_upper_bound)
+    — adopt half the unstarted samples of n_receivers DONOR lanes strided
+    evenly across [0, k_new - n_receivers).  Dead receivers' final
+    radiance is flushed before they change pixels; sample accounting is
+    exact (donor keeps quota - give, receiver gets give at
+    s_base + kept).  All static shapes: strided slices, no gathers."""
     key = (~st.path_alive[0]).astype(jnp.int32)
     ops = [key]
     row_fields = []  # (field, n_rows) in operand order
@@ -347,6 +359,46 @@ def _compact_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
         else jnp.stack([r[:k_new] for r in cols[f]])
         for f in PathState._fields))
 
+    if n_receivers > 0:
+        r0 = k_new - n_receivers
+        stride = max(1, r0 // n_receivers)  # donors all land in [0, r0)
+        # Flush the receivers' (dead, final) radiance before they adopt
+        # new pixels.  The region sits inside the sorted head, so its
+        # pixels are ascending whenever the batch is.
+        recv_pix = new.pixel[0, r0:] // lanes_per_pixel
+        recv_rad = new.radiance_sum[:, r0:]
+        if not tail_sorted:
+            order_r = jnp.argsort(recv_pix)
+            recv_pix = recv_pix[order_r]
+            recv_rad = jnp.take(recv_rad, order_r, axis=1)
+        accum = accum + jax.ops.segment_sum(
+            recv_rad.T, recv_pix, num_segments=accum.shape[1],
+            indices_are_sorted=True).T
+
+        # Donor update: every lane at a donor position gives away half
+        # its unstarted samples (dead donors give 0).
+        give_full = jnp.maximum(new.s_quota - 1 - new.sample, 0) // 2
+        pos = jnp.arange(k_new, dtype=jnp.int32)
+        is_donor = ((pos % stride == 0)
+                    & (pos // stride < n_receivers))[None]
+        quota_kept = jnp.where(is_donor, new.s_quota - give_full,
+                               new.s_quota)
+
+        def don(row):  # [1, k_new] -> the n_receivers donor values
+            return row[:, ::stride][:, :n_receivers]
+
+        new = new._replace(
+            s_quota=quota_kept.at[:, r0:].set(don(give_full)),
+            s_base=new.s_base.at[:, r0:].set(
+                don(new.s_base) + don(quota_kept)),
+            pixel=new.pixel.at[:, r0:].set(don(new.pixel)),
+            sample=new.sample.at[:, r0:].set(-1),
+            depth=new.depth.at[:, r0:].set(0),
+            throughput=new.throughput.at[:, r0:].set(1.0),
+            radiance_sum=new.radiance_sum.at[:, r0:].set(0.0),
+            path_alive=new.path_alive.at[:, r0:].set(False),
+        )
+
     # Dropped lanes are all dead (k_new >= n_alive): radiance is final.
     drop_pix = cols["pixel"][0][k_new:] // lanes_per_pixel
     drop_rad = jnp.stack([r[k_new:] for r in cols["radiance_sum"]])
@@ -361,8 +413,15 @@ def _compact_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
 
 
 _compact = functools.partial(
-    jax.jit, static_argnames=("k_new", "lanes_per_pixel", "tail_sorted"),
+    jax.jit, static_argnames=("k_new", "lanes_per_pixel", "tail_sorted",
+                              "n_receivers"),
 )(_compact_core)
+
+# Work redistribution at above-floor compactions (lever 1 in
+# docs/perf_roadmap.md): overshoot k_new by this factor and hand the
+# spare dead lanes donor work.  0 disables.
+_RECV_OVERSHOOT = 1.25
+_RECV_MIN = 1 << 16
 
 
 @jax.jit
@@ -505,6 +564,9 @@ def render_image_persistent(
                             lanes_per_pixel=kpp, n_frames=n_frames)
         period = check_period
         last_alive = n
+        # Pixel order starts as identity; receiver redistribution breaks
+        # it (and with it the argsort-free tail flush).
+        state_sorted = True
 
         # Scatter+respawn backend (cfg.scatter_backend; draw-bit-identical
         # either way).  "auto" = the XLA row-math step: measured
@@ -642,16 +704,29 @@ def render_image_persistent(
                                          lanes_per_pixel=kpp)
                     st = _split(st)
                 continue
-            # Compact on a >=30% shrink (above the floor shrinking the
-            # batch is the whole point — steps are compute-bound).
-            # tail_sorted: chunks start pixel-identity and every
-            # above-floor compaction preserves ascending pixel order
-            # (stable sort, no clone concat yet).
-            k_new = _grid_size(n_alive, min_lanes)
-            if k_new <= int(cur * _COMPACT_SHRINK):
+            # Compact on a shrink (above the floor shrinking the batch is
+            # the whole point — steps are compute-bound).  With receiver
+            # redistribution, k_new overshoots so the spare dead lanes
+            # adopt donor work (halved sequential tails for hard pixels).
+            k_base = _grid_size(n_alive, min_lanes)
+            if k_base <= int(cur * _COMPACT_SHRINK):
+                k_new, n_recv = k_base, 0
+                if _RECV_OVERSHOOT > 0:
+                    k_new = min(
+                        _grid_size(int(n_alive * _RECV_OVERSHOOT),
+                                   min_lanes), cur)
+                    spare = k_new - n_alive
+                    if spare >= _RECV_MIN:
+                        n_recv = min(1 << (spare.bit_length() - 1),
+                                     k_new // 2)
+                    else:
+                        k_new = k_base
                 st, accum = _compact(st, accum, k_new=k_new,
                                      lanes_per_pixel=kpp,
-                                     tail_sorted=True)
+                                     tail_sorted=state_sorted,
+                                     n_receivers=n_recv)
+                if n_recv:
+                    state_sorted = False
         # Flush this chunk's remaining radiance into the accumulator.
         accum = accum.at[:, st.pixel[0] // kpp].add(st.radiance_sum)
         if chunk_callback is not None:
