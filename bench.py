@@ -47,21 +47,25 @@ def main():
                        rays_per_chunk=1 << 22)
 
     # Warm-up: compiles every step program (and populates the persistent
-    # compilation cache for future runs).
+    # compilation cache for future runs).  Distinct seed from the timed
+    # reps (rule 15: identical reruns hit the relay's dedupe).
     t0 = time.perf_counter()
-    img = render(scene, cfg=cfg)
+    img = render(scene, cfg=cfg.replace(seed=99))
     warm_s = time.perf_counter() - t0
     print(f"# warm-up render (incl. compiles): {warm_s:.1f}s", file=sys.stderr)
 
     # Timed runs: full wall-clock to a fetched u8 image, best of 3 (the
     # relay's throughput drifts within a process, runtime-notes rule 12).
+    # Each rep renders a DIFFERENT seed: the relay dedupes duplicate
+    # (program, args) executions, so repeating identical renders reads
+    # fiction (rule 15).  Seeds feed only traced salts — no recompiles.
     dt = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
-        img = render(scene, cfg=cfg)
+        img = render(scene, cfg=cfg.replace(seed=3 + rep))
         dt_i = time.perf_counter() - t0
-        print(f"# timed render[{rep}]: {dt_i:.2f}s, image mean "
-              f"{img.mean():.2f}", file=sys.stderr)
+        print(f"# timed render[{rep}] seed={3 + rep}: {dt_i:.2f}s, "
+              f"image mean {img.mean():.2f}", file=sys.stderr)
         dt = min(dt, dt_i)
 
     rays = WIDTH * HEIGHT * SPP
