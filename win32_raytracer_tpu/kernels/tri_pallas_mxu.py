@@ -198,8 +198,20 @@ def hit_triangles_mxu_rows(
     ray_block: int = DEFAULT_TRI_RAY_BLOCK_MXU,
     interpret: bool = False,
 ) -> HitRecordRows:
-    """Rows-layout nearest two-sided triangle hit via the MXU sweep."""
+    """Rows-layout nearest two-sided triangle hit via the MXU sweep.
+
+    Brute force: materializes [T, ray_block] intermediates, so VMEM
+    (128 MB on v5e) caps the mesh at a few thousand triangles — bigger
+    meshes go through the Morton-tile grid (tri_accel.py), which
+    dispatch.get_hit_fn_rows_accel selects automatically."""
     del time
+    n_tris = scene.padded_size
+    if n_tris * ray_block * 4 * 6 > 96 * (1 << 20):
+        raise ValueError(
+            f"brute MXU triangle sweep at {n_tris} tris x ray_block "
+            f"{ray_block} exceeds VMEM; use the grid "
+            "(cfg.accel='auto'/tri_accel.build_tri_grid) or shrink "
+            "ray_block")
     n = origin.shape[1]
     pad = (-n) % ray_block
     o, d = origin, direction
