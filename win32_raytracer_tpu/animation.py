@@ -110,6 +110,16 @@ def render_animation(
 
         per_frame = cfg.width * cfg.height * _resolve_kpp(cfg, cfg.samples)
         cameras = list(cameras)
+        pending = None  # (b0, n, tonemapped device arrays, t_start)
+
+        def materialize(p):
+            b0_, n_, dev, t0_ = p
+            imgs = [np.asarray(a) for a in dev]  # device->host fetch
+            ms = (time.perf_counter() - t0_) * 1e3 / n_
+            for i, img in enumerate(imgs):
+                frames.append(img)
+                emit(b0_ + i, img, ms)
+
         for b0 in range(0, len(cameras), batch_frames):
             group = cameras[b0:b0 + batch_frames]
             # One chunk per batch: chunking the virtual tall image would
@@ -120,12 +130,13 @@ def render_animation(
                                    len(group) * per_frame))
             t0 = time.perf_counter()
             linear = render_image_persistent(scene, group, fcfg)
-            imgs = [np.asarray(tonemap(linear[i]))
-                    for i in range(len(group))]
-            ms = (time.perf_counter() - t0) * 1e3 / len(group)
-            for i, img in enumerate(imgs):
-                frames.append(img)
-                emit(b0 + i, img, ms)
+            dev = [tonemap(linear[i]) for i in range(len(group))]
+            # Fetch the PREVIOUS batch only now: its device->host pull
+            # (~12 MB/s through the relay) overlaps this batch's compute.
+            if pending is not None:
+                materialize(pending)
+            pending = (b0, len(group), dev, t0)
+        materialize(pending)
         return frames
 
     from .api import render as _render
