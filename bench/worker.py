@@ -16,7 +16,14 @@ Usage:
     # worker after running.
 """
 
+import faulthandler
 import io
+import signal
+
+# `kill -USR1 <pid>` dumps all thread stacks to stderr (worker.log) —
+# the relay occasionally wedges a device RPC and this is the only way to
+# see where.
+faulthandler.register(signal.SIGUSR1)
 import os
 import sys
 import time
