@@ -77,6 +77,27 @@ def test_cli_perf_mode(tmp_path, capsys):
     assert payload["value"] > 0
 
 
+def test_cli_animate_writes_frames(tmp_path):
+    out = tmp_path / "fly.png"
+    rc = cli_main(["32", "16", "8", "--scene", "test", "--backend", "jnp",
+                   "--animate", "2", "--batch-frames", "2",
+                   "--out", str(out), "--quiet"])
+    assert rc == 0
+    assert (tmp_path / "fly_0000.png").exists()
+    assert (tmp_path / "fly_0001.png").exists()
+
+
+def test_cli_checkpoint_roundtrip(tmp_path):
+    out = tmp_path / "c.png"
+    ck = tmp_path / "c.npz"
+    rc = cli_main(["24", "16", "4", "--scene", "test", "--backend", "jnp",
+                   "--checkpoint", str(ck), "--passes", "2",
+                   "--out", str(out), "--quiet"])
+    assert rc == 0
+    assert out.exists()
+    assert ck.exists()  # final checkpoint retained for inspection
+
+
 def test_cli_defaults_match_reference():
     """Defaults are the reference's pch.h:170-174 values."""
     p = __import__("win32_raytracer_tpu.cli", fromlist=["build_parser"]).build_parser()
