@@ -105,7 +105,7 @@ def test_grid_kernel_interpret_matches_oracle():
     ref = hit_triangles(scene, np.asarray(o).T, np.asarray(d).T,
                         np.asarray(tm)[0])
     rec = hit_triangles_grid_rows(grid, o, d, tm, ray_block=256,
-                                  interpret=True)
+                                  interpret=True, use_mxu=False)
     np.testing.assert_array_equal(np.asarray(rec.hit)[0],
                                   np.asarray(ref.hit))
     hit = np.asarray(ref.hit)
@@ -127,8 +127,31 @@ def test_grid_kernel_t_cap_never_drops_nearer_hits():
                         np.asarray(tm)[0])
     cap = jnp.full((1, 512), 2.0, jnp.float32)
     rec = hit_triangles_grid_rows(grid, o, d, tm, ray_block=256,
-                                  interpret=True, t_cap=cap)
+                                  interpret=True, t_cap=cap,
+                                  use_mxu=False)
     ref_t = np.asarray(ref.t)
     near = np.asarray(ref.hit) & (ref_t < 2.0)
     np.testing.assert_allclose(np.asarray(rec.t)[0][near], ref_t[near],
                                rtol=1e-5)
+
+
+def test_grid_kernel_mxu_matches_oracle_statistically():
+    """The production split-bf16 MXU tile sweep: same hits as the oracle
+    up to the documented ~2^-17 limb-product tolerance (grazing-measure
+    flips only — none on this mesh at these rays)."""
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    o, d, tm = _rays(512, seed=11)
+    ref = hit_triangles(scene, np.asarray(o).T, np.asarray(d).T,
+                        np.asarray(tm)[0])
+    rec = hit_triangles_grid_rows(grid, o, d, tm, ray_block=256,
+                                  interpret=True, use_mxu=True)
+    hit_b = np.asarray(ref.hit)
+    hit_g = np.asarray(rec.hit)[0]
+    assert (hit_b == hit_g).mean() > 0.995
+    both = hit_b & hit_g
+    rel = np.abs(np.asarray(rec.t)[0][both] - np.asarray(ref.t)[both])
+    rel /= np.maximum(np.asarray(ref.t)[both], 1e-6)
+    assert np.median(rel) < 1e-4
+    assert (np.asarray(rec.idx)[0][both]
+            == np.asarray(ref.idx)[both]).mean() > 0.99

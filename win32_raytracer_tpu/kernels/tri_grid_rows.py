@@ -44,11 +44,34 @@ DEFAULT_TRI_GRID_RAY_BLOCK = 2048
 _SMEM_BUDGET = 640 * 1024
 
 
+def _merge_tile(t, tl, t_ref, g_ref, st):
+    """Merge one tile's per-pair t matrix [St, R] (F32_MAX = invalid)
+    into the carried (t_ref, g_ref) winner state."""
+    tile_t = jnp.min(t, axis=0, keepdims=True)            # [1, R]
+    better = tile_t < t_ref[:, :]
+    eq = t == tile_t
+    sub = jax.lax.broadcasted_iota(
+        jnp.int32, t.shape, 0).astype(jnp.float32)
+    big = jnp.float32(st + 1)
+    winner = jnp.min(jnp.where(eq, sub, big), axis=0, keepdims=True)
+    onehot = ((sub == winner) & better).astype(jnp.float32)
+
+    delta = jax.lax.dot_general(
+        tl, onehot,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [17, R]
+    flag = delta[TRI_ATTR_COLS:TRI_ATTR_COLS + 1, :]
+    g_ref[:, :] = g_ref[:, :] * (1.0 - flag) + delta
+    t_ref[:, :] = jnp.where(better, tile_t, t_ref[:, :])
+
+
 def _tri_grid_kernel(sched_ref, rays_ref, attrs_ref, t_ref, g_ref,
                      *, st, min_t):
-    """sched [NB, 1+T] i32 (SMEM): col 0 = active count, cols 1.. = active
-    tile ids ascending; rays [6, R] (o rows 0-2, d rows 3-5); attrs
-    [T*St, 17] VMEM-resident; outputs t [1, R], winner rows [17, R]."""
+    """Exact-f32 VPU Möller-Trumbore per scheduled tile (the oracle-grade
+    variant; ~50 VPU slots per pair).  sched [NB, 1+T] i32 (SMEM): col 0
+    = active count, cols 1.. = active tile ids ascending; rays [6, R]
+    (o rows 0-2, d rows 3-5); attrs [T*St, 17] VMEM-resident; outputs t
+    [1, R], winner rows [17, R]."""
     i = pl.program_id(0)
     t_ref[:, :] = jnp.full_like(t_ref[:, :], F32_MAX)
     g_ref[:, :] = jnp.zeros_like(g_ref[:, :])
@@ -64,23 +87,59 @@ def _tri_grid_kernel(sched_ref, rays_ref, attrs_ref, t_ref, g_ref,
         tid = sched_ref[i, 1 + j]
         tl = attrs_ref[pl.ds(tid * st, st), :]            # [St, 17]
         t = _sweep_tile_rows(tl, ox, oy, oz, dx, dy, dz, min_t)
+        _merge_tile(t, tl, t_ref, g_ref, st)
+        return carry
 
-        tile_t = jnp.min(t, axis=0, keepdims=True)        # [1, R]
-        better = tile_t < t_ref[:, :]
-        eq = t == tile_t
-        sub = jax.lax.broadcasted_iota(
-            jnp.int32, t.shape, 0).astype(jnp.float32)
-        big = jnp.float32(st + 1)
-        winner = jnp.min(jnp.where(eq, sub, big), axis=0, keepdims=True)
-        onehot = ((sub == winner) & better).astype(jnp.float32)
+    jax.lax.fori_loop(0, sched_ref[i, 0], body, 0)
 
-        delta = jax.lax.dot_general(
-            tl, onehot,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [17, R]
-        flag = delta[TRI_ATTR_COLS:TRI_ATTR_COLS + 1, :]
-        g_ref[:, :] = g_ref[:, :] * (1.0 - flag) + delta
-        t_ref[:, :] = jnp.where(better, tile_t, t_ref[:, :])
+
+def _tri_grid_kernel_mxu(sched_ref, rays_ref, attrs_ref, coef_ref,
+                         t_ref, g_ref, *, st, min_t, n_terms):
+    """Production variant: each scheduled tile's four MT quantities
+    (det/u_num/v_num/t_num) come from ONE [4*St, K] x [K, R] split-bf16
+    MXU contraction against the shared 16-feature ray stack
+    (tri_pallas_mxu's factoring), leaving ~14 VPU slots per pair.
+    Accuracy: the limb products carry ~2^-17 relative error — grazing
+    hits and near-exact t ties can flip vs the exact VPU variant
+    (tri_pallas_mxu's documented stance)."""
+    from .hit_pallas_v6 import _PAIRS, _split_limbs
+    from .tri_pallas_mxu import _DET_EPS
+
+    i = pl.program_id(0)
+    t_ref[:, :] = jnp.full_like(t_ref[:, :], F32_MAX)
+    g_ref[:, :] = jnp.zeros_like(g_ref[:, :])
+
+    o = rays_ref[0:3, :]
+    d = rays_ref[3:6, :]
+    pairs = _PAIRS[n_terms]
+    ones = jnp.ones_like(o[0:1])
+    outer = jnp.concatenate([o[k:k + 1] * d for k in range(3)], axis=0)
+    feats = jnp.concatenate([o, d, outer, ones], axis=0)   # [16, R] f32
+    n_limbs = 1 + max(j for _, j in pairs)
+    f_limbs = [l.astype(jnp.float32) for l in _split_limbs(feats, n_limbs)]
+    f_stack = jnp.concatenate(
+        [f_limbs[j] for _, j in pairs], axis=0).astype(jnp.bfloat16)
+
+    def body(j, carry):
+        tid = sched_ref[i, 1 + j]
+        tl = attrs_ref[pl.ds(tid * st, st), :]            # [St, 17]
+        cf = coef_ref[pl.ds(tid * 4 * st, 4 * st), :]     # [4St, K]
+        mm = jax.lax.dot_general(
+            cf, f_stack, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [4St, R]
+        det = mm[0 * st:1 * st]
+        u_num = mm[1 * st:2 * st]
+        v_num = mm[2 * st:3 * st]
+        t_num = mm[3 * st:4 * st]
+        ok_det = jnp.abs(det) >= _DET_EPS
+        inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
+        u = u_num * inv_det
+        v = v_num * inv_det
+        t = t_num * inv_det
+        valid = (ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                 & (t > min_t))
+        t = jnp.where(valid, t, F32_MAX)
+        _merge_tile(t, tl, t_ref, g_ref, st)
         return carry
 
     jax.lax.fori_loop(0, sched_ref[i, 0], body, 0)
@@ -88,27 +147,39 @@ def _tri_grid_kernel(sched_ref, rays_ref, attrs_ref, t_ref, g_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "st", "min_t", "ray_block",
-                              "interpret"))
-def _tri_grid_raw(rays6, tile_attrs, mask, *, n_tiles, st, min_t,
-                  ray_block, interpret=False):
+                              "use_mxu", "interpret"))
+def _tri_grid_raw(rays6, tile_attrs, tile_coeffs, mask, *, n_tiles, st,
+                  min_t, ray_block, use_mxu=True, interpret=False):
     n = rays6.shape[1]
     nb = n // ray_block
-    kernel = functools.partial(_tri_grid_kernel, st=st, min_t=min_t)
     t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     key = jnp.where(mask > 0, t_ids, n_tiles + t_ids)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
     count = jnp.sum(mask > 0, axis=1, dtype=jnp.int32)
     sched = jnp.concatenate([count[:, None], order], axis=1)
 
+    in_specs = [
+        pl.BlockSpec((6, ray_block), lambda i, m: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_tiles * st, TRI_GRID_COLS), lambda i, m: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if use_mxu:
+        kernel = functools.partial(_tri_grid_kernel_mxu, st=st,
+                                   min_t=min_t, n_terms=6)
+        k = tile_coeffs.shape[1]
+        in_specs.append(
+            pl.BlockSpec((n_tiles * 4 * st, k), lambda i, m: (0, 0),
+                         memory_space=pltpu.VMEM))
+        args = (sched, rays6, tile_attrs, tile_coeffs)
+    else:
+        kernel = functools.partial(_tri_grid_kernel, st=st, min_t=min_t)
+        args = (sched, rays6, tile_attrs)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((6, ray_block), lambda i, m: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tiles * st, TRI_GRID_COLS), lambda i, m: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, ray_block), lambda i, m: (0, i),
                          memory_space=pltpu.VMEM),
@@ -124,7 +195,7 @@ def _tri_grid_raw(rays6, tile_attrs, mask, *, n_tiles, st, min_t,
             jax.ShapeDtypeStruct((TRI_GRID_COLS, n), jnp.float32),
         ],
         interpret=interpret,
-    )(sched, rays6, tile_attrs)
+    )(*args)
 
 
 def hit_triangles_grid_rows(
@@ -136,9 +207,12 @@ def hit_triangles_grid_rows(
     ray_block: int = DEFAULT_TRI_GRID_RAY_BLOCK,
     interpret: bool = False,
     t_cap: Optional[jnp.ndarray] = None,
+    use_mxu: bool = True,
 ) -> HitRecordRows:
     """Drop-in rows hit function for TriGridScene.  ``t_cap`` [1, N] (a
-    nearer hit from another pass) tightens the block mask."""
+    nearer hit from another pass) tightens the block mask.  ``use_mxu``
+    selects the production split-bf16 MXU tile sweep (False = the exact
+    f32 VPU variant, the oracle-grade path)."""
     del time
     n = origin.shape[1]
     pad = (-n) % ray_block
@@ -163,9 +237,9 @@ def hit_triangles_grid_rows(
         b1 = min(nb, b0 + per_seg)
         sl = slice(b0 * ray_block, b1 * ray_block)
         t_o, g_o = _tri_grid_raw(
-            rays6[:, sl], grid.tile_attrs, mask[b0:b1],
+            rays6[:, sl], grid.tile_attrs, grid.tile_coeffs, mask[b0:b1],
             n_tiles=grid.n_tiles, st=grid.tile_rows, min_t=float(min_t),
-            ray_block=ray_block, interpret=interpret)
+            ray_block=ray_block, use_mxu=use_mxu, interpret=interpret)
         outs_t.append(t_o)
         outs_g.append(g_o)
     t_out = jnp.concatenate(outs_t, axis=1) if len(outs_t) > 1 else outs_t[0]

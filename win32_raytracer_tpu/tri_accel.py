@@ -56,10 +56,18 @@ class TriGridScene(NamedTuple):
     Drop-in ``scene`` for the render paths (scatter ignores scene fields;
     material params ride in the HitRecord).  ``base`` is untouched so the
     brute kernels and oracles keep working on it.
-    """
+
+    ``tile_coeffs`` carries each tile's four Möller-Trumbore coefficient
+    matrices (det/u_num/v_num/t_num, tri_pallas_mxu.tri_coeff_matrices)
+    limb-stacked to bf16 and CONCATENATED ALONG ROWS — all four multiply
+    the same 16-feature ray stack, so a tile's whole sweep is ONE
+    [4*St, K] x [K, R] MXU contraction (~20x fewer VPU slots per pair
+    than the scalar MT arithmetic; measured 1.27 Mrays/s VPU-swept vs
+    the sphere path's 40+ at similar candidate counts)."""
 
     base: TriangleScene
     tile_attrs: jnp.ndarray   # [T * St, TRI_GRID_COLS], tile-major
+    tile_coeffs: jnp.ndarray  # [T * 4 * St, K] bf16 limb stacks
     tile_boxes: jnp.ndarray   # [T, 6] f32: x0, x1, y0, y1, z0, z1
     scene_box: jnp.ndarray    # [6] f32 union of tile boxes
 
@@ -147,9 +155,32 @@ def build_tri_grid(
     sbox = np.array([boxes[:, 0].min(), boxes[:, 1].max(),
                      boxes[:, 2].min(), boxes[:, 3].max(),
                      boxes[:, 4].min(), boxes[:, 5].max()], np.float32)
+
+    # MT coefficient matrices in tile order, limb-stacked to bf16 and
+    # row-concatenated per tile: [T, 4, st, K] -> [T*4*st, K].
+    from .kernels.hit_pallas_v6 import stack_coeff_limbs
+    from .kernels.tri_pallas_mxu import _N_TERMS_TRI, tri_coeff_matrices
+    mats = tri_coeff_matrices(scene)     # 4 x [Tpad, 16] (jnp)
+    sel_rows = np.full(n_t * st, -1, np.int64)
+    for t in range(n_t):
+        mem = order[t * st:(t + 1) * st]
+        mem = mem[np.argsort(sel[mem], kind="stable")]
+        sel_rows[t * st:t * st + len(mem)] = sel[mem]
+    per_mat = []
+    for m in mats:
+        m_np = np.asarray(m)
+        rows = np.where(sel_rows[:, None] >= 0,
+                        m_np[np.maximum(sel_rows, 0)], 0.0).astype(np.float32)
+        per_mat.append(np.asarray(
+            stack_coeff_limbs(jnp.asarray(rows), _N_TERMS_TRI)))
+    k = per_mat[0].shape[1]
+    coeffs = np.stack([p.reshape(n_t, st, k) for p in per_mat],
+                      axis=1).reshape(n_t * 4 * st, k)
+
     return TriGridScene(
         base=scene,
         tile_attrs=jnp.asarray(attrs.reshape(n_t * st, TRI_GRID_COLS)),
+        tile_coeffs=jnp.asarray(coeffs),
         tile_boxes=jnp.asarray(boxes),
         scene_box=jnp.asarray(sbox),
     )
