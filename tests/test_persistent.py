@@ -133,3 +133,75 @@ def test_stratified_sampling_reduces_variance():
     img_s = render(scene, cfg=base.replace(stratify=True))
     diff = np.abs(img_u.astype(float) - img_s.astype(float))
     assert diff.mean() < 4.0, diff.mean()
+
+
+def test_bin_sort_spatial_key_and_conservation():
+    """_bin_sort permutes lanes into (Morton cell, octant) buckets with
+    dead lanes parked at the end; every per-lane tuple is conserved."""
+    import win32_raytracer_tpu.persistent as P
+
+    rng = np.random.default_rng(5)
+    n = 1024
+    o = rng.uniform(-1.0, 3.0, (3, n)).astype(np.float32)
+    d = rng.normal(size=(3, n)).astype(np.float32)
+    alive = rng.random(n) > 0.3
+    st = P.PathState(
+        origin=jnp.asarray(o), direction=jnp.asarray(d),
+        time=jnp.zeros((1, n), jnp.float32),
+        throughput=jnp.ones((3, n), jnp.float32),
+        radiance_sum=jnp.asarray(rng.random((3, n)).astype(np.float32)),
+        depth=jnp.zeros((1, n), jnp.int32),
+        sample=jnp.zeros((1, n), jnp.int32),
+        pixel=jnp.asarray(rng.permutation(n).astype(np.int32))[None],
+        path_alive=jnp.asarray(alive)[None],
+        s_base=jnp.zeros((1, n), jnp.int32),
+        s_quota=jnp.asarray(rng.integers(0, 9, n).astype(np.int32))[None],
+    )
+    box = (0.0, 0.0, 0.0, 0.5, 0.5, 0.5)  # lo=(0,0,0), extent 2 per axis
+    out = P._bin_sort(st, box=box)
+
+    a_out = np.asarray(out.path_alive[0])
+    n_alive = int(alive.sum())
+    # Dead lanes sort to the end and are parked outside every AABB.
+    assert a_out[:n_alive].all() and not a_out[n_alive:].any()
+    assert (np.asarray(out.origin[1, n_alive:]) == -1e9).all()
+    assert (np.asarray(out.direction[2, n_alive:]) == 1.0).all()
+
+    # Alive lanes: keys ascending (recomputed from the sorted state).
+    oo = np.asarray(out.origin[:, :n_alive])
+    dd = np.asarray(out.direction[:, :n_alive])
+    cells = [np.clip(((oo[ax] - box[ax]) * box[3 + ax] * P._BIN_CELLS)
+                     .astype(np.int64), 0, P._BIN_CELLS - 1)
+             for ax in range(3)]
+
+    def spread3(v):
+        return (v & 1) | ((v & 2) << 2) | ((v & 4) << 4)
+
+    morton = spread3(cells[0]) | (spread3(cells[1]) << 1) | (
+        spread3(cells[2]) << 2)
+    octant = ((dd[0] < 0) | ((dd[1] < 0) << 1) | ((dd[2] < 0) << 2))
+    key = (morton << 3) | octant
+    assert (np.diff(key) >= 0).all()
+
+    # Per-lane payload conservation (multiset equality over id tuples).
+    def tuples(s, sel):
+        return sorted(zip(np.asarray(s.pixel[0])[sel],
+                          np.asarray(s.s_quota[0])[sel],
+                          np.asarray(s.radiance_sum[0])[sel]))
+    assert tuples(st, slice(None)) == tuples(out, slice(None))
+    # Alive lanes keep their rays bit-for-bit (match via pixel id).
+    in_by_pix = {int(p): i for i, p in enumerate(np.asarray(st.pixel[0]))}
+    for j in range(n_alive):
+        i = in_by_pix[int(np.asarray(out.pixel[0])[j])]
+        assert (np.asarray(st.origin[:, i]) == oo[:, j]).all()
+        assert (np.asarray(st.direction[:, i]) == dd[:, j]).all()
+
+
+def test_ray_binning_on_requires_grid_scene():
+    import pytest
+
+    scene = make_test_scene()
+    cfg = RenderConfig(width=16, height=8, samples=8, seed=1,
+                       backend="jnp", ray_binning="on")
+    with pytest.raises(ValueError, match="ray_binning"):
+        render_image_persistent(scene, None, cfg)

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--accel", default="auto", choices=["auto", "grid", "off"],
                    help="sphere-sweep acceleration structure (see "
                         "RenderConfig.accel)")
+    p.add_argument("--ray-binning", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="per-bounce spatial lane sort for grid-"
+                        "accelerated scenes (RenderConfig.ray_binning)")
     p.add_argument("--scheduler", default="auto",
                    choices=["auto", "wavefront", "persistent"])
     p.add_argument("--lanes-per-pixel", type=int, default=0,
@@ -112,7 +116,8 @@ def main(argv=None) -> int:
         max_depth=args.depth, seed=args.seed, backend=args.backend,
         scatter_backend=args.scatter_backend,
         hit_kernel=args.hit_kernel, fuse_bounce=args.fuse_bounce,
-        accel=args.accel, scheduler=args.scheduler,
+        accel=args.accel, ray_binning=args.ray_binning,
+        scheduler=args.scheduler,
         lanes_per_pixel=args.lanes_per_pixel, stratify=args.stratify,
         russian_roulette=args.russian_roulette,
     )

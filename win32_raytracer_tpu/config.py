@@ -97,6 +97,13 @@ class RenderConfig:
     # near-all tiles per block (bench/mask_stats.py measurements); "off"
     # forces brute (the reference's behavior, RayTracer.cpp:433-551).
     accel: str = "auto"         # "auto" | "grid" | "off"
+    # Per-bounce spatial sort of the path state (persistent scheduler)
+    # so block-schedule accel structures keep tight per-block tile
+    # unions on bounce batches (persistent._bin_sort).  "auto" = on for
+    # scenes carrying a TriGridScene; "on" errors without one; "off"
+    # disables (A/B knob).  Permutes lanes like compaction does: images
+    # match unbinned renders statistically, not bitwise.
+    ray_binning: str = "auto"   # "auto" | "on" | "off"
     # Wavefront chunk size (lanes in flight per jit call).  4M lanes =
     # ~280 MB of state: one-chunk renders up to ~1200x800 with 4
     # lanes/pixel, the measured sweet spot on a v5e chip (bigger chunks

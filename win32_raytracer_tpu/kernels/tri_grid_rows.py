@@ -187,6 +187,13 @@ def _tri_grid_raw(rays6, tile_attrs, tile_coeffs, mask, *, n_tiles, st,
                          memory_space=pltpu.VMEM),
         ],
     )
+    # The whole-grid-resident operand tables (attrs ~1.4 MB + bf16 coeff
+    # stacks ~0.8 KB/tri) blow past Mosaic's default 16 MB scoped-VMEM
+    # budget at bunny scale; v5e VMEM is 128 MB, so raise the limit to
+    # what the tables + block windows actually need (measured OOM at
+    # 20k tris: job 234, 30.6 MB demanded).
+    vmem_need = (tile_attrs.nbytes + tile_coeffs.nbytes
+                 + 64 * ray_block * 4 + (1 << 21))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -194,6 +201,9 @@ def _tri_grid_raw(rays6, tile_attrs, tile_coeffs, mask, *, n_tiles, st,
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((TRI_GRID_COLS, n), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(100 * (1 << 20),
+                                 max(32 * (1 << 20), 2 * vmem_need))),
         interpret=interpret,
     )(*args)
 

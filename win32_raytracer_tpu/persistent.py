@@ -424,6 +424,77 @@ _RECV_OVERSHOOT = 1.25
 _RECV_MIN = 1 << 16
 
 
+# Ray binning (mesh / grid-accelerated scenes): per-bounce spatial sort.
+# Block-schedule accel structures are only as good as each ray block's
+# coherence — measured on scattered bounce-like rays the tri grid's
+# conservative per-block mask degenerates to ALL tiles active
+# (bench/tpu_jobs job 234: mean 321/321 at mesh20k), making the grid no
+# better than brute.  Sorting the path state by (Morton cell of origin,
+# direction octant) before each hit phase packs each 2048-lane block
+# into a tight spatial wedge, so block AABB unions shrink back to a few
+# tiles.  Same 20-operand lax.sort economics as the multisort compactor
+# (sort >> gather on TPU for this state layout).  Exhausted (dead) lanes
+# sort to the end AND get their rays parked outside every AABB (the tri
+# kernel's padding convention), so all-dead blocks schedule zero tiles.
+_BIN_CELLS = 8  # per axis; 9-bit Morton + 3-bit octant = 4096 buckets
+
+
+def _bin_sort_core(st: PathState, *, box) -> PathState:
+    """One stable multisort of the whole state by spatial bucket.
+
+    ``box`` = (lo_x, lo_y, lo_z, inv_ext_x, inv_ext_y, inv_ext_z) of the
+    accel structure's scene AABB (static floats; one program per scene).
+    Lane permutation is already an accepted scheduler behavior (the
+    compactor permutes lanes mid-render): per-sample RNG draws change
+    with lane position, so images match unbinned renders statistically,
+    not bitwise — exactly like a different compaction cadence."""
+    alive = st.path_alive
+    o, d = st.origin, st.direction
+    cells = []
+    for ax in range(3):
+        c = ((o[ax] - np.float32(box[ax]))
+             * np.float32(box[3 + ax] * _BIN_CELLS)).astype(jnp.int32)
+        cells.append(jnp.clip(c, 0, _BIN_CELLS - 1))
+
+    def spread3(v):  # 3-bit value -> bits at positions 0, 3, 6
+        return (v & 1) | ((v & 2) << 2) | ((v & 4) << 4)
+
+    morton = (spread3(cells[0]) | (spread3(cells[1]) << 1)
+              | (spread3(cells[2]) << 2))
+    octant = ((d[0] < 0).astype(jnp.int32)
+              | ((d[1] < 0).astype(jnp.int32) << 1)
+              | ((d[2] < 0).astype(jnp.int32) << 2))
+    key = jnp.where(alive[0], (morton << 3) | octant, jnp.int32(1 << 20))
+
+    # Park dead lanes' rays below everything with an empty footprint
+    # (kernels/tri_grid_rows padding convention); respawn overwrites the
+    # ray whenever the lane spawns a new sample, and every consumer of a
+    # dead lane's hit record is masked, so the ray itself is free state.
+    park_o = jnp.asarray([0.0, -1e9, 0.0], jnp.float32)[:, None]
+    park_d = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)[:, None]
+    st = st._replace(origin=jnp.where(alive, o, park_o),
+                     direction=jnp.where(alive, d, park_d))
+
+    ops = [key]
+    row_fields = []
+    for f in PathState._fields:
+        arr = getattr(st, f)
+        row_fields.append((f, arr.shape[0]))
+        ops.extend(arr[i] for i in range(arr.shape[0]))
+    out = jax.lax.sort(tuple(ops), dimension=0, num_keys=1, is_stable=True)
+    rest = list(out[1:])
+    cols = {}
+    for f, rows_n in row_fields:
+        cols[f] = (jnp.stack(rest[:rows_n]) if rows_n > 1
+                   else rest[0][None])
+        rest = rest[rows_n:]
+    return PathState(**cols)
+
+
+_bin_sort = functools.partial(jax.jit, static_argnames=("box",))(
+    _bin_sort_core)
+
+
 @jax.jit
 def _split(st: PathState) -> PathState:
     """Sample splitting: hand half of every lane's *unstarted* samples to a
@@ -497,6 +568,24 @@ def render_image_persistent(
             # pessimization).  hit_fn remains for the fused tail path.
             from .kernels.hit_pallas_v7 import hit_coeffs
             hit_coeffs_v7 = hit_coeffs(scene)
+
+    # Ray binning: on (auto) whenever the scene carries a block-schedule
+    # accel structure whose mask needs coherent blocks (see _bin_sort).
+    bin_box = None
+    if cfg.ray_binning != "off":
+        from .tri_accel import TriGridScene
+        g = scene if isinstance(scene, TriGridScene) else getattr(
+            scene, "triangles", None)
+        if isinstance(g, TriGridScene):
+            sb_ = np.asarray(g.scene_box, np.float64)
+            ext = np.maximum(sb_[1::2] - sb_[0::2], 1e-6)
+            bin_box = (float(sb_[0]), float(sb_[2]), float(sb_[4]),
+                       float(1.0 / ext[0]), float(1.0 / ext[1]),
+                       float(1.0 / ext[2]))
+        elif cfg.ray_binning == "on":
+            raise ValueError(
+                "ray_binning='on' needs a grid-accelerated scene "
+                f"(got {type(scene).__name__})")
     w, h, spp = cfg.width, cfg.height, cfg.samples
     h_virt = h * n_frames  # multi-frame: frames stack as a taller image
     if cams is not None:
@@ -564,9 +653,9 @@ def render_image_persistent(
                             lanes_per_pixel=kpp, n_frames=n_frames)
         period = check_period
         last_alive = n
-        # Pixel order starts as identity; receiver redistribution breaks
-        # it (and with it the argsort-free tail flush).
-        state_sorted = True
+        # Pixel order starts as identity; receiver redistribution and
+        # ray binning break it (and with it the argsort-free tail flush).
+        state_sorted = bin_box is None
 
         # Scatter+respawn backend (cfg.scatter_backend; draw-bit-identical
         # either way).  "auto" = the XLA row-math step: measured
@@ -621,7 +710,10 @@ def render_image_persistent(
             # (fori_loop over MULTI_K bounces) shave the dispatch floor
             # another ~10-25% at tail sizes.
             fuse = cur <= _COMPACT_FLOOR
-            if fuse and k >= _MULTI_K:
+            # Binned scenes take single steps everywhere: a multi-bounce
+            # program would run bounces 2..K on bins gone stale after one
+            # scatter, re-degenerating the block mask.
+            if fuse and k >= _MULTI_K and bin_box is None:
                 while k >= _MULTI_K:
                     st = p_bounce_multi_step(
                         scene, cam_x, st, salt, jnp.int32(step + 1),
@@ -632,6 +724,8 @@ def render_image_persistent(
                     k -= _MULTI_K
             for _ in range(k):
                 step += 1
+                if bin_box is not None:
+                    st = _bin_sort(st, box=bin_box)
                 if fuse:
                     st = p_bounce_step(scene, cam_x, st, salt,
                                        jnp.int32(step),
