@@ -99,7 +99,8 @@ def test_persistent_render_with_redistribution_statistics():
 
     scene = make_test_scene()
     cfg = RenderConfig(width=32, height=16, samples=32, seed=3,
-                       backend="jnp", rays_per_chunk=1 << 13)
+                       backend="jnp", rays_per_chunk=1 << 13,
+                       redistribute="on")
     old_floor, old_min = P._COMPACT_FLOOR, P._RECV_MIN
     try:
         P._COMPACT_FLOOR = 256   # force the above-floor path at toy sizes

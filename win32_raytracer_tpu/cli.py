@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "on", "off"],
                    help="per-bounce spatial lane sort for grid-"
                         "accelerated scenes (RenderConfig.ray_binning)")
+    p.add_argument("--redistribute", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="adopt donors' unstarted samples on spare lanes "
+                        "at compaction (RenderConfig.redistribute)")
     p.add_argument("--scheduler", default="auto",
                    choices=["auto", "wavefront", "persistent"])
     p.add_argument("--lanes-per-pixel", type=int, default=0,
@@ -117,6 +121,7 @@ def main(argv=None) -> int:
         scatter_backend=args.scatter_backend,
         hit_kernel=args.hit_kernel, fuse_bounce=args.fuse_bounce,
         accel=args.accel, ray_binning=args.ray_binning,
+        redistribute=args.redistribute,
         scheduler=args.scheduler,
         lanes_per_pixel=args.lanes_per_pixel, stratify=args.stratify,
         russian_roulette=args.russian_roulette,

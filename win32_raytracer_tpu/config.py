@@ -104,6 +104,13 @@ class RenderConfig:
     # disables (A/B knob).  Permutes lanes like compaction does: images
     # match unbinned renders statistically, not bitwise.
     ray_binning: str = "auto"   # "auto" | "on" | "off"
+    # Work redistribution at above-floor compactions: overshoot the
+    # compacted size so spare dead lanes adopt donors' unstarted samples
+    # (halved sequential tails for hard pixels).  Measured a ~10% LOSS on
+    # the headline config (job 245: 2.17 s vs 2.43 s median — the bigger
+    # post-compaction batches cost more than the shorter tail saves), so
+    # "auto" = off everywhere; "on" is the A/B knob.
+    redistribute: str = "auto"  # "auto" | "on" | "off"
     # Wavefront chunk size (lanes in flight per jit call).  4M lanes =
     # ~280 MB of state: one-chunk renders up to ~1200x800 with 4
     # lanes/pixel, the measured sweet spot on a v5e chip (bigger chunks

@@ -417,9 +417,11 @@ _compact = functools.partial(
                               "n_receivers"),
 )(_compact_core)
 
-# Work redistribution at above-floor compactions (lever 1 in
-# docs/perf_roadmap.md): overshoot k_new by this factor and hand the
-# spare dead lanes donor work.  0 disables.
+# Work redistribution at above-floor compactions: overshoot k_new by
+# this factor and hand the spare dead lanes donor work.  Off by default
+# (cfg.redistribute): the headline A/B (job 245) measured 2.17 s median
+# without receivers vs 2.43 s with — the overshot batches' extra step
+# cost exceeds the sequential-tail saving at production sizes.
 _RECV_OVERSHOOT = 1.25
 _RECV_MIN = 1 << 16
 
@@ -820,7 +822,7 @@ def render_image_persistent(
             k_base = _grid_size(n_alive, min_lanes)
             if k_base <= int(cur * _COMPACT_SHRINK):
                 k_new, n_recv = k_base, 0
-                if _RECV_OVERSHOOT > 0:
+                if cfg.redistribute == "on" and _RECV_OVERSHOOT > 0:
                     k_new = min(
                         _grid_size(int(n_alive * _RECV_OVERSHOOT),
                                    min_lanes), cur)
