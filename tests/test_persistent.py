@@ -113,6 +113,18 @@ def test_persistent_render_with_redistribution_statistics():
     assert np.abs(lin - lin_w).mean() < 0.03
 
 
+def test_redistribute_defaults_off():
+    """redistribute='auto' must resolve to OFF: the headline A/B measured
+    receivers a ~10% loss (job 245, docs/perf_roadmap.md).  Only an
+    explicit 'on' takes the overshoot path."""
+    assert RenderConfig().redistribute == "auto"
+    # The driver gates on the literal string 'on'; 'auto' must not match.
+    import inspect
+    import win32_raytracer_tpu.persistent as P
+    src = inspect.getsource(P.render_image_persistent)
+    assert 'cfg.redistribute == "on"' in src
+
+
 def test_persistent_scheduler_selected_by_auto():
     scene = make_test_scene()
     cfg = RenderConfig(width=32, height=16, samples=16, seed=2,
