@@ -439,6 +439,11 @@ _RECV_MIN = 1 << 16
 # sort to the end AND get their rays parked outside every AABB (the tri
 # kernel's padding convention), so all-dead blocks schedule zero tiles.
 _BIN_CELLS = 8  # per axis; 9-bit Morton + 3-bit octant = 4096 buckets
+# Sort every Nth bounce step.  1 = every hit phase gets fresh bins; at
+# >1 the blocks go stale between sorts (origins stay local after one
+# scatter, directions decohere) in exchange for amortizing the 19-operand
+# sort's cost over N hit phases.  A/B knob for the mesh-scene economics.
+_BIN_PERIOD = 1
 
 
 def _bin_sort_core(st: PathState, *, box) -> PathState:
@@ -741,7 +746,7 @@ def render_image_persistent(
                     k -= _MULTI_K
             for _ in range(k):
                 step += 1
-                if bin_box is not None:
+                if bin_box is not None and (step - 1) % _BIN_PERIOD == 0:
                     st = _bin_sort(st, box=bin_box)
                 if fuse:
                     st = p_bounce_step(scene, cam_x, st, salt,
