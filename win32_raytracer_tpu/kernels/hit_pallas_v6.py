@@ -227,12 +227,33 @@ def _hit_pallas_v6_raw(rays_t, mb_stack, mc_stack, attrs, *, min_t,
     )(rays_t, mb_stack, mc_stack, attrs)
 
 
-@functools.partial(jax.jit, static_argnames=("n_terms",))
+# Coeff stacks memoized on the scene object's identity: they were
+# jit-dispatched per render call (and per STEP on the v6-as-step path),
+# which taxes short renders.  Entries keep a strong ref to the scene so
+# the id key stays valid; bounded FIFO (same pattern as
+# tri_accel._GRID_CACHE).  The host cache replaces the old jax.jit
+# wrapper: under jit the scene leaves are tracers and an id() key would
+# never hit.
+_COEFF_CACHE: dict = {}
+_COEFF_CACHE_MAX = 8
+_coeffs_v6_compute = functools.partial(
+    jax.jit, static_argnames=("n_terms",))(
+        lambda scene, *, n_terms: (
+            stack_coeff_limbs(sphere_coeff_matrices(scene)[0], n_terms),
+            stack_coeff_limbs(sphere_coeff_matrices(scene)[1], n_terms),
+            _attr_matrix(scene)))
+
+
 def _coeffs_v6(scene: SphereScene, *, n_terms: int):
-    m_b, m_c = sphere_coeff_matrices(scene)
-    return (stack_coeff_limbs(m_b, n_terms),
-            stack_coeff_limbs(m_c, n_terms),
-            _attr_matrix(scene))
+    key = (id(scene), n_terms)
+    hit = _COEFF_CACHE.get(key)
+    if hit is not None and hit[0] is scene:
+        return hit[1]
+    out = _coeffs_v6_compute(scene, n_terms=n_terms)
+    if len(_COEFF_CACHE) >= _COEFF_CACHE_MAX:
+        _COEFF_CACHE.pop(next(iter(_COEFF_CACHE)))
+    _COEFF_CACHE[key] = (scene, out)
+    return out
 
 
 def hit_spheres_pallas_v6(

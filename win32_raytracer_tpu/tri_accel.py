@@ -99,13 +99,29 @@ def _morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray,
             | (spread(z) << np.uint64(2)))
 
 
+# Built grids memoized by the identity of the TriangleScene: the hit
+# dispatcher resolves accel per render call, and the host-side build
+# (321-tile Python loop + limb stacking) costs ~2.3 s at 20k tris on the
+# 1-core driver host — per-call rebuilds dominated mesh render reps
+# (job 236: 3.58 s wall of which ~2.3 s was rebuild).  Values hold a
+# strong ref to the scene (grid.base), so the id key cannot be reused
+# while the entry lives; bounded FIFO.
+_GRID_CACHE: dict = {}
+_GRID_CACHE_MAX = 8
+
+
 def build_tri_grid(
     scene: TriangleScene,
     tile_rows: int = 64,
     min_tris: int = 512,
 ) -> Optional[TriGridScene]:
     """Build a :class:`TriGridScene`, or None when the mesh is too small
-    to benefit (the brute MXU sweep wins below ~min_tris)."""
+    to benefit (the brute MXU sweep wins below ~min_tris).  Memoized on
+    the scene object's identity (see _GRID_CACHE)."""
+    key = (id(scene), tile_rows, min_tris)
+    cached = _GRID_CACHE.get(key)
+    if cached is not None and cached.base is scene:
+        return cached
     act = np.asarray(scene.active)
     sel = np.flatnonzero(act)
     if len(sel) < min_tris:
@@ -177,13 +193,17 @@ def build_tri_grid(
     coeffs = np.stack([p.reshape(n_t, st, k) for p in per_mat],
                       axis=1).reshape(n_t * 4 * st, k)
 
-    return TriGridScene(
+    grid = TriGridScene(
         base=scene,
         tile_attrs=jnp.asarray(attrs.reshape(n_t * st, TRI_GRID_COLS)),
         tile_coeffs=jnp.asarray(coeffs),
         tile_boxes=jnp.asarray(boxes),
         scene_box=jnp.asarray(sbox),
     )
+    if len(_GRID_CACHE) >= _GRID_CACHE_MAX:
+        _GRID_CACHE.pop(next(iter(_GRID_CACHE)))
+    _GRID_CACHE[key] = grid
+    return grid
 
 
 def tri_block_mask_rows(
