@@ -111,6 +111,10 @@ def _pad_rows(rows: np.ndarray, to: int) -> np.ndarray:
     return np.concatenate([rows, filler], axis=0)
 
 
+_SGRID_CACHE: dict = {}
+_SGRID_CACHE_MAX = 8
+
+
 def build_grid_accel(
     scene: SphereScene,
     time_hi: float = 1.0,
@@ -125,7 +129,17 @@ def build_grid_accel(
     ``time_hi`` bounds the shutter window actually sampled (the default
     camera's shutter is [0, 0.05], RayTracer.cpp:233-234); motion extents
     are evaluated over [0, time_hi] — pass the camera's shutter_close.
+
+    Memoized on the scene object's identity (the hit dispatcher resolves
+    accel per render call; same pattern as tri_accel._GRID_CACHE — the
+    cached GridScene's ``base`` holds the scene ref that keeps the id
+    key valid).
     """
+    key = (id(scene), time_hi, target_per_tile, global_radius_factor,
+           max_tile_rows, min_gridded)
+    cached = _SGRID_CACHE.get(key)
+    if cached is not None and cached.base is scene:
+        return cached
     sc = {f: np.asarray(getattr(scene, f)) for f in scene._fields}
     active = np.flatnonzero(sc["active"])
     if len(active) == 0:
@@ -193,13 +207,17 @@ def build_grid_accel(
     sg = max(8, -(-len(globals_) // 8) * 8)
     gl = _pad_rows(_attr_rows(sc, globals_, ATTR_COLS), sg)
 
-    return GridScene(
+    out = GridScene(
         base=scene,
         glob_attrs=jnp.asarray(gl),
         tile_attrs=jnp.asarray(tiles.reshape(n_t * st, GRID_ATTR_COLS)),
         tile_boxes=jnp.asarray(boxes),
         y_slab=jnp.asarray(np.array([y_lo, y_hi], np.float32)),
     )
+    if len(_SGRID_CACHE) >= _SGRID_CACHE_MAX:
+        _SGRID_CACHE.pop(next(iter(_SGRID_CACHE)))
+    _SGRID_CACHE[key] = out
+    return out
 
 
 def footprint_block_mask(
