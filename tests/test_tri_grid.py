@@ -155,3 +155,34 @@ def test_grid_kernel_mxu_matches_oracle_statistically():
     assert np.median(rel) < 1e-4
     assert (np.asarray(rec.idx)[0][both]
             == np.asarray(ref.idx)[both]).mean() > 0.99
+
+
+@pytest.mark.parametrize("tile_rows", [128, 256])
+def test_grid_kernel_mxu_coarse_tiles(tile_rows):
+    """Tile granularity is a tuning knob (fewer, fatter MXU matmuls per
+    scheduled tile); the kernel must stay exact-through-tolerance at
+    coarser tiles than the default 64."""
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=tile_rows)
+    assert grid is not None and grid.tile_rows == tile_rows
+    o, d, tm = _rays(512, seed=13)
+    ref = hit_triangles(scene, np.asarray(o).T, np.asarray(d).T,
+                        np.asarray(tm)[0])
+    rec = hit_triangles_grid_rows(grid, o, d, tm, ray_block=256,
+                                  interpret=True, use_mxu=True)
+    hit_b = np.asarray(ref.hit)
+    hit_g = np.asarray(rec.hit)[0]
+    assert (hit_b == hit_g).mean() > 0.995
+    both = hit_b & hit_g
+    rel = np.abs(np.asarray(rec.t)[0][both] - np.asarray(ref.t)[both])
+    rel /= np.maximum(np.asarray(ref.t)[both], 1e-6)
+    assert np.median(rel) < 1e-4
+
+
+def test_build_tri_grid_memoized():
+    scene = _mesh(3)
+    g1 = build_tri_grid(scene, tile_rows=64)
+    g2 = build_tri_grid(scene, tile_rows=64)
+    assert g1 is g2
+    g3 = build_tri_grid(scene, tile_rows=128)
+    assert g3 is not g1 and g3.tile_rows == 128
