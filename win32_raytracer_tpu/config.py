@@ -111,6 +111,11 @@ class RenderConfig:
     # post-compaction batches cost more than the shorter tail saves), so
     # "auto" = off everywhere; "on" is the A/B knob.
     redistribute: str = "auto"  # "auto" | "on" | "off"
+    # Triangle-grid tile granularity (triangles per Morton tile).  Fewer,
+    # fatter tiles = fewer in-kernel schedule iterations and larger
+    # [4*St, K] MXU contractions per scheduled tile, at the cost of
+    # coarser culling.  0 = auto (tri_accel.build_tri_grid's default).
+    tri_tile_rows: int = 0
     # Wavefront chunk size (lanes in flight per jit call).  4M lanes =
     # ~280 MB of state: one-chunk renders up to ~1200x800 with 4
     # lanes/pixel, the measured sweet spot on a v5e chip (bigger chunks

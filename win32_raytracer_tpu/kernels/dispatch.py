@@ -131,7 +131,8 @@ def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
                if isinstance(scene, CompositeScene) else None)
         if tri is not None:
             from ..tri_accel import build_tri_grid
-            grid = build_tri_grid(tri)
+            grid = (build_tri_grid(tri, tile_rows=cfg.tri_tile_rows)
+                    if cfg.tri_tile_rows else build_tri_grid(tri))
             if grid is not None:
                 sphere_fn = None
                 if (isinstance(scene, CompositeScene)
