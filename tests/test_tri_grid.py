@@ -186,3 +186,36 @@ def test_build_tri_grid_memoized():
     assert g1 is g2
     g3 = build_tri_grid(scene, tile_rows=128)
     assert g3 is not g1 and g3.tile_rows == 128
+
+
+@pytest.mark.parametrize("ray_block", [128, 512])
+def test_grid_kernel_ray_block_knob(ray_block):
+    """Ray-block granularity is the other tuning axis (smaller blocks =
+    tighter conservative masks, thinner MXU contractions); results must
+    not depend on it.  Exercises the segmentation math at non-default
+    block sizes (cfg.tri_ray_block reaches the kernel via dispatch)."""
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    o, d, tm = _rays(512, seed=17)
+    ref = hit_triangles(scene, np.asarray(o).T, np.asarray(d).T,
+                        np.asarray(tm)[0])
+    rec = hit_triangles_grid_rows(grid, o, d, tm, ray_block=ray_block,
+                                  interpret=True, use_mxu=False)
+    np.testing.assert_array_equal(np.asarray(rec.hit)[0],
+                                  np.asarray(ref.hit))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(rec.t)[0][hit],
+                               np.asarray(ref.t)[hit], rtol=1e-5)
+
+
+def test_dispatch_tri_ray_block_keying():
+    """cfg.tri_ray_block selects a distinct cached composite fn (hit fns
+    are static jit args downstream, so same knob -> same object)."""
+    from win32_raytracer_tpu.kernels.dispatch import _tri_grid_fn
+    f_default = _tri_grid_fn(None, 0)
+    f_512 = _tri_grid_fn(None, 512)
+    f_2048 = _tri_grid_fn(None, 2048)
+    assert f_default is _tri_grid_fn(None, 0)
+    assert f_512 is _tri_grid_fn(None, 512)
+    assert f_512 is not f_default
+    assert f_2048 is not f_default  # explicit 2048 keys separately

@@ -116,6 +116,12 @@ class RenderConfig:
     # [4*St, K] MXU contractions per scheduled tile, at the cost of
     # coarser culling.  0 = auto (tri_accel.build_tri_grid's default).
     tri_tile_rows: int = 0
+    # Triangle-grid ray-block granularity (lanes per scheduled block).
+    # Smaller blocks = tighter conservative AABB unions (fewer scheduled
+    # tiles per block, especially after ray binning packs blocks into
+    # spatial wedges), at the cost of thinner per-tile MXU contractions
+    # and more schedule rows.  0 = auto (kernel default).
+    tri_ray_block: int = 0
     # Wavefront chunk size (lanes in flight per jit call).  4M lanes =
     # ~280 MB of state: one-chunk renders up to ~1200x800 with 4
     # lanes/pixel, the measured sweet spot on a v5e chip (bigger chunks
