@@ -46,19 +46,30 @@ def orbit_path(
     return cams
 
 
-def _auto_batch_frames(cfg: RenderConfig) -> int:
+def _auto_batch_frames(cfg: RenderConfig, n_frames: int = 0) -> int:
     """Frames per persistent batch: frame batching amortizes the
     scheduler tail, the alive-check syncs, and the dispatch floor over
-    all frames in a batch.  The budget is 2x the normal ray chunk (state
-    is ~76 B/lane, so 8M lanes is ~0.6 GB of HBM — cheap next to the
-    per-frame fixed costs it removes); frames beyond the budget would
-    split into multiple chunks and amortize nothing extra."""
+    all frames in a batch.  The lane budget (~10.5M; state is ~76 B/lane
+    so ~0.8 GB of HBM) is cheap next to the per-frame fixed costs it
+    removes; frames beyond the budget would split into multiple chunks
+    and amortize nothing extra.  When the whole animation is known,
+    keep at least TWO batches: the fetch of batch i overlaps batch
+    i+1's compute, and the measured sweep at the config-5 shape
+    (640x480@32 x 8 frames, tpu_jobs 256) reads batch=4 (two equal
+    overlapped batches) 2.19 fps > batch=3 (three ragged) 2.11 >
+    batch=8 (one, unoverlapped fetch) 2.02."""
     from .persistent import _resolve_kpp
 
     kpp = _resolve_kpp(cfg, cfg.samples)
     per_frame = cfg.width * cfg.height * kpp
-    budget = max(cfg.rays_per_chunk, 1 << 23)
-    return max(1, min(8, budget // max(1, per_frame)))
+    budget = max(cfg.rays_per_chunk, 10 << 20)
+    bf = max(1, min(8, budget // max(1, per_frame)))
+    if n_frames >= 2:
+        # Even split into ceil(F/bf) batches, capped so >= 2 batches
+        # exist (overlap needs a successor batch).
+        n_batches = max(2, -(-n_frames // bf))
+        bf = -(-n_frames // n_batches)
+    return bf
 
 
 def render_animation(
@@ -89,8 +100,9 @@ def render_animation(
         scheduler = ("persistent"
                      if cfg.samples >= 8 and not cfg.deterministic
                      else "wavefront")
+    cameras = list(cameras)
     if batch_frames <= 0:
-        batch_frames = (_auto_batch_frames(cfg)
+        batch_frames = (_auto_batch_frames(cfg, len(cameras))
                         if mesh is None and scheduler == "persistent" else 1)
 
     def emit(i, img, ms):
@@ -109,7 +121,6 @@ def render_animation(
         from .persistent import _resolve_kpp
 
         per_frame = cfg.width * cfg.height * _resolve_kpp(cfg, cfg.samples)
-        cameras = list(cameras)
         pending = None  # (b0, n, tonemapped device arrays, t_start)
 
         def materialize(p):

@@ -151,8 +151,12 @@ def main(argv=None) -> int:
         import os as _os
         from .animation import orbit_path, render_animation
         from .scene.builders import get_scene
-        root, ext = _os.path.splitext(args.out)
-        pattern = f"{root}_%04d{ext or '.png'}"
+        try:  # --out may already be a frame pattern ("frames/f_%03d.png")
+            args.out % 0
+            pattern = args.out
+        except TypeError:
+            root, ext = _os.path.splitext(args.out)
+            pattern = f"{root}_%04d{ext or '.png'}"
         cams = orbit_path(n_frames=args.animate,
                           radius=args.orbit_radius,
                           aspect_ratio=cfg.width / cfg.height)
