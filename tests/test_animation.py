@@ -70,3 +70,21 @@ def test_flythrough_sharded_over_mesh(eight_devices, tmp_path):
                    (2, (16, 32, 3), True)]
     # camera actually moves: frames differ
     assert np.abs(frames[0].astype(int) - frames[1].astype(int)).mean() > 1.0
+
+
+def test_auto_batch_frames_even_split():
+    """Auto batching keeps >=2 batches (fetch/compute overlap needs a
+    successor) and splits frames evenly — measured at the config-5 shape
+    (640x480@32 x 8): two 4-frame batches beat three ragged and one
+    unoverlapped batch (docs/perf_roadmap.md, tpu_jobs 256)."""
+    from win32_raytracer_tpu.animation import _auto_batch_frames
+
+    cfg5 = RenderConfig(width=640, height=480, samples=32)
+    assert _auto_batch_frames(cfg5, 8) == 4
+    # Tiny frames: lane budget allows 8+, the 2-batch rule caps at F/2.
+    tiny = RenderConfig(width=160, height=120, samples=16)
+    assert _auto_batch_frames(tiny, 8) == 4
+    assert _auto_batch_frames(tiny, 3) == 2
+    # Single frame or unknown F: plain budget clamp, no split rule.
+    assert _auto_batch_frames(cfg5, 1) == 4
+    assert _auto_batch_frames(cfg5) >= 1

@@ -117,3 +117,14 @@ def test_graft_entry_single_chip():
 def test_graft_dryrun_multichip(eight_devices):
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_cli_animate_accepts_pattern_out(tmp_path):
+    """--out may itself be a %-pattern (help: '--out becomes the frame
+    pattern'); the CLI must use it verbatim instead of appending _%04d."""
+    rc = cli_main(["32", "16", "8", "--scene", "test", "--backend", "jnp",
+                   "--animate", "2", "--batch-frames", "2",
+                   "--out", str(tmp_path / "f_%02d.png"), "--quiet"])
+    assert rc == 0
+    assert (tmp_path / "f_00.png").exists()
+    assert (tmp_path / "f_01.png").exists()
