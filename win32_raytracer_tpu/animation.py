@@ -131,6 +131,18 @@ def render_animation(
                 frames.append(img)
                 emit(b0_ + i, img, ms)
 
+        def prefetch(dev):
+            # Enqueue the device->host pull NOW (right after this batch's
+            # compute drains): the transfer rides the relay while the host
+            # drives the NEXT batch's scheduler loop (or, for the last
+            # batch, while it PNG-encodes the previous one), so the later
+            # np.asarray in materialize finds the bytes already landed.
+            for a in dev:
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    break  # backend without async fetch: asarray blocks
+
         for b0 in range(0, len(cameras), batch_frames):
             group = cameras[b0:b0 + batch_frames]
             # One chunk per batch: chunking the virtual tall image would
@@ -142,8 +154,11 @@ def render_animation(
             t0 = time.perf_counter()
             linear = render_image_persistent(scene, group, fcfg)
             dev = [tonemap(linear[i]) for i in range(len(group))]
-            # Fetch the PREVIOUS batch only now: its device->host pull
-            # (~12 MB/s through the relay) overlaps this batch's compute.
+            prefetch(dev)
+            # Materialize the PREVIOUS batch only now: its transfer was
+            # prefetched before this batch ran, so the asarray is a wait
+            # at worst, and the emit work (PNG encode on the 1-core host)
+            # overlaps THIS batch's just-enqueued transfer.
             if pending is not None:
                 materialize(pending)
             pending = (b0, len(group), dev, t0)
