@@ -219,3 +219,77 @@ def test_dispatch_tri_ray_block_keying():
     assert f_512 is _tri_grid_fn(None, 512)
     assert f_512 is not f_default
     assert f_2048 is not f_default  # explicit 2048 keys separately
+
+
+def test_schedule_tlo_lower_bounds_every_hit():
+    """tri_block_schedule_rows's tlo must lower-bound the t of every
+    actual hit: for each brute-sweep winner, the winning tile's bound for
+    the ray's block is <= the hit t (this is what makes the front-to-back
+    early exit exact)."""
+    from win32_raytracer_tpu.ops.hit_tri import _T_IDX
+    from win32_raytracer_tpu.tri_accel import tri_block_schedule_rows
+
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    o, d, tm = _rays(512, seed=21)
+    ref = hit_triangles(scene, np.asarray(o).T, np.asarray(d).T,
+                        np.asarray(tm)[0])
+    rb = 128
+    mask, tlo, cap = tri_block_schedule_rows(grid, o, d, None, 0.001, rb)
+    mask, tlo, cap = (np.asarray(mask), np.asarray(tlo), np.asarray(cap))
+
+    # triangle index -> tile id
+    idx_col = np.asarray(grid.tile_attrs)[:, _T_IDX].astype(np.int64)
+    st = grid.tile_rows
+    tri_to_tile = {}
+    for row, tri in enumerate(idx_col):
+        if np.asarray(grid.tile_attrs)[row, 3:9].any():
+            tri_to_tile[int(tri)] = row // st
+
+    hit = np.asarray(ref.hit)
+    t_hit = np.asarray(ref.t)
+    idxs = np.asarray(ref.idx)
+    for r in np.flatnonzero(hit):
+        tile = tri_to_tile[int(idxs[r])]
+        b = r // rb
+        assert mask[b, tile] == 1
+        assert tlo[b, tile] <= t_hit[r] * (1 + 1e-5) + 1e-6
+        # and the lane's segment-end cap can't cut off its own hit
+        assert cap[0, r] >= t_hit[r] * (1 - 1e-5)
+
+
+def test_early_exit_matches_full_sweep_exactly():
+    """Coherent clustered rays (the case where the exit fires early):
+    the early-exit sweep must be bit-identical to the full masked sweep."""
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    rng = np.random.default_rng(23)
+    n = 512
+    o = jnp.asarray(np.float32(
+        np.array([[4.0], [1.0], [0.0]]) + rng.normal(0, 0.05, (3, n))))
+    d = jnp.asarray(np.float32(
+        np.array([[-1.0], [0.0], [0.0]]) + rng.normal(0, 0.15, (3, n))))
+    tm = jnp.zeros((1, n), jnp.float32)
+    a = hit_triangles_grid_rows(grid, o, d, tm, ray_block=128,
+                                interpret=True, use_mxu=False,
+                                early_exit=True)
+    b = hit_triangles_grid_rows(grid, o, d, tm, ray_block=128,
+                                interpret=True, use_mxu=False,
+                                early_exit=False)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_early_exit_with_t_cap_matches_full_sweep():
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    o, d, tm = _rays(512, seed=27)
+    cap = jnp.full((1, 512), 3.0, jnp.float32)
+    a = hit_triangles_grid_rows(grid, o, d, tm, ray_block=128,
+                                interpret=True, use_mxu=False,
+                                t_cap=cap, early_exit=True)
+    b = hit_triangles_grid_rows(grid, o, d, tm, ray_block=128,
+                                interpret=True, use_mxu=False,
+                                t_cap=cap, early_exit=False)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))

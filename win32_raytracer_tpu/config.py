@@ -122,6 +122,12 @@ class RenderConfig:
     # spatial wedges), at the cost of thinner per-tile MXU contractions
     # and more schedule rows.  0 = auto (kernel default).
     tri_ray_block: int = 0
+    # Triangle-grid front-to-back early exit: each block's schedule is
+    # sorted by a conservative tile entry bound and the in-kernel sweep
+    # stops once every lane's min(best t, segment end) is nearer than the
+    # next tile's bound (kernels/tri_grid_rows._sweep_scheduled) — exact
+    # by construction.  "off" sweeps the full masked schedule (A/B arm).
+    tri_early_exit: str = "auto"  # "auto" | "on" | "off"
     # Wavefront chunk size (lanes in flight per jit call).  4M lanes =
     # ~280 MB of state: one-chunk renders up to ~1200x800 with 4
     # lanes/pixel, the measured sweet spot on a v5e chip (bigger chunks

@@ -69,13 +69,14 @@ def _pallas_v4_rb2048(scene, o, d, t, min_t=0.001):
 
 
 @functools.lru_cache(maxsize=16)
-def _tri_grid_fn(sphere_fn, ray_block=0):
+def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True):
     """Rows hit fn for scenes whose triangle side carries a TriGridScene.
 
     For composites the (cheap) sphere pass runs first and its nearest t
     CAPS the triangle block mask — a sphere hit occludes every farther
-    tile.  ``ray_block`` 0 = the kernel default.  Cached: hit fns are
-    static jit args downstream."""
+    tile.  ``ray_block`` 0 = the kernel default; ``early_exit`` = the
+    front-to-back in-kernel stop (cfg.tri_early_exit).  Cached: hit fns
+    are static jit args downstream."""
     from ..ops.rows import combine_hits_rows
     from .tri_grid_rows import (
         DEFAULT_TRI_GRID_RAY_BLOCK, hit_triangles_grid_rows,
@@ -87,14 +88,17 @@ def _tri_grid_fn(sphere_fn, ray_block=0):
         from ..tri_accel import TriGridScene
         if isinstance(sc, TriGridScene):
             return hit_triangles_grid_rows(sc, o, d, t, min_t=min_t,
-                                           ray_block=rb)
+                                           ray_block=rb,
+                                           early_exit=early_exit)
         if sc.spheres is None:
             return hit_triangles_grid_rows(sc.triangles, o, d, t,
-                                           min_t=min_t, ray_block=rb)
+                                           min_t=min_t, ray_block=rb,
+                                           early_exit=early_exit)
         rec = sphere_fn(sc.spheres, o, d, t, min_t=min_t)
         rec_t = hit_triangles_grid_rows(sc.triangles, o, d, t,
                                         min_t=min_t, t_cap=rec.t,
-                                        ray_block=rb)
+                                        ray_block=rb,
+                                        early_exit=early_exit)
         return combine_hits_rows(rec, rec_t,
                                  idx_offset_b=sc.spheres.padded_size)
     return composite
@@ -150,8 +154,9 @@ def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
                     new_scene = scene._replace(triangles=grid)
                 else:
                     new_scene = grid
-                return new_scene, _tri_grid_fn(sphere_fn,
-                                               cfg.tri_ray_block)
+                return new_scene, _tri_grid_fn(
+                    sphere_fn, cfg.tri_ray_block,
+                    early_exit=cfg.tri_early_exit in ("auto", "on"))
 
     if cfg.accel == "grid":
         raise ValueError(

@@ -34,14 +34,24 @@ from ..ops.hit_tri import (
 )
 from ..ops.rows import HitRecordRows
 from ..tri_accel import (
-    TRI_GRID_COLS, TriGridScene, _sweep_tile_rows, tri_block_mask_rows,
+    TRI_GRID_COLS, TriGridScene, _sweep_tile_rows, tri_block_schedule_rows,
 )
 
 DEFAULT_TRI_GRID_RAY_BLOCK = 2048
-# SMEM holds the double-buffered [NB, 1+T] i32 schedule; cap a single
-# pallas_call's block count so it stays under budget and split the batch
-# into segments above that (the driver's batches are pipelined anyway).
+# SMEM holds the double-buffered [NB, 1+T] i32 schedule plus the
+# [NB, T+1] i32 quantized tile entry bounds; cap a single pallas_call's
+# block count so it stays under budget and split the batch into segments
+# above that (the driver's batches are pipelined anyway).
 _SMEM_BUDGET = 640 * 1024
+
+# Tile entry bounds ride SMEM as i32: floor(min(tlo, _TLO_CAP) * _TLO_SCALE).
+# Flooring (and capping) only LOWERS the stored bound, which can only
+# delay an early exit — never skip a reachable tile.  _TLO_PAD sorts
+# inactive tiles last and pads the schedule's one-past-the-end read.
+_TLO_SCALE = np.float32(1024.0)
+_TLO_INV = np.float32(1.0 / 1024.0)
+_TLO_CAP = np.float32(1.0e6)
+_TLO_PAD = np.float32(1.5e6)
 
 
 def _merge_tile(t, tl, t_ref, g_ref, st):
@@ -65,14 +75,48 @@ def _merge_tile(t, tl, t_ref, g_ref, st):
     t_ref[:, :] = jnp.where(better, tile_t, t_ref[:, :])
 
 
-def _tri_grid_kernel(sched_ref, rays_ref, attrs_ref, t_ref, g_ref,
-                     *, st, min_t):
+def _sweep_scheduled(sched_ref, tlo_ref, cap, sweep_tile, t_ref, g_ref,
+                     early_exit):
+    """Run ``sweep_tile(tid)`` over block i's scheduled tiles.
+
+    With ``early_exit`` the schedule is sorted front-to-back by the tile
+    entry bound tlo (tri_accel.tri_block_schedule_rows) and the loop
+    STOPS once every lane's ``min(best_t, segment end)`` is nearer than
+    the next tile's bound: any hit a remaining tile could produce would
+    have t >= that bound, i.e. strictly worse.  Exact — identical winners
+    to the full sweep."""
+    i = pl.program_id(0)
+    count = sched_ref[i, 0]
+    if not early_exit:
+        def body(j, carry):
+            sweep_tile(sched_ref[i, 1 + j])
+            return carry
+        jax.lax.fori_loop(0, count, body, 0)
+        return
+
+    def body(carry):
+        j, _ = carry
+        sweep_tile(sched_ref[i, 1 + j])
+        bound = jnp.max(jnp.minimum(t_ref[:, :], cap))
+        tlo_next = tlo_ref[i, j + 1].astype(jnp.float32) * _TLO_INV
+        stop = jnp.where(tlo_next > bound, 1, 0).astype(jnp.int32)
+        return (j + 1, stop)
+
+    def cond(carry):
+        j, stop = carry
+        return jnp.logical_and(j < count, stop == 0)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+
+
+def _tri_grid_kernel(sched_ref, tlo_ref, rays_ref, attrs_ref, t_ref, g_ref,
+                     *, st, min_t, early_exit):
     """Exact-f32 VPU Möller-Trumbore per scheduled tile (the oracle-grade
     variant; ~50 VPU slots per pair).  sched [NB, 1+T] i32 (SMEM): col 0
-    = active count, cols 1.. = active tile ids ascending; rays [6, R]
-    (o rows 0-2, d rows 3-5); attrs [T*St, 17] VMEM-resident; outputs t
-    [1, R], winner rows [17, R]."""
-    i = pl.program_id(0)
+    = active count, cols 1.. = active tile ids front-to-back; tlo
+    [NB, T+1] i32 quantized entry bounds in schedule order; rays [7, R]
+    (o rows 0-2, d rows 3-5, per-lane segment-end cap row 6); attrs
+    [T*St, 17] VMEM-resident; outputs t [1, R], winner rows [17, R]."""
     t_ref[:, :] = jnp.full_like(t_ref[:, :], F32_MAX)
     g_ref[:, :] = jnp.zeros_like(g_ref[:, :])
 
@@ -82,19 +126,19 @@ def _tri_grid_kernel(sched_ref, rays_ref, attrs_ref, t_ref, g_ref,
     dx = rays_ref[3:4, :]
     dy = rays_ref[4:5, :]
     dz = rays_ref[5:6, :]
+    cap = rays_ref[6:7, :]
 
-    def body(j, carry):
-        tid = sched_ref[i, 1 + j]
+    def sweep_tile(tid):
         tl = attrs_ref[pl.ds(tid * st, st), :]            # [St, 17]
         t = _sweep_tile_rows(tl, ox, oy, oz, dx, dy, dz, min_t)
         _merge_tile(t, tl, t_ref, g_ref, st)
-        return carry
 
-    jax.lax.fori_loop(0, sched_ref[i, 0], body, 0)
+    _sweep_scheduled(sched_ref, tlo_ref, cap, sweep_tile, t_ref, g_ref,
+                     early_exit)
 
 
-def _tri_grid_kernel_mxu(sched_ref, rays_ref, attrs_ref, coef_ref,
-                         t_ref, g_ref, *, st, min_t, n_terms):
+def _tri_grid_kernel_mxu(sched_ref, tlo_ref, rays_ref, attrs_ref, coef_ref,
+                         t_ref, g_ref, *, st, min_t, n_terms, early_exit):
     """Production variant: each scheduled tile's four MT quantities
     (det/u_num/v_num/t_num) come from ONE [4*St, K] x [K, R] split-bf16
     MXU contraction against the shared 16-feature ray stack
@@ -105,12 +149,12 @@ def _tri_grid_kernel_mxu(sched_ref, rays_ref, attrs_ref, coef_ref,
     from .hit_pallas_v6 import _PAIRS, _split_limbs
     from .tri_pallas_mxu import _DET_EPS
 
-    i = pl.program_id(0)
     t_ref[:, :] = jnp.full_like(t_ref[:, :], F32_MAX)
     g_ref[:, :] = jnp.zeros_like(g_ref[:, :])
 
     o = rays_ref[0:3, :]
     d = rays_ref[3:6, :]
+    cap = rays_ref[6:7, :]
     pairs = _PAIRS[n_terms]
     ones = jnp.ones_like(o[0:1])
     outer = jnp.concatenate([o[k:k + 1] * d for k in range(3)], axis=0)
@@ -120,8 +164,7 @@ def _tri_grid_kernel_mxu(sched_ref, rays_ref, attrs_ref, coef_ref,
     f_stack = jnp.concatenate(
         [f_limbs[j] for _, j in pairs], axis=0).astype(jnp.bfloat16)
 
-    def body(j, carry):
-        tid = sched_ref[i, 1 + j]
+    def sweep_tile(tid):
         tl = attrs_ref[pl.ds(tid * st, st), :]            # [St, 17]
         cf = coef_ref[pl.ds(tid * 4 * st, 4 * st), :]     # [4St, K]
         mm = jax.lax.dot_general(
@@ -140,50 +183,60 @@ def _tri_grid_kernel_mxu(sched_ref, rays_ref, attrs_ref, coef_ref,
                  & (t > min_t))
         t = jnp.where(valid, t, F32_MAX)
         _merge_tile(t, tl, t_ref, g_ref, st)
-        return carry
 
-    jax.lax.fori_loop(0, sched_ref[i, 0], body, 0)
+    _sweep_scheduled(sched_ref, tlo_ref, cap, sweep_tile, t_ref, g_ref,
+                     early_exit)
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "st", "min_t", "ray_block",
-                              "use_mxu", "interpret"))
-def _tri_grid_raw(rays6, tile_attrs, tile_coeffs, mask, *, n_tiles, st,
-                  min_t, ray_block, use_mxu=True, interpret=False):
-    n = rays6.shape[1]
+                              "use_mxu", "interpret", "early_exit"))
+def _tri_grid_raw(rays7, tile_attrs, tile_coeffs, mask, tlo, *, n_tiles, st,
+                  min_t, ray_block, use_mxu=True, interpret=False,
+                  early_exit=True):
+    n = rays7.shape[1]
     nb = n // ray_block
-    t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    key = jnp.where(mask > 0, t_ids, n_tiles + t_ids)
+    # Front-to-back schedule: active tiles first, ordered by their entry
+    # bound (ties keep tile-id order — argsort is stable).  Inactive
+    # tiles key to _TLO_PAD, past every capped active bound.
+    key = jnp.where(mask > 0, jnp.minimum(tlo, _TLO_CAP), _TLO_PAD)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
     count = jnp.sum(mask > 0, axis=1, dtype=jnp.int32)
     sched = jnp.concatenate([count[:, None], order], axis=1)
+    tlo_sorted = jnp.take_along_axis(key, order, axis=1)
+    tlo_q = jnp.concatenate(
+        [jnp.floor(tlo_sorted * _TLO_SCALE).astype(jnp.int32),
+         jnp.full((nb, 1), np.int32(_TLO_PAD * _TLO_SCALE), jnp.int32)],
+        axis=1)                                           # [NB, T+1]
 
     in_specs = [
-        pl.BlockSpec((6, ray_block), lambda i, m: (0, i),
+        pl.BlockSpec((7, ray_block), lambda i, m, q: (0, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_tiles * st, TRI_GRID_COLS), lambda i, m: (0, 0),
+        pl.BlockSpec((n_tiles * st, TRI_GRID_COLS), lambda i, m, q: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if use_mxu:
         kernel = functools.partial(_tri_grid_kernel_mxu, st=st,
-                                   min_t=min_t, n_terms=6)
+                                   min_t=min_t, n_terms=6,
+                                   early_exit=early_exit)
         k = tile_coeffs.shape[1]
         in_specs.append(
-            pl.BlockSpec((n_tiles * 4 * st, k), lambda i, m: (0, 0),
+            pl.BlockSpec((n_tiles * 4 * st, k), lambda i, m, q: (0, 0),
                          memory_space=pltpu.VMEM))
-        args = (sched, rays6, tile_attrs, tile_coeffs)
+        args = (sched, tlo_q, rays7, tile_attrs, tile_coeffs)
     else:
-        kernel = functools.partial(_tri_grid_kernel, st=st, min_t=min_t)
-        args = (sched, rays6, tile_attrs)
+        kernel = functools.partial(_tri_grid_kernel, st=st, min_t=min_t,
+                                   early_exit=early_exit)
+        args = (sched, tlo_q, rays7, tile_attrs)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, ray_block), lambda i, m: (0, i),
+            pl.BlockSpec((1, ray_block), lambda i, m, q: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TRI_GRID_COLS, ray_block), lambda i, m: (0, i),
+            pl.BlockSpec((TRI_GRID_COLS, ray_block), lambda i, m, q: (0, i),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -218,11 +271,14 @@ def hit_triangles_grid_rows(
     interpret: bool = False,
     t_cap: Optional[jnp.ndarray] = None,
     use_mxu: bool = True,
+    early_exit: bool = True,
 ) -> HitRecordRows:
     """Drop-in rows hit function for TriGridScene.  ``t_cap`` [1, N] (a
     nearer hit from another pass) tightens the block mask.  ``use_mxu``
     selects the production split-bf16 MXU tile sweep (False = the exact
-    f32 VPU variant, the oracle-grade path)."""
+    f32 VPU variant, the oracle-grade path).  ``early_exit`` sweeps each
+    block's tiles front-to-back and stops at the first tile no lane can
+    still beat (exact; False = full masked sweep, the A/B arm)."""
     del time
     n = origin.shape[1]
     pad = (-n) % ray_block
@@ -234,22 +290,25 @@ def hit_triangles_grid_rows(
         if t_cap is not None:
             t_cap = jnp.pad(t_cap, ((0, 0), (0, pad)))
 
-    mask = tri_block_mask_rows(grid, o, d, t_cap, float(min_t), ray_block)
-    rays6 = jnp.concatenate([o, d], axis=0)
+    mask, tlo, cap_eff = tri_block_schedule_rows(
+        grid, o, d, t_cap, float(min_t), ray_block)
+    rays7 = jnp.concatenate([o, d, cap_eff], axis=0)
 
     # Segment the batch so the SMEM-resident schedule fits (see module
     # doc); segments pipeline like any other dispatches.
     np_ = o.shape[1]
     nb = np_ // ray_block
-    per_seg = max(1, _SMEM_BUDGET // ((1 + grid.n_tiles) * 4 * 2))
+    per_seg = max(1, _SMEM_BUDGET // ((2 * grid.n_tiles + 2) * 4 * 2))
     outs_t, outs_g = [], []
     for b0 in range(0, nb, per_seg):
         b1 = min(nb, b0 + per_seg)
         sl = slice(b0 * ray_block, b1 * ray_block)
         t_o, g_o = _tri_grid_raw(
-            rays6[:, sl], grid.tile_attrs, grid.tile_coeffs, mask[b0:b1],
+            rays7[:, sl], grid.tile_attrs, grid.tile_coeffs, mask[b0:b1],
+            tlo[b0:b1],
             n_tiles=grid.n_tiles, st=grid.tile_rows, min_t=float(min_t),
-            ray_block=ray_block, use_mxu=use_mxu, interpret=interpret)
+            ray_block=ray_block, use_mxu=use_mxu, interpret=interpret,
+            early_exit=early_exit)
         outs_t.append(t_o)
         outs_g.append(g_o)
     t_out = jnp.concatenate(outs_t, axis=1) if len(outs_t) > 1 else outs_t[0]

@@ -206,19 +206,34 @@ def build_tri_grid(
     return grid
 
 
-def tri_block_mask_rows(
+def tri_block_schedule_rows(
     grid: TriGridScene,
     origin: jnp.ndarray,      # [3, Np] (padded to a ray_block multiple)
     direction: jnp.ndarray,   # [3, Np]
     t_cap: Optional[jnp.ndarray],  # [1, Np] occluding t or None
     min_t: float,
     ray_block: int,
-) -> jnp.ndarray:
-    """[Np/ray_block, T] int32: 1 where the block must sweep the tile.
+):
+    """Conservative per-block tile schedule inputs.
 
-    Per ray: slab-test against the scene AABB -> [t_in, t_out], clipped
-    to [min_t, t_cap]; the segment's 3D box; per block min/max; per
-    (block, tile) 3D overlap.  Conservative."""
+    Returns ``(mask, tlo, cap_eff)``:
+
+    * ``mask`` [Np/ray_block, T] int32 — 1 where the block must sweep the
+      tile.  Per ray: slab-test against the scene AABB -> [t_in, t_out],
+      clipped to [min_t, t_cap]; the segment's 3D box; per block min/max;
+      per (block, tile) 3D overlap.
+    * ``tlo`` [Np/ray_block, T] f32 — a LOWER bound on the ray parameter
+      t at which ANY ray of the block can first touch the tile:
+      ``dist(block origin box, tile box) / max |d| in block``.  Sorting a
+      block's schedule by ``tlo`` ascending makes the sweep front-to-back,
+      so the kernel may STOP once every lane's current best t (clipped to
+      its segment end) is nearer than the next tile's bound — exact, no
+      hit can be lost (any hit in a later tile has t >= its tlo).
+    * ``cap_eff`` [1, Np] f32 — each lane's segment end ``hi_t`` (0 for
+      empty lanes): a lane cannot hit beyond where it exits the scene box
+      (or beyond an occluding t_cap), so the early-exit reduction uses
+      ``min(best_t, cap_eff)`` and miss-everything lanes don't pin the
+      block to a full sweep."""
     n = origin.shape[1]
     nb = n // ray_block
     eps = np.float32(1e-12)
@@ -238,6 +253,7 @@ def tri_block_mask_rows(
     empty = lo_t > hi_t
 
     mins, maxs = [], []
+    o_mins, o_maxs = [], []
     for ax in range(3):
         o, d = origin[ax], direction[ax]
         pa, pb = o + lo_t * d, o + hi_t * d
@@ -245,6 +261,10 @@ def tri_block_mask_rows(
                     .reshape(nb, ray_block).min(axis=1))
         maxs.append(jnp.where(empty, -_BIG, jnp.maximum(pa, pb))
                     .reshape(nb, ray_block).max(axis=1))
+        o_mins.append(jnp.where(empty, _BIG, o)
+                      .reshape(nb, ray_block).min(axis=1))
+        o_maxs.append(jnp.where(empty, -_BIG, o)
+                      .reshape(nb, ray_block).max(axis=1))
 
     bx = grid.tile_boxes                                  # [T, 6]
     overlap = ((mins[0][:, None] <= bx[None, :, 1])
@@ -253,7 +273,37 @@ def tri_block_mask_rows(
                & (maxs[1][:, None] >= bx[None, :, 2])
                & (mins[2][:, None] <= bx[None, :, 5])
                & (maxs[2][:, None] >= bx[None, :, 4]))
-    return overlap.astype(jnp.int32)                      # [NB, T]
+
+    d2 = (direction[0] * direction[0] + direction[1] * direction[1]
+          + direction[2] * direction[2])
+    dmax = jnp.sqrt(jnp.where(empty, 0.0, d2)
+                    .reshape(nb, ray_block).max(axis=1))  # [NB]
+    dist2 = jnp.zeros((nb, grid.n_tiles), jnp.float32)
+    for ax in range(3):
+        gap = jnp.maximum(
+            0.0, jnp.maximum(bx[None, :, 2 * ax] - o_maxs[ax][:, None],
+                             o_mins[ax][:, None] - bx[None, :, 2 * ax + 1]))
+        dist2 = dist2 + gap * gap
+    tlo = jnp.maximum(jnp.sqrt(dist2)
+                      / jnp.maximum(dmax, eps)[:, None],
+                      np.float32(min_t))
+    cap_eff = jnp.where(empty, 0.0, hi_t)[None, :]
+    return overlap.astype(jnp.int32), tlo, cap_eff
+
+
+def tri_block_mask_rows(
+    grid: TriGridScene,
+    origin: jnp.ndarray,      # [3, Np] (padded to a ray_block multiple)
+    direction: jnp.ndarray,   # [3, Np]
+    t_cap: Optional[jnp.ndarray],  # [1, Np] occluding t or None
+    min_t: float,
+    ray_block: int,
+) -> jnp.ndarray:
+    """[Np/ray_block, T] int32 conservative block mask (schedule without
+    the front-to-back ordering metadata; see tri_block_schedule_rows)."""
+    mask, _, _ = tri_block_schedule_rows(
+        grid, origin, direction, t_cap, min_t, ray_block)
+    return mask
 
 
 def _sweep_tile_rows(tl, ox, oy, oz, dx, dy, dz, min_t):
