@@ -32,9 +32,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
 from ..persistent import (
-    PathState, _COMPACT_FLOOR, _COMPACT_SHRINK, _compact_core, _grid_size,
-    _hit_core, _next_pow2, _resolve_kpp, _respawn_core, _scatter_core,
-    _split,
+    PathState, _COMPACT_FLOOR, _COMPACT_SHRINK, _MULTI_K, _compact_core,
+    _grid_size, _hit_core, _next_pow2, _resolve_kpp, _respawn_core,
+    _scatter_core, _split,
 )
 from ..scene.camera import Camera, default_camera
 from ..scene.spheres import SphereScene
@@ -162,6 +162,27 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
             bounce, mesh=mesh, in_specs=(P(), P(), sspec, kspec, P()),
             out_specs=sspec, check_vma=False), static_argnames=())
 
+    # Tail multi-bounce program (persistent.p_bounce_multi_step sharded):
+    # below the per-shard dispatch floor the render is dispatch-bound, so
+    # _MULTI_K full bounces ride ONE shard_map dispatch.  Draws are
+    # bit-identical to _MULTI_K successive bounce_sm calls.
+    def bounce_multi(scene, cam, st, salts, step0):
+        salt = salts[0]
+
+        def body(i, st):
+            step_i = step0 + i
+            rec, st2 = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
+            st2 = _scatter_core(scene, st2, rec, salt, step_i, cfg=cfg)
+            return _respawn_core(cam, st2, salt, step_i, cfg=cfg,
+                                 width=width, height=height, spp=spp,
+                                 lanes_per_pixel=kpp)
+
+        return jax.lax.fori_loop(0, _MULTI_K, body, st)
+
+    multi_sm = jax.jit(jax.shard_map(
+        bounce_multi, mesh=mesh, in_specs=(P(), P(), sspec, kspec, P()),
+        out_specs=sspec, check_vma=False))
+
     def first_respawn(cam, st, salts):
         return _respawn_core(cam, st, salts[0], jnp.int32(0), cfg=cfg,
                              width=width, height=height, spp=spp,
@@ -189,7 +210,7 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
         in_specs=(sspec, P("tiles", None, None)),
         out_specs=P("tiles", None, None)))
 
-    return bounce_sm, alive_sm, flush_sm, respawn_sm
+    return bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm
 
 
 @functools.lru_cache(maxsize=256)
@@ -322,7 +343,7 @@ def render_image_persistent_sharded(
          for b in range(d)], np.uint32)                  # [D] salts
     dev_keys = jax.device_put(dev_keys, jax.NamedSharding(mesh, P("tiles")))
 
-    bounce_sm, alive_sm, flush_sm, respawn_sm = _steps(
+    bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm = _steps(
         mesh, cfg, w, h, spp, kpp, hit_fn)
 
     def bounce_for(n_local: int):
@@ -338,6 +359,22 @@ def render_image_persistent_sharded(
                 return functools.partial(b7, coeffs)
         return bounce_sm
 
+    def do_steps(st, k, step):
+        # Tail economics mirror the single-chip driver: at or below the
+        # per-shard floor the render is dispatch-bound, so _MULTI_K
+        # bounces ride one shard_map dispatch each.
+        cur = st.pixel.shape[1] // d
+        bounce = bounce_for(cur)
+        if cur <= floor:
+            while k >= _MULTI_K:
+                st = multi_sm(scene, cam, st, dev_keys, jnp.int32(step + 1))
+                step += _MULTI_K
+                k -= _MULTI_K
+        for _ in range(k):
+            step += 1
+            st = bounce(scene, cam, st, dev_keys, jnp.int32(step))
+        return st, step
+
     st = respawn_sm(cam, st, dev_keys)  # start sample 0 on every lane
 
     step = 0
@@ -345,12 +382,8 @@ def render_image_persistent_sharded(
     last_alive = n
     while step < max_steps:
         next_check = first_check if step < first_check else (step + period)
-        budget = min(next_check, max_steps) - step
+        st, step = do_steps(st, min(next_check, max_steps) - step, step)
         cur = st.pixel.shape[1] // d
-        bounce = bounce_for(cur)
-        for _ in range(budget):
-            step += 1
-            st = bounce(scene, cam, st, dev_keys, jnp.int32(step))
         # Overlapped alive check (persistent.py): dispatch the counts, hide
         # the fetch round trip behind a few optimistic steps, then read.
         # Counts are stale-but-upper-bound (monotone non-increasing), so
@@ -360,10 +393,8 @@ def render_image_persistent_sharded(
             cnt.copy_to_host_async()
         except Exception:
             pass
-        ov = 1 if cur >= (1 << 18) else 4
-        for _ in range(min(ov, max_steps - step)):
-            step += 1
-            st = bounce(scene, cam, st, dev_keys, jnp.int32(step))
+        ov = 1 if cur >= (1 << 21) else (2 if cur >= (1 << 20) else 4)
+        st, step = do_steps(st, min(ov, max_steps - step), step)
         counts = np.asarray(cnt)                         # [D]
         worst = int(counts.max())
         if counts.sum() == 0:
