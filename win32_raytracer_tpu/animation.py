@@ -124,10 +124,15 @@ def render_animation(
         pending = None  # (b0, n, tonemapped device arrays, t_start)
 
         def materialize(p):
+            # Frame-by-frame fetch+emit: all transfers were prefetched, so
+            # np.asarray(frame i) waits only for ITS bytes while frames
+            # i+1.. keep riding the relay — the PNG encode of frame i
+            # overlaps the remaining transfers (matters for the last
+            # batch, whose transfer has no successor compute to hide in).
             b0_, n_, dev, t0_ = p
-            imgs = [np.asarray(a) for a in dev]  # device->host fetch
             ms = (time.perf_counter() - t0_) * 1e3 / n_
-            for i, img in enumerate(imgs):
+            for i, a in enumerate(dev):
+                img = np.asarray(a)              # device->host fetch
                 frames.append(img)
                 emit(b0_ + i, img, ms)
 
