@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lanes-per-pixel", type=int, default=0,
                    help="persistent scheduler: replica lanes per pixel "
                         "(0 = auto; must divide samples)")
+    p.add_argument("--adaptive", default="off", choices=["off", "on"],
+                   help="difficulty-adaptive lane allocation: a quota-1 "
+                        "prepass measures per-pixel path length, the "
+                        "remaining samples run on difficulty-"
+                        "proportional lanes (RenderConfig.adaptive_alloc)")
     p.add_argument("--stratify", action="store_true",
                    help="stratified pixel jitter (variance reduction)")
     p.add_argument("--shard-mode", default="persistent",
@@ -124,6 +129,7 @@ def main(argv=None) -> int:
         redistribute=args.redistribute,
         scheduler=args.scheduler,
         lanes_per_pixel=args.lanes_per_pixel, stratify=args.stratify,
+        adaptive_alloc=args.adaptive,
         russian_roulette=args.russian_roulette,
     )
     if args.textbook:

@@ -148,6 +148,17 @@ class RenderConfig:
     # shorter sequential tails, bigger batches).  0 = auto (largest of
     # 8/4/2 dividing spp with quota >= 4).  Must divide samples.
     lanes_per_pixel: int = 0
+    # Difficulty-adaptive lane allocation (persistent scheduler,
+    # adaptive.py): a quota-1 prepass (lanes_per_pixel samples) measures
+    # per-pixel path length, then the remaining samples run on lanes
+    # allocated proportional to measured difficulty — hard pixels get
+    # more lanes with smaller quotas, which shortens the mostly-dead
+    # serial tail that uniform replica counts leave behind (offline
+    # replay: bench/policy_sim.py --alloc).  Requires a single-frame
+    # unbinned render with samples > lanes_per_pixel.
+    adaptive_alloc: str = "off"   # "off" | "on"
+    # Soft cap on adaptive lanes per pixel (hard cap: remaining samples).
+    kpp_max: int = 32
 
     # Stratified pixel jitter: samples placed on a sqrt(spp) grid within
     # the pixel instead of pure uniform (extension; reduces variance,

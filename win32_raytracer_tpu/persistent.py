@@ -650,79 +650,72 @@ def render_image_persistent(
     else:
         accum = jnp.zeros((3, h_virt * w), jnp.float32)  # rows, like state
 
-    for y0 in range(resume_y0, h_virt, rows):
-        take = min(rows, h_virt - y0)
-        n = take * w * kpp
-        salt = np.uint32((seed * 0x9E3779B1 ^ (y0 + 1) * 0x85EBCA77)
-                         & 0xFFFFFFFF)
-        st = PathState(
-            origin=jnp.zeros((3, n), jnp.float32),
-            direction=jnp.zeros((3, n), jnp.float32).at[2, :].set(1.0),
-            time=jnp.zeros((1, n), jnp.float32),
-            throughput=jnp.ones((3, n), jnp.float32),
-            radiance_sum=jnp.zeros((3, n), jnp.float32),
-            depth=jnp.zeros((1, n), jnp.int32),
-            sample=jnp.full((1, n), -1, jnp.int32),
-            pixel=jnp.arange(y0 * w * kpp, (y0 + take) * w * kpp,
-                             dtype=jnp.int32)[None],
-            path_alive=jnp.zeros((1, n), bool),
-            s_base=(jnp.arange(n, dtype=jnp.int32) % kpp * quota)[None],
-            s_quota=jnp.full((1, n), quota, jnp.int32),
-        )
-        step = 0
-        st = p_respawn_step(cam_x, st, salt, jnp.int32(step), cfg=cfg,
-                            width=w, height=h, spp=spp,
-                            lanes_per_pixel=kpp, n_frames=n_frames)
-        period = check_period
-        last_alive = n
-        # Pixel order starts as identity; receiver redistribution and
-        # ray binning break it (and with it the argsort-free tail flush).
-        state_sorted = bin_box is None
+    # Scatter+respawn backend (cfg.scatter_backend; draw-bit-identical
+    # either way).  "auto" = the XLA row-math step: measured
+    # interleaved at the headline config it edges out the Pallas
+    # kernel (~8.8 vs ~10.5 ms/step at 3.84M lanes) and XLA can fuse
+    # it with neighbors.
+    from .kernels.dispatch import _resolve_backend
+    sb = cfg.scatter_backend
+    if sb == "auto":
+        sb = "jnp"
+    use_pallas_scatter = (sb == "pallas"
+                          and _resolve_backend(cfg) == "pallas")
 
-        # Scatter+respawn backend (cfg.scatter_backend; draw-bit-identical
-        # either way).  "auto" = the XLA row-math step: measured
-        # interleaved at the headline config it edges out the Pallas
-        # kernel (~8.8 vs ~10.5 ms/step at 3.84M lanes) and XLA can fuse
-        # it with neighbors.
-        from .kernels.dispatch import _resolve_backend
-        sb = cfg.scatter_backend
-        if sb == "auto":
-            sb = "jnp"
-        if sb == "pallas" and _resolve_backend(cfg) == "pallas":
+    # Single-kernel bounce (hit+sky+scatter+respawn in one Mosaic
+    # program).  "auto" = on where v7 runs: measured interleaved at
+    # the headline config it beats the two-program bounce.  An
+    # explicit scatter_backend request disables auto-fusing (the
+    # fused kernel has its own scatter; honoring the A/B intent).
+    fused_bounce = None
+    fuse_wanted = (cfg.fuse_bounce == "on"
+                   or (cfg.fuse_bounce == "auto"
+                       and cfg.scatter_backend == "auto"))
+    if hit_coeffs_v7 is not None and fuse_wanted:
+        from .kernels.bounce_pallas import p_bounce_fused
+        fused_bounce = p_bounce_fused
+    elif cfg.fuse_bounce == "on":
+        # Mirror the accel='grid' contract: an explicit request that
+        # cannot be honored raises instead of silently unfusing.
+        raise ValueError(
+            "fuse_bounce='on' requires the fused Mosaic kernel, which "
+            "needs a Pallas backend, a plain sphere scene, and "
+            "hit_kernel auto/v7 (got backend="
+            f"{cfg.backend!r}, hit_kernel={cfg.hit_kernel!r}, "
+            f"scene={type(scene).__name__})")
+
+    # Difficulty-adaptive lane allocation (adaptive.py): a quota-1
+    # prepass measures per-pixel path length, then the remaining samples
+    # run on lanes allocated proportional to difficulty.  Lane encoding
+    # for the adaptive phase is raw pixel ids (lanes_per_pixel=1; replica
+    # bookkeeping lives entirely in s_base/s_quota).
+    adaptive = (cfg.adaptive_alloc == "on" and n_frames == 1
+                and kpp > 1 and spp > kpp and bin_box is None)
+    if cfg.adaptive_alloc == "on" and not adaptive:
+        raise ValueError(
+            "adaptive_alloc='on' needs a single-frame unbinned render "
+            "with lanes_per_pixel > 1 and samples > lanes_per_pixel "
+            f"(got n_frames={n_frames}, kpp={kpp}, samples={spp}, "
+            f"ray_binning={'active' if bin_box else 'off'})")
+    if adaptive:
+        from .adaptive import alloc_lanes
+
+    def make_steps(salt, kpp_s):
+        """Bind the bounce-step closures to a draw salt and lane
+        encoding (kpp_s: pixel-lane id stride; 1 = raw pixel ids)."""
+        if use_pallas_scatter:
             from .kernels.scatter_pallas import scatter_respawn_pallas
 
             def scat_step(scene_, st_, rec_, salt_, step_i_):
                 return scatter_respawn_pallas(
                     scene_, cam_m, st_, rec_, salt_, step_i_, cfg=cfg,
-                    width=w, height=h, spp=spp, lanes_per_pixel=kpp)
+                    width=w, height=h, spp=spp, lanes_per_pixel=kpp_s)
         else:
             def scat_step(scene_, st_, rec_, salt_, step_i_):
                 return p_scatter_respawn_step(
                     scene_, cam_x, st_, rec_, salt_, step_i_, cfg=cfg,
-                    width=w, height=h, spp=spp, lanes_per_pixel=kpp,
+                    width=w, height=h, spp=spp, lanes_per_pixel=kpp_s,
                     n_frames=n_frames)
-
-        # Single-kernel bounce (hit+sky+scatter+respawn in one Mosaic
-        # program).  "auto" = on where v7 runs: measured interleaved at
-        # the headline config it beats the two-program bounce.  An
-        # explicit scatter_backend request disables auto-fusing (the
-        # fused kernel has its own scatter; honoring the A/B intent).
-        fused_bounce = None
-        fuse_wanted = (cfg.fuse_bounce == "on"
-                       or (cfg.fuse_bounce == "auto"
-                           and cfg.scatter_backend == "auto"))
-        if hit_coeffs_v7 is not None and fuse_wanted:
-            from .kernels.bounce_pallas import p_bounce_fused
-            fused_bounce = p_bounce_fused
-        elif cfg.fuse_bounce == "on":
-            # Mirror the accel='grid' contract: an explicit request that
-            # cannot be honored raises instead of silently unfusing.
-            raise ValueError(
-                "fuse_bounce='on' requires the fused Mosaic kernel, which "
-                "needs a Pallas backend, a plain sphere scene, and "
-                "hit_kernel auto/v7 (got backend="
-                f"{cfg.backend!r}, hit_kernel={cfg.hit_kernel!r}, "
-                f"scene={type(scene).__name__})")
 
         def do_steps(st, k, step):
             cur = st.pixel.shape[1]
@@ -740,7 +733,7 @@ def render_image_persistent(
                     st = p_bounce_multi_step(
                         scene, cam_x, st, salt, jnp.int32(step + 1),
                         cfg=cfg, hit_fn=hit_fn, width=w, height=h,
-                        spp=spp, lanes_per_pixel=kpp, n_frames=n_frames,
+                        spp=spp, lanes_per_pixel=kpp_s, n_frames=n_frames,
                         k=_MULTI_K)
                     step += _MULTI_K
                     k -= _MULTI_K
@@ -753,7 +746,7 @@ def render_image_persistent(
                                        jnp.int32(step),
                                        cfg=cfg, hit_fn=hit_fn, width=w,
                                        height=h, spp=spp,
-                                       lanes_per_pixel=kpp,
+                                       lanes_per_pixel=kpp_s,
                                        n_frames=n_frames)
                 elif fused_bounce is not None:
                     # The whole bounce as ONE Mosaic program (state rows
@@ -761,7 +754,7 @@ def render_image_persistent(
                     st = fused_bounce(
                         hit_coeffs_v7, cam_m, st, salt, jnp.int32(step),
                         cfg=cfg, width=w, height=h, spp=spp,
-                        lanes_per_pixel=kpp)
+                        lanes_per_pixel=kpp_s)
                 else:
                     # Two dispatches per bounce: the Pallas hit alone
                     # (fusing it with the epilogue generates ~2.5x slower
@@ -777,6 +770,14 @@ def render_image_persistent(
                     st = scat_step(scene, st, rec, salt, jnp.int32(step))
             return st, step
 
+        return do_steps
+
+    def run_loop(st, accum, do_steps, *, kpp_s, first_check, max_steps,
+                 state_sorted):
+        """The check/compact/split driver loop for one lane batch."""
+        step = 0
+        period = check_period
+        last_alive = st.pixel.shape[1]
         while step < max_steps:
             next_check = first_check if step < first_check else (
                 step + period)
@@ -817,7 +818,7 @@ def render_image_persistent(
                 k_new = max(min_lanes, _next_pow2(n_alive))
                 if k_new <= cur // 2:
                     st, accum = _compact(st, accum, k_new=k_new,
-                                         lanes_per_pixel=kpp)
+                                         lanes_per_pixel=kpp_s)
                     st = _split(st)
                 continue
             # Compact on a shrink (above the floor shrinking the batch is
@@ -838,13 +839,94 @@ def render_image_persistent(
                     else:
                         k_new = k_base
                 st, accum = _compact(st, accum, k_new=k_new,
-                                     lanes_per_pixel=kpp,
+                                     lanes_per_pixel=kpp_s,
                                      tail_sorted=state_sorted,
                                      n_receivers=n_recv)
                 if n_recv:
                     state_sorted = False
+        return st, accum
+
+    def fresh_state(n, pixel, s_base, s_quota):
+        return PathState(
+            origin=jnp.zeros((3, n), jnp.float32),
+            direction=jnp.zeros((3, n), jnp.float32).at[2, :].set(1.0),
+            time=jnp.zeros((1, n), jnp.float32),
+            throughput=jnp.ones((3, n), jnp.float32),
+            radiance_sum=jnp.zeros((3, n), jnp.float32),
+            depth=jnp.zeros((1, n), jnp.int32),
+            sample=jnp.full((1, n), -1, jnp.int32),
+            pixel=pixel,
+            path_alive=jnp.zeros((1, n), bool),
+            s_base=s_base,
+            s_quota=s_quota,
+        )
+
+    for y0 in range(resume_y0, h_virt, rows):
+        take = min(rows, h_virt - y0)
+        n = take * w * kpp
+        salt = np.uint32((seed * 0x9E3779B1 ^ (y0 + 1) * 0x85EBCA77)
+                         & 0xFFFFFFFF)
+        if adaptive:
+            # Phase 1 (prepass): kpp quota-1 lanes per pixel.  Every path
+            # is dead after max_depth+1 bounces, so the phase runs a
+            # STATIC step count — zero device syncs — and, uncompacted,
+            # the final depth row is the per-sample path length in
+            # pixel-identity order (reshape-sum, no gather).
+            st = fresh_state(
+                n,
+                pixel=jnp.arange(y0 * w * kpp, (y0 + take) * w * kpp,
+                                 dtype=jnp.int32)[None],
+                s_base=(jnp.arange(n, dtype=jnp.int32) % kpp)[None],
+                s_quota=jnp.ones((1, n), jnp.int32),
+            )
+            st = p_respawn_step(cam_x, st, salt, jnp.int32(0), cfg=cfg,
+                                width=w, height=h, spp=spp,
+                                lanes_per_pixel=kpp, n_frames=n_frames)
+            do_steps = make_steps(salt, kpp)
+            st, _ = do_steps(st, cfg.max_depth + 1, 0)
+            est = jnp.sum(st.depth[0].reshape(take * w, kpp), axis=1)
+            accum = accum.at[:, st.pixel[0] // kpp].add(st.radiance_sum)
+
+            # Phase 2: remaining samples on difficulty-proportional
+            # lanes (same lane budget, raw-pixel-id encoding).
+            pix2, s_base2, s_quota2 = alloc_lanes(
+                est, n_lanes=n, spp_done=kpp, spp=spp,
+                kpp_max=cfg.kpp_max)
+            salt2 = np.uint32((int(salt) * 0x85EBCA77 + 0x632BE5AB)
+                              & 0xFFFFFFFF)
+            st = fresh_state(n, pixel=pix2 + y0 * w, s_base=s_base2,
+                             s_quota=s_quota2)
+            st = p_respawn_step(cam_x, st, salt2, jnp.int32(0), cfg=cfg,
+                                width=w, height=h, spp=spp,
+                                lanes_per_pixel=1, n_frames=n_frames)
+            spp_rest = spp - kpp
+            st, accum = run_loop(
+                st, accum, make_steps(salt2, 1), kpp_s=1,
+                first_check=spp_rest // min(cfg.kpp_max, spp_rest) + 2,
+                max_steps=(spp_rest + 1) * (cfg.max_depth + 2),
+                state_sorted=bin_box is None)
+            flush_div = 1
+        else:
+            st = fresh_state(
+                n,
+                pixel=jnp.arange(y0 * w * kpp, (y0 + take) * w * kpp,
+                                 dtype=jnp.int32)[None],
+                s_base=(jnp.arange(n, dtype=jnp.int32) % kpp * quota)[None],
+                s_quota=jnp.full((1, n), quota, jnp.int32),
+            )
+            st = p_respawn_step(cam_x, st, salt, jnp.int32(0), cfg=cfg,
+                                width=w, height=h, spp=spp,
+                                lanes_per_pixel=kpp, n_frames=n_frames)
+            # Pixel order starts as identity; receiver redistribution and
+            # ray binning break it (and with it the argsort-free tail
+            # flush).
+            st, accum = run_loop(
+                st, accum, make_steps(salt, kpp), kpp_s=kpp,
+                first_check=first_check, max_steps=max_steps,
+                state_sorted=bin_box is None)
+            flush_div = kpp
         # Flush this chunk's remaining radiance into the accumulator.
-        accum = accum.at[:, st.pixel[0] // kpp].add(st.radiance_sum)
+        accum = accum.at[:, st.pixel[0] // flush_div].add(st.radiance_sum)
         if chunk_callback is not None:
             chunk_callback(accum, y0 + take)
 
