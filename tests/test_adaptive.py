@@ -109,3 +109,24 @@ def test_adaptive_guard_raises():
                        adaptive_alloc="on", lanes_per_pixel=4)
     with pytest.raises(ValueError, match="adaptive_alloc"):
         render_image_persistent(scene, None, cfg)  # spp == kpp
+
+
+def test_adaptive_multiframe_matches():
+    """Adaptive allocation over a multi-frame batch (virtual tall image)
+    must statistically match per-frame uniform renders."""
+    from win32_raytracer_tpu.config import RenderConfig
+    from win32_raytracer_tpu.persistent import render_image_persistent
+    from win32_raytracer_tpu.scene.builders import test_scene
+    from win32_raytracer_tpu.animation import orbit_path
+
+    scene = test_scene()
+    cfg = RenderConfig(width=48, height=32, samples=16, backend="jnp",
+                       scheduler="persistent", seed=3)
+    cams = orbit_path(n_frames=2, radius=12.0,
+                      aspect_ratio=cfg.width / cfg.height)
+    base = np.asarray(render_image_persistent(scene, cams, cfg))
+    imgs = np.asarray(render_image_persistent(
+        scene, cams, cfg.replace(adaptive_alloc="on")))
+    assert imgs.shape == base.shape == (2, 32, 48, 3)
+    d = np.abs(np.sqrt(np.clip(imgs, 0, 1)) - np.sqrt(np.clip(base, 0, 1)))
+    assert d.mean() < 0.04, d.mean()

@@ -689,13 +689,13 @@ def render_image_persistent(
     # run on lanes allocated proportional to difficulty.  Lane encoding
     # for the adaptive phase is raw pixel ids (lanes_per_pixel=1; replica
     # bookkeeping lives entirely in s_base/s_quota).
-    adaptive = (cfg.adaptive_alloc == "on" and n_frames == 1
+    adaptive = (cfg.adaptive_alloc == "on"
                 and kpp > 1 and spp > kpp and bin_box is None)
     if cfg.adaptive_alloc == "on" and not adaptive:
         raise ValueError(
-            "adaptive_alloc='on' needs a single-frame unbinned render "
-            "with lanes_per_pixel > 1 and samples > lanes_per_pixel "
-            f"(got n_frames={n_frames}, kpp={kpp}, samples={spp}, "
+            "adaptive_alloc='on' needs an unbinned render with "
+            "lanes_per_pixel > 1 and samples > lanes_per_pixel "
+            f"(got kpp={kpp}, samples={spp}, "
             f"ray_binning={'active' if bin_box else 'off'})")
     if adaptive:
         from .adaptive import alloc_lanes
