@@ -286,6 +286,15 @@ def render_image_persistent_sharded(
         # shard (persistent.py's production structure).
         from ..kernels.hit_pallas_v7 import hit_coeffs
         coeffs = hit_coeffs(scene)
+    if cfg.adaptive_alloc == "on":
+        # Not implemented on the mesh yet; honor the contract that an
+        # explicit knob is never silently dropped (the scatter_backend
+        # lesson): per-shard difficulty-adaptive allocation needs the
+        # allocator generalized to interleaved-block pixel sets.
+        raise ValueError(
+            "adaptive_alloc='on' is single-device-driver only for now "
+            "(persistent.render_image_persistent); the sharded driver "
+            "would silently render uniform lanes")
     w, h, spp = cfg.width, cfg.height, cfg.samples
     d = mesh.devices.size
     kpp = _resolve_kpp(cfg, spp)
