@@ -130,3 +130,25 @@ def test_adaptive_multiframe_matches():
     assert imgs.shape == base.shape == (2, 32, 48, 3)
     d = np.abs(np.sqrt(np.clip(imgs, 0, 1)) - np.sqrt(np.clip(base, 0, 1)))
     assert d.mean() < 0.04, d.mean()
+
+
+def test_adaptive_sharded_matches():
+    """Per-shard adaptive allocation on the virtual mesh must
+    statistically match the uniform sharded render."""
+    from win32_raytracer_tpu.config import RenderConfig
+    from win32_raytracer_tpu.parallel.shard import make_mesh
+    from win32_raytracer_tpu.parallel.persistent_shard import (
+        render_image_persistent_sharded)
+    from win32_raytracer_tpu.scene.builders import test_scene
+
+    scene = test_scene()
+    mesh = make_mesh(4)
+    cfg = RenderConfig(width=48, height=40, samples=16, backend="jnp",
+                       seed=9)
+    base = np.asarray(render_image_persistent_sharded(scene, None, cfg,
+                                                      mesh))
+    img = np.asarray(render_image_persistent_sharded(
+        scene, None, cfg.replace(adaptive_alloc="on"), mesh))
+    assert img.shape == base.shape == (40, 48, 3)
+    d = np.abs(np.sqrt(np.clip(img, 0, 1)) - np.sqrt(np.clip(base, 0, 1)))
+    assert d.mean() < 0.04, d.mean()

@@ -41,10 +41,12 @@ import jax.numpy as jnp
 @functools.partial(
     jax.jit, static_argnames=("n_lanes", "spp_done", "spp", "kpp_max"))
 def alloc_lanes(est: jnp.ndarray, *, n_lanes: int, spp_done: int,
-                spp: int, kpp_max: int = 32):
+                spp: int, kpp_max: int = 32,
+                pixel_ids: jnp.ndarray = None,
+                q_rest: jnp.ndarray = None):
     """Build phase-2 lane arrays from per-pixel difficulty estimates.
 
-    est      [P] f32/i32, strictly positive (total prepass path steps per
+    est      [P] f32/i32, nonnegative (total prepass path steps per
              pixel; any monotone difficulty proxy works).
     n_lanes  L, the fixed lane budget (L >= P: every pixel gets >= 1).
     spp_done samples already rendered per pixel (the prepass).
@@ -52,12 +54,19 @@ def alloc_lanes(est: jnp.ndarray, *, n_lanes: int, spp_done: int,
     kpp_max  soft cap on lanes per pixel (hard cap: spp - spp_done, a
              lane needs >= 1 sample; rounding may exceed the soft cap by
              a few lanes — harmless, it is a heuristic bound).
+    pixel_ids optional [P] i32: actual pixel ids to emit (default
+             arange(P)) — lets a mesh shard allocate over its own
+             interleaved row-block pixel set.
+    q_rest   optional [P] i32: per-pixel remaining sample count
+             (default spp - spp_done) — 0 marks a pixel whose lanes
+             never run (a shard's wrap-padding duplicates).
 
-    Returns (pixel, s_base, s_quota), each [1, L] i32, pixel ascending
-    (lanes of one pixel contiguous — compaction's sorted-tail flush and
-    chunk slicing rely on this).  Invariants (exact, by construction):
-    every pixel owns >= 1 lane; lane counts sum to L; each pixel's lanes
-    partition [spp_done, spp) disjointly and completely.
+    Returns (pixel, s_base, s_quota), each [1, L] i32, slot order
+    preserved (lanes of one pixel contiguous — compaction's sorted-tail
+    flush and chunk slicing rely on this when pixel_ids is ascending).
+    Invariants (exact, by construction): every pixel owns >= 1 lane;
+    lane counts sum to L; each pixel's lanes partition
+    [spp_done, spp_done + q_rest) disjointly and completely.
     """
     P = est.shape[0]
     spp_rest = spp - spp_done
@@ -67,10 +76,11 @@ def alloc_lanes(est: jnp.ndarray, *, n_lanes: int, spp_done: int,
 
     # Proportional share of the pool, soft-capped so no pixel asks for
     # more than ~kmax lanes (one renormalization; the cap is soft).
+    # Guard the degenerate all-zero estimate (e.g. a shard of pure pads).
     w = est.astype(jnp.float32)
-    w = w / jnp.sum(w)
+    w = w / jnp.maximum(jnp.sum(w), 1e-30)
     w = jnp.minimum(w, kmax / max(n_lanes, 1))
-    w = w / jnp.sum(w)
+    w = w / jnp.maximum(jnp.sum(w), 1e-30)
     # Boundary rounding keeps the total EXACT under f32 cumsum error:
     # bnd is monotone (cumsum of nonnegatives), clamped to pool, and the
     # last entry is forced — so diffs are >= 0 and sum to pool.
@@ -87,14 +97,20 @@ def alloc_lanes(est: jnp.ndarray, *, n_lanes: int, spp_done: int,
         z = jnp.zeros((n_lanes,), jnp.int32).at[starts].add(d)
         return jnp.cumsum(z)
 
-    pixel = to_lanes(jnp.arange(P, dtype=jnp.int32))
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(P, dtype=jnp.int32)
+    pixel = to_lanes(pixel_ids.astype(jnp.int32))
     kpp_l = to_lanes(kpp_p)
     start_l = to_lanes(starts)
     r = jnp.arange(n_lanes, dtype=jnp.int32) - start_l  # replica rank
-    # Balanced partition of spp_rest among kpp_l lanes: the first
-    # spp_rest % kpp_l lanes carry one extra sample.
-    q_div = spp_rest // kpp_l
-    q_mod = spp_rest % kpp_l
+    # Balanced partition of the pixel's remaining samples among its
+    # kpp_l lanes: the first (rest % kpp_l) lanes carry one extra.
+    if q_rest is None:
+        rest_l = spp_rest
+    else:
+        rest_l = to_lanes(q_rest.astype(jnp.int32))
+    q_div = rest_l // kpp_l
+    q_mod = rest_l % kpp_l
     s_quota = q_div + (r < q_mod).astype(jnp.int32)
     s_base = spp_done + r * q_div + jnp.minimum(r, q_mod)
     return pixel[None], s_base[None], s_quota[None]

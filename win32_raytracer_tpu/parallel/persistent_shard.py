@@ -286,19 +286,15 @@ def render_image_persistent_sharded(
         # shard (persistent.py's production structure).
         from ..kernels.hit_pallas_v7 import hit_coeffs
         coeffs = hit_coeffs(scene)
-    if cfg.adaptive_alloc == "on":
-        # Not implemented on the mesh yet; honor the contract that an
-        # explicit knob is never silently dropped (the scatter_backend
-        # lesson): per-shard difficulty-adaptive allocation needs the
-        # allocator generalized to interleaved-block pixel sets.
-        raise ValueError(
-            "adaptive_alloc='on' is single-device-driver only for now "
-            "(persistent.render_image_persistent); the sharded driver "
-            "would silently render uniform lanes")
     w, h, spp = cfg.width, cfg.height, cfg.samples
     d = mesh.devices.size
     kpp = _resolve_kpp(cfg, spp)
     quota = spp // kpp
+    adaptive = cfg.adaptive_alloc == "on"
+    if adaptive and not (kpp > 1 and spp > kpp):
+        raise ValueError(
+            "adaptive_alloc='on' needs lanes_per_pixel > 1 and "
+            f"samples > lanes_per_pixel (got kpp={kpp}, samples={spp})")
     seed = cfg.seed
     cfg = cfg.replace(seed=0)
     check_period = cfg.check_period or 8
@@ -352,80 +348,168 @@ def render_image_persistent_sharded(
          for b in range(d)], np.uint32)                  # [D] salts
     dev_keys = jax.device_put(dev_keys, jax.NamedSharding(mesh, P("tiles")))
 
-    bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm = _steps(
-        mesh, cfg, w, h, spp, kpp, hit_fn)
+    def make_driver(kpp_s, dev_keys_s):
+        """do_steps + the check/compact/split loop bound to one lane
+        encoding (kpp_s) and per-device salt set."""
+        steps5 = _steps(mesh, cfg, w, h, spp, kpp_s, hit_fn)
+        bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm = steps5
 
-    def bounce_for(n_local: int):
-        """Per-shard-size bounce: the v7/fused Mosaic path when the size
-        admits a lane-multiple block AND is above the dispatch-bound
-        floor (small pallas dispatches measured 2.5x slower than small
-        XLA programs — persistent.py tail note); else the one-XLA-program
-        bounce."""
-        if coeffs is not None and n_local >= floor:
-            rb = _pick_ray_block(n_local)
-            if rb:
-                b7 = _steps(mesh, cfg, w, h, spp, kpp, hit_fn, rb)[0]
-                return functools.partial(b7, coeffs)
-        return bounce_sm
+        def bounce_for(n_local: int):
+            """Per-shard-size bounce: the v7/fused Mosaic path when the
+            size admits a lane-multiple block AND is above the dispatch-
+            bound floor (small pallas dispatches measured 2.5x slower
+            than small XLA programs — persistent.py tail note); else the
+            one-XLA-program bounce."""
+            if coeffs is not None and n_local >= floor:
+                rb = _pick_ray_block(n_local)
+                if rb:
+                    b7 = _steps(mesh, cfg, w, h, spp, kpp_s, hit_fn, rb)[0]
+                    return functools.partial(b7, coeffs)
+            return bounce_sm
 
-    def do_steps(st, k, step):
-        # Tail economics mirror the single-chip driver: at or below the
-        # per-shard floor the render is dispatch-bound, so _MULTI_K
-        # bounces ride one shard_map dispatch each.
-        cur = st.pixel.shape[1] // d
-        bounce = bounce_for(cur)
-        if cur <= floor:
-            while k >= _MULTI_K:
-                st = multi_sm(scene, cam, st, dev_keys, jnp.int32(step + 1))
-                step += _MULTI_K
-                k -= _MULTI_K
-        for _ in range(k):
-            step += 1
-            st = bounce(scene, cam, st, dev_keys, jnp.int32(step))
-        return st, step
+        def do_steps(st, k, step):
+            # Tail economics mirror the single-chip driver: at or below
+            # the per-shard floor the render is dispatch-bound, so
+            # _MULTI_K bounces ride one shard_map dispatch each.
+            cur = st.pixel.shape[1] // d
+            bounce = bounce_for(cur)
+            if cur <= floor:
+                while k >= _MULTI_K:
+                    st = multi_sm(scene, cam, st, dev_keys_s,
+                                  jnp.int32(step + 1))
+                    step += _MULTI_K
+                    k -= _MULTI_K
+            for _ in range(k):
+                step += 1
+                st = bounce(scene, cam, st, dev_keys_s, jnp.int32(step))
+            return st, step
 
-    st = respawn_sm(cam, st, dev_keys)  # start sample 0 on every lane
-
-    step = 0
-    period = check_period
-    last_alive = n
-    while step < max_steps:
-        next_check = first_check if step < first_check else (step + period)
-        st, step = do_steps(st, min(next_check, max_steps) - step, step)
-        cur = st.pixel.shape[1] // d
-        # Overlapped alive check (persistent.py): dispatch the counts, hide
-        # the fetch round trip behind a few optimistic steps, then read.
-        # Counts are stale-but-upper-bound (monotone non-increasing), so
-        # termination and compaction sizing stay correct.
-        cnt = alive_sm(st)
-        try:
-            cnt.copy_to_host_async()
-        except Exception:
-            pass
-        ov = 1 if cur >= (1 << 21) else (2 if cur >= (1 << 20) else 4)
-        st, step = do_steps(st, min(ov, max_steps - step), step)
-        counts = np.asarray(cnt)                         # [D]
-        worst = int(counts.max())
-        if counts.sum() == 0:
-            break
-        if cur < floor:
-            period = 32
-        elif worst > 0.9 * last_alive:
-            period = min(period * 2, 32)
-        else:
+        def run_loop(st, accum, first_check_s, max_steps_s):
+            step = 0
             period = check_period
-        last_alive = worst
-        if cur <= floor:
-            k_new = max(min_lanes, _next_pow2(worst))
-            if k_new <= cur // 2:
-                st, accum = _compact_split_sm(mesh, kpp, k_new, True)(
-                    st, accum)
-            continue
-        k_new = _grid_size(worst, min_lanes)
-        if k_new <= int(cur * _COMPACT_SHRINK):
-            st, accum = _compact_split_sm(mesh, kpp, k_new, False)(
-                st, accum)
+            last_alive = n
+            while step < max_steps_s:
+                next_check = (first_check_s if step < first_check_s
+                              else step + period)
+                st, step = do_steps(
+                    st, min(next_check, max_steps_s) - step, step)
+                cur = st.pixel.shape[1] // d
+                # Overlapped alive check (persistent.py): dispatch the
+                # counts, hide the fetch round trip behind a few
+                # optimistic steps, then read.  Counts are stale-but-
+                # upper-bound (monotone non-increasing), so termination
+                # and compaction sizing stay correct.
+                cnt = alive_sm(st)
+                try:
+                    cnt.copy_to_host_async()
+                except Exception:
+                    pass
+                ov = 1 if cur >= (1 << 21) else (
+                    2 if cur >= (1 << 20) else 4)
+                st, step = do_steps(st, min(ov, max_steps_s - step), step)
+                counts = np.asarray(cnt)                 # [D]
+                worst = int(counts.max())
+                if counts.sum() == 0:
+                    break
+                if cur < floor:
+                    period = 32
+                elif worst > 0.9 * last_alive:
+                    period = min(period * 2, 32)
+                else:
+                    period = check_period
+                last_alive = worst
+                if cur <= floor:
+                    k_new = max(min_lanes, _next_pow2(worst))
+                    if k_new <= cur // 2:
+                        st, accum = _compact_split_sm(
+                            mesh, kpp_s, k_new, True)(st, accum)
+                    continue
+                k_new = _grid_size(worst, min_lanes)
+                if k_new <= int(cur * _COMPACT_SHRINK):
+                    st, accum = _compact_split_sm(
+                        mesh, kpp_s, k_new, False)(st, accum)
+            return st, accum
 
-    accum = flush_sm(st, accum)
+        return do_steps, run_loop, flush_sm, respawn_sm
+
+    do_steps, run_loop, flush_sm, respawn_sm = make_driver(kpp, dev_keys)
+
+    if adaptive:
+        # Phase 1 (prepass): quota-1 on every fresh lane (0 on wrap
+        # pads); every path dies within max_depth+1 bounces, so the
+        # phase is a STATIC step count with zero device syncs, and the
+        # uncompacted final depth row is the per-sample path length in
+        # lane-identity order.
+        st = st._replace(
+            s_base=jax.device_put(
+                jnp.asarray(lanes.reshape(1, n)) % kpp, spec),
+            s_quota=jax.device_put(
+                (quota_np.reshape(1, n) > 0).astype(np.int32), spec))
+        st = respawn_sm(cam, st, dev_keys)
+        st, _ = do_steps(st, cfg.max_depth + 1, 0)
+        accum = flush_sm(st, accum)
+
+        # Phase 2: per-shard difficulty-proportional lanes over the
+        # shard's own interleaved pixel set (adaptive.alloc_lanes with
+        # explicit pixel ids; wrap pads carry q_rest=0).
+        from ..adaptive import alloc_lanes
+
+        n_local_pix = n_local // kpp
+        pix_ids_np = (lanes[:, ::kpp] // kpp).astype(np.int32)
+        q_rest_np = ((quota_np[:, ::kpp] > 0) * (spp - kpp)).astype(
+            np.int32)
+        pspec = jax.NamedSharding(mesh, P(None, "tiles"))
+        pix_ids = jax.device_put(pix_ids_np.reshape(1, -1), pspec)
+        q_rest = jax.device_put(q_rest_np.reshape(1, -1), pspec)
+
+        def build_phase2(st1, pix_ids_, q_rest_):
+            est = jnp.sum(st1.depth[0].reshape(n_local_pix, kpp), axis=1)
+            pix2, s_base2, s_quota2 = alloc_lanes(
+                est, n_lanes=n_local, spp_done=kpp, spp=spp,
+                kpp_max=cfg.kpp_max, pixel_ids=pix_ids_[0],
+                q_rest=q_rest_[0])
+            z1 = jnp.zeros((1, n_local), jnp.float32)
+            z3 = jnp.zeros((3, n_local), jnp.float32)
+            return PathState(
+                origin=z3,
+                direction=z3.at[2, :].set(1.0),
+                time=z1,
+                throughput=jnp.ones((3, n_local), jnp.float32),
+                radiance_sum=z3,
+                depth=jnp.zeros((1, n_local), jnp.int32),
+                sample=jnp.full((1, n_local), -1, jnp.int32),
+                pixel=pix2,
+                path_alive=jnp.zeros((1, n_local), bool),
+                s_base=s_base2,
+                s_quota=s_quota2,
+            )
+
+        # check_vma=False: the fresh state rows are constants (not
+        # varying over tiles), which strict shard_map would reject for
+        # tiled out_specs.
+        build_sm = jax.jit(jax.shard_map(
+            build_phase2, mesh=mesh,
+            in_specs=(_sspec(), P(None, "tiles"), P(None, "tiles")),
+            out_specs=_sspec(), check_vma=False))
+        st = build_sm(st, pix_ids, q_rest)
+
+        dev_keys2 = np.asarray(
+            [(int(k) * 0x85EBCA77 + 0x632BE5AB) & 0xFFFFFFFF
+             for k in np.asarray(dev_keys)], np.uint32)
+        dev_keys2 = jax.device_put(
+            dev_keys2, jax.NamedSharding(mesh, P("tiles")))
+        _, run_loop2, flush2_sm, respawn2_sm = make_driver(1, dev_keys2)
+        st = respawn2_sm(cam, st, dev_keys2)
+        spp_rest = spp - kpp
+        st, accum = run_loop2(
+            st, accum,
+            spp_rest // min(cfg.kpp_max, spp_rest) + 2,
+            (spp_rest + 1) * (cfg.max_depth + 2))
+        accum = flush2_sm(st, accum)
+    else:
+        st = respawn_sm(cam, st, dev_keys)  # start sample 0 on all lanes
+        st, accum = run_loop(st, accum, first_check, max_steps)
+        accum = flush_sm(st, accum)
+
     total = jnp.sum(accum, axis=0)                       # [3, HW] (one ICI
     return (total / spp).T.reshape(h, w, 3)             # reduction)
