@@ -50,3 +50,45 @@ def test_sharded_sample_accounting_sky():
     mesh = make_mesh(8)
     lin = np.asarray(render_image_persistent_sharded(scene, cam, cfg, mesh))
     assert lin.min() >= 0.5 - 1e-5 and lin.max() <= 1.0 + 1e-5
+
+
+def test_sharded_multiframe_matches_single_device():
+    """Multi-frame contract on the mesh: F frames as one virtual tall
+    image sharded over interleaved row-blocks must statistically match
+    the single-device multi-frame render of the same cameras."""
+    from win32_raytracer_tpu.animation import orbit_path
+
+    scene = make_test_scene()
+    cfg = RenderConfig(width=32, height=16, samples=16, seed=6,
+                       backend="jnp")
+    cams = orbit_path(look_to=(0, 0.5, 0), radius=12.0, height=2.0,
+                      n_frames=3, aspect_ratio=2.0)
+    mesh = make_mesh(4)
+    lin_s = np.asarray(render_image_persistent_sharded(
+        scene, cams, cfg, mesh))
+    lin_1 = np.asarray(render_image_persistent(scene, cams, cfg))
+    assert lin_s.shape == lin_1.shape == (3, 16, 32, 3)
+    a = np.asarray(tonemap(lin_s.reshape(-1, 32, 3))).astype(float)
+    b = np.asarray(tonemap(lin_1.reshape(-1, 32, 3))).astype(float)
+    assert np.abs(a - b).mean() < 4.0
+    # frames actually differ (camera motion inside the batch)
+    assert np.abs(lin_s[0] - lin_s[2]).mean() > 0.005
+
+
+def test_sharded_multiframe_adaptive():
+    """adaptive_alloc='on' composes with the multi-frame mesh contract."""
+    from win32_raytracer_tpu.animation import orbit_path
+
+    scene = make_test_scene()
+    cams = orbit_path(look_to=(0, 0.5, 0), radius=12.0, height=2.0,
+                      n_frames=2, aspect_ratio=1.5)
+    mesh = make_mesh(4)
+    cfg = RenderConfig(width=24, height=16, samples=16, seed=3,
+                       backend="jnp")
+    base = np.asarray(render_image_persistent_sharded(
+        scene, cams, cfg, mesh))
+    img = np.asarray(render_image_persistent_sharded(
+        scene, cams, cfg.replace(adaptive_alloc="on"), mesh))
+    assert img.shape == base.shape == (2, 16, 24, 3)
+    d = np.abs(np.sqrt(np.clip(img, 0, 1)) - np.sqrt(np.clip(base, 0, 1)))
+    assert d.mean() < 0.04, d.mean()

@@ -88,11 +88,12 @@ def render_animation(
     Frame seeds derive from (cfg.seed, batch index) so animations are
     reproducible and frames decorrelated.
 
-    ``batch_frames`` (0 = auto): on the single-device persistent
-    scheduler, render this many frames per BATCH — the whole group runs
-    as one virtual tall image (persistent.py multi-frame contract), so
-    per-frame fixed costs amortize.  1 disables batching (and is the
-    only mode for mesh or wavefront renders).
+    ``batch_frames`` (0 = auto): on the persistent scheduler, render
+    this many frames per BATCH — the whole group runs as one virtual
+    tall image (persistent.py multi-frame contract), single-chip or
+    row-sharded over ``mesh`` (parallel.persistent_shard), so per-frame
+    fixed costs amortize.  1 disables batching (and is the only mode
+    for wavefront renders and non-row mesh shard modes).
     """
     cfg = cfg or RenderConfig()
     scheduler = cfg.scheduler
@@ -101,9 +102,18 @@ def render_animation(
                      if cfg.samples >= 8 and not cfg.deterministic
                      else "wavefront")
     cameras = list(cameras)
+    # Multi-frame batching rides the persistent scheduler: single-chip,
+    # or sharded over a mesh (row-block shard modes only — the virtual
+    # tall image is row-sharded by construction).
+    mesh_batchable = mesh is None or shard_mode in ("rows", "persistent")
     if batch_frames <= 0:
         batch_frames = (_auto_batch_frames(cfg, len(cameras))
-                        if mesh is None and scheduler == "persistent" else 1)
+                        if scheduler == "persistent" and mesh_batchable
+                        else 1)
+    if batch_frames > 1 and mesh is not None and not mesh_batchable:
+        raise ValueError(
+            f"batch_frames={batch_frames} needs shard_mode 'rows' or "
+            f"'persistent' on a mesh (got {shard_mode!r})")
 
     def emit(i, img, ms):
         if out_pattern:
@@ -115,8 +125,16 @@ def render_animation(
 
     frames: List[np.ndarray] = []
     if batch_frames > 1:
-        from .persistent import render_image_persistent
         from .render import tonemap
+
+        if mesh is not None:
+            from .parallel.persistent_shard import (
+                render_image_persistent_sharded)
+
+            def render_batch(s, group, c):
+                return render_image_persistent_sharded(s, group, c, mesh)
+        else:
+            from .persistent import render_image_persistent as render_batch
 
         from .persistent import _resolve_kpp
 
@@ -157,7 +175,7 @@ def render_animation(
                 rays_per_chunk=max(cfg.rays_per_chunk,
                                    len(group) * per_frame))
             t0 = time.perf_counter()
-            linear = render_image_persistent(scene, group, fcfg)
+            linear = render_batch(scene, group, fcfg)
             dev = [tonemap(linear[i]) for i in range(len(group))]
             prefetch(dev)
             # Materialize the PREVIOUS batch only now: its transfer was

@@ -60,7 +60,7 @@ def _pick_ray_block(n_local: int, cap: int = 2048) -> int:
 
 @functools.lru_cache(maxsize=64)
 def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
-           spp: int, kpp: int, hit_fn, v7_rb: int = 0):
+           spp: int, kpp: int, hit_fn, v7_rb: int = 0, n_frames: int = 1):
     """Shard-mapped step programs for one (mesh, config) — cached so jitted
     closures are reused across chunks, frames and seeds.
 
@@ -69,7 +69,13 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
     row math — mirroring the single-chip driver (one XLA program mixing a
     pallas call with an elementwise epilogue pessimizes ~2x, runtime notes
     rule 11).  bounce_sm then takes the replicated coefficient arrays as
-    its first argument."""
+    its first argument.
+
+    The ``cam`` argument of every returned program is a PAIR
+    ``(cam_x, cam_m)`` — the frame-stacked Camera the XLA respawn core
+    consumes and the raw camera (or list, multi-frame contract) the
+    Mosaic kernels pack themselves; for a single camera both entries are
+    the same object (persistent.py's cam_x/cam_m convention, sharded)."""
     sspec = _sspec()
     kspec = P("tiles")  # per-device [D] draw-salt array
 
@@ -86,7 +92,7 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
         from ..kernels.bounce_pallas import p_bounce_fused
 
         def bounce_fused(coeffs, scene, cam, st, salts, step_i):
-            return p_bounce_fused(coeffs, cam, st, salts[0], step_i,
+            return p_bounce_fused(coeffs, cam[1], st, salts[0], step_i,
                                   cfg=cfg, width=width, height=height,
                                   spp=spp, lanes_per_pixel=kpp,
                                   ray_block=v7_rb)
@@ -127,16 +133,17 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
 
             def scat_phase(scene, cam, st, rec, salts, step_i):
                 return scatter_respawn_pallas(
-                    scene, cam, st, rec, salts[0], step_i, cfg=cfg,
+                    scene, cam[1], st, rec, salts[0], step_i, cfg=cfg,
                     width=width, height=height, spp=spp,
                     lanes_per_pixel=kpp, ray_block=v7_rb)
         else:
             def scat_phase(scene, cam, st, rec, salts, step_i):
                 salt = salts[0]
                 st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
-                return _respawn_core(cam, st, salt, step_i, cfg=cfg,
+                return _respawn_core(cam[0], st, salt, step_i, cfg=cfg,
                                      width=width, height=height, spp=spp,
-                                     lanes_per_pixel=kpp)
+                                     lanes_per_pixel=kpp,
+                                     n_frames=n_frames)
 
         scat_sm = jax.jit(jax.shard_map(
             scat_phase, mesh=mesh,
@@ -151,9 +158,9 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
             salt = salts[0]
             rec, st = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
             st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
-            return _respawn_core(cam, st, salt, step_i, cfg=cfg,
+            return _respawn_core(cam[0], st, salt, step_i, cfg=cfg,
                                  width=width, height=height, spp=spp,
-                                 lanes_per_pixel=kpp)
+                                 lanes_per_pixel=kpp, n_frames=n_frames)
 
         # check_vma=False: hit_fn may be a pallas kernel (TPU tail
         # fallback), whose ShapeDtypeStruct outputs carry no
@@ -173,9 +180,9 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
             step_i = step0 + i
             rec, st2 = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
             st2 = _scatter_core(scene, st2, rec, salt, step_i, cfg=cfg)
-            return _respawn_core(cam, st2, salt, step_i, cfg=cfg,
+            return _respawn_core(cam[0], st2, salt, step_i, cfg=cfg,
                                  width=width, height=height, spp=spp,
-                                 lanes_per_pixel=kpp)
+                                 lanes_per_pixel=kpp, n_frames=n_frames)
 
         return jax.lax.fori_loop(0, _MULTI_K, body, st)
 
@@ -184,9 +191,9 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
         out_specs=sspec, check_vma=False))
 
     def first_respawn(cam, st, salts):
-        return _respawn_core(cam, st, salts[0], jnp.int32(0), cfg=cfg,
+        return _respawn_core(cam[0], st, salts[0], jnp.int32(0), cfg=cfg,
                              width=width, height=height, spp=spp,
-                             lanes_per_pixel=kpp)
+                             lanes_per_pixel=kpp, n_frames=n_frames)
 
     respawn_sm = jax.jit(jax.shard_map(
         first_respawn, mesh=mesh, in_specs=(P(), sspec, kspec),
@@ -261,12 +268,29 @@ def _interleaved_pixel_lanes(h: int, w: int, kpp: int, d: int,
 
 def render_image_persistent_sharded(
     scene: SphereScene,
-    cam: Optional[Camera],
+    cam,
     cfg: RenderConfig,
     mesh: Mesh,
     hit_fn=None,
 ) -> jnp.ndarray:
-    """Persistent-scheduler render over the mesh; linear [H, W, 3] f32."""
+    """Persistent-scheduler render over the mesh; linear [H, W, 3] f32.
+
+    Multi-frame batching (the single-chip contract, persistent.py:550-553,
+    sharded): pass a LIST of cameras as ``cam`` to render len(cam)
+    animation frames as ONE virtual F*height-tall image whose interleaved
+    row-blocks shard over the mesh — scheduler tail, alive-check syncs,
+    and the per-shard dispatch floor amortize over all frames AND all
+    devices.  Returns [F, H, W, 3]."""
+    cams = None
+    n_frames = 1
+    if isinstance(cam, (list, tuple)) and not isinstance(cam, Camera):
+        cams = list(cam)
+        n_frames = len(cams)
+        if n_frames == 1:
+            # Singleton batch (odd tail of an even frame split): plain
+            # single-camera render; only the [1, H, W, 3] return
+            # contract remembers the list-ness (persistent.py ditto).
+            cam = cams[0]
     if cam is None:
         cam = default_camera(cfg.width, cfg.height)
     if hit_fn is None:
@@ -276,7 +300,8 @@ def render_image_persistent_sharded(
         # device (a virtual-CPU mesh under the axon tunnel must use jnp).
         from ..kernels.dispatch import get_hit_fn_rows_accel
         scene, hit_fn = get_hit_fn_rows_accel(
-            cfg, scene, cam, platform=mesh.devices.flat[0].platform)
+            cfg, scene, cams[0] if cams else cam,
+            platform=mesh.devices.flat[0].platform)
     from ..kernels.dispatch import _resolve_backend as _rb
     coeffs = None
     if (_rb(cfg, platform=mesh.devices.flat[0].platform) == "pallas"
@@ -287,6 +312,17 @@ def render_image_persistent_sharded(
         from ..kernels.hit_pallas_v7 import hit_coeffs
         coeffs = hit_coeffs(scene)
     w, h, spp = cfg.width, cfg.height, cfg.samples
+    h_virt = h * n_frames  # multi-frame: frames stack as a taller image
+    if n_frames > 1:
+        # XLA steps consume a frame-stacked Camera ([F]-leading fields);
+        # Mosaic kernels pack the camera list themselves (persistent.py
+        # cam_x / cam_m convention).  Step programs take the pair.
+        cam_x = Camera(*(jnp.stack([jnp.asarray(getattr(c, f), jnp.float32)
+                                    for c in cams])
+                         for f in Camera._fields))
+        camt = (cam_x, cams)
+    else:
+        camt = (cam, cam)
     d = mesh.devices.size
     kpp = _resolve_kpp(cfg, spp)
     quota = spp // kpp
@@ -303,11 +339,11 @@ def render_image_persistent_sharded(
     min_lanes = 1 << 10
     floor = max(_COMPACT_FLOOR // d, min_lanes)
 
-    lanes = _interleaved_pixel_lanes(h, w, kpp, d)      # [D, n_local]
+    lanes = _interleaved_pixel_lanes(h_virt, w, kpp, d)  # [D, n_local]
     n_local = lanes.shape[1]
     n = d * n_local
     # Wrapped padding lanes (duplicate pixel ids) get zero quota.
-    first_seen = np.zeros(h * w * kpp, bool)
+    first_seen = np.zeros(h_virt * w * kpp, bool)
     quota_np = np.zeros((d, n_local), np.int32)
     for b in range(d):
         fresh = ~first_seen[lanes[b]]
@@ -338,7 +374,7 @@ def render_image_persistent_sharded(
             (jnp.asarray(lanes.reshape(1, n)) % kpp) * quota, spec),
         s_quota=q0,
     )
-    accum = jax.device_put(jnp.zeros((d, 3, h * w), jnp.float32),
+    accum = jax.device_put(jnp.zeros((d, 3, h_virt * w), jnp.float32),
                            jax.NamedSharding(mesh, P("tiles", None, None)))
 
     # Per-device draw salts (hash_uniform01 counters; purpose tags split
@@ -351,7 +387,8 @@ def render_image_persistent_sharded(
     def make_driver(kpp_s, dev_keys_s):
         """do_steps + the check/compact/split loop bound to one lane
         encoding (kpp_s) and per-device salt set."""
-        steps5 = _steps(mesh, cfg, w, h, spp, kpp_s, hit_fn)
+        steps5 = _steps(mesh, cfg, w, h, spp, kpp_s, hit_fn,
+                        n_frames=n_frames)
         bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm = steps5
 
         def bounce_for(n_local: int):
@@ -363,7 +400,8 @@ def render_image_persistent_sharded(
             if coeffs is not None and n_local >= floor:
                 rb = _pick_ray_block(n_local)
                 if rb:
-                    b7 = _steps(mesh, cfg, w, h, spp, kpp_s, hit_fn, rb)[0]
+                    b7 = _steps(mesh, cfg, w, h, spp, kpp_s, hit_fn, rb,
+                                n_frames=n_frames)[0]
                     return functools.partial(b7, coeffs)
             return bounce_sm
 
@@ -375,13 +413,13 @@ def render_image_persistent_sharded(
             bounce = bounce_for(cur)
             if cur <= floor:
                 while k >= _MULTI_K:
-                    st = multi_sm(scene, cam, st, dev_keys_s,
+                    st = multi_sm(scene, camt, st, dev_keys_s,
                                   jnp.int32(step + 1))
                     step += _MULTI_K
                     k -= _MULTI_K
             for _ in range(k):
                 step += 1
-                st = bounce(scene, cam, st, dev_keys_s, jnp.int32(step))
+                st = bounce(scene, camt, st, dev_keys_s, jnp.int32(step))
             return st, step
 
         def run_loop(st, accum, first_check_s, max_steps_s):
@@ -445,7 +483,7 @@ def render_image_persistent_sharded(
                 jnp.asarray(lanes.reshape(1, n)) % kpp, spec),
             s_quota=jax.device_put(
                 (quota_np.reshape(1, n) > 0).astype(np.int32), spec))
-        st = respawn_sm(cam, st, dev_keys)
+        st = respawn_sm(camt, st, dev_keys)
         st, _ = do_steps(st, cfg.max_depth + 1, 0)
         accum = flush_sm(st, accum)
 
@@ -499,7 +537,7 @@ def render_image_persistent_sharded(
         dev_keys2 = jax.device_put(
             dev_keys2, jax.NamedSharding(mesh, P("tiles")))
         _, run_loop2, flush2_sm, respawn2_sm = make_driver(1, dev_keys2)
-        st = respawn2_sm(cam, st, dev_keys2)
+        st = respawn2_sm(camt, st, dev_keys2)
         spp_rest = spp - kpp
         st, accum = run_loop2(
             st, accum,
@@ -507,9 +545,12 @@ def render_image_persistent_sharded(
             (spp_rest + 1) * (cfg.max_depth + 2))
         accum = flush2_sm(st, accum)
     else:
-        st = respawn_sm(cam, st, dev_keys)  # start sample 0 on all lanes
+        st = respawn_sm(camt, st, dev_keys)  # start sample 0 on all lanes
         st, accum = run_loop(st, accum, first_check, max_steps)
         accum = flush_sm(st, accum)
 
     total = jnp.sum(accum, axis=0)                       # [3, HW] (one ICI
-    return (total / spp).T.reshape(h, w, 3)             # reduction)
+    out = (total / spp).T.reshape(h_virt, w, 3)          # reduction)
+    if cams is not None:
+        return out.reshape(n_frames, h, w, 3)
+    return out

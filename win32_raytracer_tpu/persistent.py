@@ -557,6 +557,11 @@ def render_image_persistent(
     if isinstance(cam, (list, tuple)) and not isinstance(cam, Camera):
         cams = list(cam)
         n_frames = len(cams)
+        if n_frames == 1:
+            # A singleton batch (e.g. the odd tail of an even frame
+            # split) renders as a plain single-camera image; only the
+            # [1, H, W, 3] return contract remembers the list-ness.
+            cam = cams[0]
     if cam is None:
         cam = default_camera(cfg.width, cfg.height)
     hit_coeffs_v7 = None
@@ -610,7 +615,7 @@ def render_image_persistent(
                        float(1.0 / ext[2]))
     w, h, spp = cfg.width, cfg.height, cfg.samples
     h_virt = h * n_frames  # multi-frame: frames stack as a taller image
-    if cams is not None:
+    if n_frames > 1:
         # XLA steps consume a frame-stacked Camera ([F]-leading fields);
         # Mosaic kernels take the camera list (packed to [CAM_ROWS, F]).
         cam_x = Camera(*(jnp.stack([jnp.asarray(getattr(c, f), jnp.float32)
