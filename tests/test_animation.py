@@ -157,3 +157,39 @@ def test_flythrough_odd_framecount_auto_batch():
     for a, b in zip(frames, frames_m):
         assert a.shape == b.shape == (16, 24, 3)
         assert np.abs(a.astype(float) - b.astype(float)).mean() < 6.0
+
+
+def test_flythrough_resume_skips_existing(tmp_path, monkeypatch):
+    """resume=True: batches whose frame files exist are read back, not
+    re-rendered; missing batches rerender with their original seeds, so
+    the resumed animation equals the uninterrupted one bit-exactly."""
+    import win32_raytracer_tpu.persistent as P
+
+    scene = make_test_scene()
+    cfg = RenderConfig(width=24, height=16, samples=16, seed=11,
+                       backend="jnp", scheduler="persistent")
+    cams = orbit_path(look_to=(0, 0.5, 0), radius=12.0, height=2.0,
+                      n_frames=4, aspect_ratio=1.5)
+    pattern = str(tmp_path / "r_%04d.png")
+    full = render_animation(scene, cams, cfg, out_pattern=pattern,
+                            batch_frames=2)
+    # Simulate a crash after batch 0: delete batch 1's frames.
+    (tmp_path / "r_0002.png").unlink()
+    (tmp_path / "r_0003.png").unlink()
+    calls = []
+    orig = P.render_image_persistent
+    monkeypatch.setattr(P, "render_image_persistent",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    resumed = render_animation(scene, cams, cfg, out_pattern=pattern,
+                               batch_frames=2, resume=True)
+    assert len(calls) == 1                 # only the missing batch ran
+    assert len(resumed) == 4
+    for a, b in zip(full, resumed):
+        np.testing.assert_array_equal(a, b)
+    # resume with everything present: zero renders
+    calls.clear()
+    again = render_animation(scene, cams, cfg, out_pattern=pattern,
+                             batch_frames=2, resume=True)
+    assert calls == [] and len(again) == 4
+    for a, b in zip(full, again):
+        np.testing.assert_array_equal(a, b)

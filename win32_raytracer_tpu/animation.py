@@ -81,12 +81,19 @@ def render_animation(
     shard_mode: str = "rows",
     frame_callback: Optional[Callable[[int, np.ndarray, float], None]] = None,
     batch_frames: int = 0,
+    resume: bool = False,
 ) -> List[np.ndarray]:
     """Render one image per camera; optionally write ``out_pattern % i``
     (e.g. ``"fly_%04d.png"``) and/or invoke ``frame_callback(i, img, ms)``.
 
     Frame seeds derive from (cfg.seed, batch index) so animations are
     reproducible and frames decorrelated.
+
+    ``resume``: with ``out_pattern``, skip any batch whose frame files
+    all exist already (reading them back instead) — an interrupted
+    animation rerun with the same arguments continues where it stopped,
+    exactly (batch seeds depend only on the batch start index).  A batch
+    interrupted mid-write re-renders whole.
 
     ``batch_frames`` (0 = auto): on the persistent scheduler, render
     this many frames per BATCH — the whole group runs as one virtual
@@ -168,6 +175,21 @@ def render_animation(
 
         for b0 in range(0, len(cameras), batch_frames):
             group = cameras[b0:b0 + batch_frames]
+            if resume and out_pattern:
+                paths = [out_pattern % (b0 + i) for i in range(len(group))]
+                if all(os.path.exists(p) for p in paths):
+                    # Whole batch already on disk: read it back in frame
+                    # order (drain the pipeline first to keep ordering).
+                    from .io.image import read_image
+                    if pending is not None:
+                        materialize(pending)
+                        pending = None
+                    for i, p in enumerate(paths):
+                        img = read_image(p)
+                        frames.append(img)
+                        if frame_callback:
+                            frame_callback(b0 + i, img, 0.0)
+                    continue
             # One chunk per batch: chunking the virtual tall image would
             # reintroduce the per-chunk tail the batching exists to kill.
             fcfg = cfg.replace(
@@ -185,12 +207,20 @@ def render_animation(
             if pending is not None:
                 materialize(pending)
             pending = (b0, len(group), dev, t0)
-        materialize(pending)
+        if pending is not None:
+            materialize(pending)
         return frames
 
     from .api import render as _render
 
     for i, cam in enumerate(cameras):
+        if resume and out_pattern and os.path.exists(out_pattern % i):
+            from .io.image import read_image
+            img = read_image(out_pattern % i)
+            frames.append(img)
+            if frame_callback:
+                frame_callback(i, img, 0.0)
+            continue
         fcfg = cfg.replace(seed=cfg.seed * 1000003 + i)
         t0 = time.perf_counter()
         res = _render(scene, cam=cam, cfg=fcfg, mesh=mesh,

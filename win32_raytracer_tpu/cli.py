@@ -92,6 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-frames", type=int, default=0,
                    help="frames per persistent batch for --animate "
                         "(0 = auto)")
+    p.add_argument("--resume", action="store_true",
+                   help="with --animate: skip batches whose frame files "
+                        "already exist (exact — batch seeds depend only "
+                        "on the batch index)")
     p.add_argument("--checkpoint", default="",
                    help="checkpoint file for resumable rendering (.npz); "
                         "an interrupted render resumes from it")
@@ -170,7 +174,8 @@ def main(argv=None) -> int:
         frames = render_animation(get_scene(args.scene), cams, cfg,
                                   out_pattern=pattern, mesh=mesh,
                                   shard_mode=args.shard_mode,
-                                  batch_frames=args.batch_frames)
+                                  batch_frames=args.batch_frames,
+                                  resume=args.resume)
         dt = time.perf_counter() - t0
         fps = len(frames) / dt
         log(f"{len(frames)} frames in {dt:.2f}s = {fps:.2f} fps "

@@ -91,6 +91,107 @@ def write_image(path: str, image: np.ndarray) -> None:
         f.write(data)
 
 
+def read_png(path: str) -> np.ndarray:
+    """Read an 8-bit RGB (color type 2, non-interlaced) PNG back to u8
+    [H, W, 3].  Handles all five scanline filters, so it reads both this
+    module's filter-0 output and the native encoder's filtered rows —
+    the read-back half of the reference's save-then-reload display loop
+    (Game.cpp:164-183 reloads out.bmp via WIC)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG file")
+    pos = 8
+    w = h = None
+    idat = []
+    while pos + 8 <= len(buf):
+        ln, tag = struct.unpack_from(">I4s", buf, pos)
+        payload = buf[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", payload)
+            if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit RGB non-interlaced PNG supported "
+                    f"(depth={depth} color={ctype} interlace={ilace})")
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = 1 + w * 3
+    rows = raw.reshape(h, stride)
+    out = np.zeros((h, w * 3), np.uint8)
+    for y in range(h):
+        ftype = rows[y, 0]
+        cur = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(w * 3,
+                                                             np.int32)
+        if ftype == 0:
+            line = cur
+        elif ftype == 2:                        # Up
+            line = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):                # Sub / Average / Paeth
+            line = np.zeros(w * 3, np.int32)
+            for x in range(w * 3):
+                a = line[x - 3] if x >= 3 else 0
+                b = prev[x]
+                if ftype == 1:
+                    line[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:
+                    line[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - 3] if x >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    line[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = line.astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
+def read_ppm(path: str) -> np.ndarray:
+    """Read a binary P6 PPM (maxval 255) back to u8 [H, W, 3]."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM file")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":            # comment line
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(buf) and not buf[end:end + 1].isspace():
+            end += 1
+        fields.append(int(buf[pos:end]))
+        pos = end
+    pos += 1                                    # single whitespace
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    return np.frombuffer(buf, np.uint8, h * w * 3, pos).reshape(h, w, 3)
+
+
+def read_image(path: str) -> np.ndarray:
+    """Read any image this module writes (BMP/PNG/PPM, by magic bytes)."""
+    with open(path, "rb") as f:
+        magic = f.read(8)
+    if magic[:2] == b"BM":
+        return read_bmp(path)
+    if magic == b"\x89PNG\r\n\x1a\n":
+        return read_png(path)
+    if magic[:2] == b"P6":
+        return read_ppm(path)
+    raise ValueError(f"unrecognized image format in {path!r}")
+
+
 def read_bmp(path: str) -> np.ndarray:
     """Read a 24bpp uncompressed BMP back to u8 [H, W, 3] RGB (for tests)."""
     with open(path, "rb") as f:
