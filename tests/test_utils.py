@@ -116,3 +116,32 @@ def test_phase_timer():
     rep = pt.report()
     assert "a" in rep and "%" in rep
     assert abs(mrays(2_000_000, 2.0) - 1.0) < 1e-9
+
+
+def test_checkpoint_resume_on_mesh(tmp_path):
+    """Multi-chip pass-level checkpointing: a sharded render killed
+    after one pass and resumed byte-matches the uninterrupted sharded
+    render; chunk granularity is rejected on a mesh."""
+    import pytest
+    from win32_raytracer_tpu.parallel.shard import make_mesh
+
+    scene = make_test_scene()
+    cfg = RenderConfig(width=24, height=12, samples=32, seed=6,
+                       backend="jnp", scheduler="persistent")
+    mesh = make_mesh(4)
+    ck = str(tmp_path / "m.ckpt.npz")
+    img_full = render_with_checkpoints(scene, None, cfg, ck, passes=2,
+                                       mesh=mesh)
+    assert img_full is not None and img_full.shape == (12, 24, 3)
+
+    ck2 = str(tmp_path / "m_partial.ckpt.npz")
+    partial = render_with_checkpoints(scene, None, cfg, ck2, passes=2,
+                                      max_passes_per_run=1, mesh=mesh)
+    assert partial is None
+    img_resumed = render_with_checkpoints(scene, None, cfg, ck2, passes=2,
+                                          mesh=mesh)
+    np.testing.assert_array_equal(img_resumed, img_full)
+
+    with pytest.raises(ValueError, match="chunk_checkpoints"):
+        render_with_checkpoints(scene, None, cfg, ck, passes=2, mesh=mesh,
+                                chunk_checkpoints=True)

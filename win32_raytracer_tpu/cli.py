@@ -201,7 +201,8 @@ def main(argv=None) -> int:
         from .utils.checkpoint import render_with_checkpoints
         t0 = time.perf_counter()
         img = render_with_checkpoints(get_scene(args.scene), None, cfg,
-                                      args.checkpoint, passes=args.passes)
+                                      args.checkpoint, passes=args.passes,
+                                      mesh=mesh)
         dur = (time.perf_counter() - t0) * 1e3
         if img is None:
             log("checkpoint budget exhausted; rerun to resume")

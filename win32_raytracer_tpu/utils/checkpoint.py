@@ -97,6 +97,7 @@ def render_with_checkpoints(
     max_passes_per_run: Optional[int] = None,
     chunk_checkpoints: bool = False,
     max_chunks_per_run: Optional[int] = None,
+    mesh=None,
 ) -> Optional[np.ndarray]:
     """Render ``cfg.samples`` spp in ``passes`` resumable passes.
 
@@ -111,6 +112,12 @@ def render_with_checkpoints(
     resume), and ``max_chunks_per_run`` bounds chunks per invocation
     (implies chunk_checkpoints).  If the render is still incomplete
     afterwards, returns None — call again to resume.
+
+    ``mesh``: checkpoint a MULTI-CHIP render — each pass runs through
+    the sharded persistent driver (parallel.persistent_shard) at
+    pass-level granularity (the sharded driver renders an image in one
+    piece, so there are no chunk cut points).  Pass seeds are identical
+    to the single-chip decomposition.
     """
     if cfg.samples % passes:
         raise ValueError(f"samples ({cfg.samples}) must divide into "
@@ -121,6 +128,18 @@ def render_with_checkpoints(
         cam = default_camera(cfg.width, cfg.height)
     spp_pass = cfg.samples // passes
     scheduler = _resolve_scheduler(cfg, spp_pass)
+    if mesh is not None:
+        if scheduler != "persistent":
+            raise ValueError(
+                "mesh checkpointing runs through the sharded persistent "
+                f"driver; got scheduler {scheduler!r} (per-pass spp "
+                f"{spp_pass} resolves wavefront under 8 — use more "
+                "samples or fewer passes)")
+        if chunk_checkpoints:
+            raise ValueError(
+                "chunk_checkpoints is single-chip only (the sharded "
+                "driver has no row-chunk cut points); mesh renders "
+                "checkpoint at pass granularity")
 
     if hit_fn is None and scheduler == "wavefront":
         from ..kernels.dispatch import get_hit_fn
@@ -146,7 +165,12 @@ def render_with_checkpoints(
     for p in range(done, end):
         pass_cfg = cfg.replace(samples=spp_pass,
                                seed=cfg.seed * 1000003 + p)
-        if scheduler == "persistent":
+        if mesh is not None:
+            from ..parallel.persistent_shard import (
+                render_image_persistent_sharded)
+            linear = np.asarray(render_image_persistent_sharded(
+                scene, cam, pass_cfg, mesh, hit_fn=hit_fn), np.float64)
+        elif scheduler == "persistent":
             from ..persistent import render_image_persistent
             resume_kw = {}
             if chunk_accum is not None:
