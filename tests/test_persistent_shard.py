@@ -92,3 +92,19 @@ def test_sharded_multiframe_adaptive():
     assert img.shape == base.shape == (2, 16, 24, 3)
     d = np.abs(np.sqrt(np.clip(img, 0, 1)) - np.sqrt(np.clip(base, 0, 1)))
     assert d.mean() < 0.04, d.mean()
+
+
+def test_sharded_composite_mesh_scene():
+    """The composite spheres+triangles scene renders over the mesh and
+    statistically matches the single-device render (the triangle hit
+    path rides the same per-shard hit_fn dispatch)."""
+    from win32_raytracer_tpu.scene.builders import mesh_scene
+
+    scene = mesh_scene()
+    cfg = RenderConfig(width=32, height=16, samples=8, seed=3,
+                       backend="jnp")
+    lin_s = np.asarray(render_image_persistent_sharded(
+        scene, None, cfg, make_mesh(4)))
+    lin_1 = np.asarray(render_image_persistent(scene, None, cfg))
+    assert lin_s.shape == (16, 32, 3)
+    assert np.abs(lin_s - lin_1).mean() < 0.05
