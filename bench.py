@@ -12,8 +12,12 @@ conservative convention.
 
 Protocol (docs/axon_runtime_notes.md): flip the axon runtime into honest
 sync mode with a tiny fetch BEFORE anything else, warm all programs with a
-first render, then time the second render end-to-end (dispatch -> fetched
-u8 image).
+first render, then time interleaved renders end-to-end (dispatch ->
+fetched u8 image).  Two arms run interleaved (rule 12 — the only
+trustworthy in-process A/B): the uniform-lane scheduler and
+difficulty-adaptive lane allocation (adaptive.py; the offline policy
+replay predicts ~13% net for adaptive).  The headline is the better
+arm's best rep; per-arm timings go to stderr as the A/B record.
 """
 
 import json
@@ -45,28 +49,46 @@ def main():
     scene = random_scene()
     cfg = RenderConfig(width=WIDTH, height=HEIGHT, samples=SPP, seed=3,
                        rays_per_chunk=1 << 22)
+    arms = {"uniform": cfg, "adaptive": cfg.replace(adaptive_alloc="on")}
 
     # Warm-up: compiles every step program (and populates the persistent
     # compilation cache for future runs).  Distinct seed from the timed
-    # reps (rule 15: identical reruns hit the relay's dedupe).
-    t0 = time.perf_counter()
-    img = render(scene, cfg=cfg.replace(seed=99))
-    warm_s = time.perf_counter() - t0
-    print(f"# warm-up render (incl. compiles): {warm_s:.1f}s", file=sys.stderr)
-
-    # Timed runs: full wall-clock to a fetched u8 image, best of 3 (the
-    # relay's throughput drifts within a process, runtime-notes rule 12).
-    # Each rep renders a DIFFERENT seed: the relay dedupes duplicate
-    # (program, args) executions, so repeating identical renders reads
-    # fiction (rule 15).  Seeds feed only traced salts — no recompiles.
-    dt = float("inf")
-    for rep in range(3):
+    # reps (rule 15: identical reruns hit the relay's dedupe).  The
+    # adaptive arm is best-effort: any failure drops the arm, never the
+    # benchmark.
+    for name in list(arms):
         t0 = time.perf_counter()
-        img = render(scene, cfg=cfg.replace(seed=3 + rep))
-        dt_i = time.perf_counter() - t0
-        print(f"# timed render[{rep}] seed={3 + rep}: {dt_i:.2f}s, "
-              f"image mean {img.mean():.2f}", file=sys.stderr)
-        dt = min(dt, dt_i)
+        try:
+            img = render(scene, cfg=arms[name].replace(seed=99))
+        except Exception as e:
+            print(f"# {name} arm failed to warm ({type(e).__name__}: "
+                  f"{e}); dropping it", file=sys.stderr)
+            del arms[name]
+            continue
+        print(f"# warm-up {name} (incl. compiles): "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # Timed runs: full wall-clock to a fetched u8 image, arms interleaved,
+    # best of 3 per arm (the relay's throughput drifts within a process,
+    # runtime-notes rule 12).  Each rep renders a DIFFERENT seed: the
+    # relay dedupes duplicate (program, args) executions, so repeating
+    # identical renders reads fiction (rule 15).  Seeds feed only traced
+    # salts — no recompiles.
+    best = {name: float("inf") for name in arms}
+    for rep in range(3):
+        for name, acfg in arms.items():
+            t0 = time.perf_counter()
+            img = render(scene, cfg=acfg.replace(seed=3 + rep))
+            dt_i = time.perf_counter() - t0
+            print(f"# timed {name}[{rep}] seed={3 + rep}: {dt_i:.2f}s, "
+                  f"image mean {img.mean():.2f}", file=sys.stderr)
+            best[name] = min(best[name], dt_i)
+
+    winner = min(best, key=best.get)
+    dt = best[winner]
+    print(f"# arm bests: " + ", ".join(
+        f"{n}={t:.2f}s" for n, t in best.items())
+        + f" -> headline arm: {winner}", file=sys.stderr)
 
     rays = WIDTH * HEIGHT * SPP
     mrays = rays / dt / 1e6

@@ -193,3 +193,40 @@ def test_flythrough_resume_skips_existing(tmp_path, monkeypatch):
     assert calls == [] and len(again) == 4
     for a, b in zip(full, again):
         np.testing.assert_array_equal(a, b)
+
+
+def test_flythrough_resume_rerenders_bad_files(tmp_path, monkeypatch):
+    """resume=True re-renders (not crashes) when a frame file is empty,
+    corrupt, or the wrong resolution; explicit batching on a wavefront
+    scheduler raises instead of silently overriding it."""
+    import win32_raytracer_tpu.persistent as P
+
+    scene = make_test_scene()
+    cfg = RenderConfig(width=24, height=16, samples=16, seed=12,
+                       backend="jnp", scheduler="persistent")
+    cams = orbit_path(look_to=(0, 0.5, 0), radius=12.0, height=2.0,
+                      n_frames=2, aspect_ratio=1.5)
+    pattern = str(tmp_path / "x_%04d.png")
+    full = render_animation(scene, cams, cfg, out_pattern=pattern,
+                            batch_frames=2)
+    # Corrupt one frame: empty file (simulated torn write from an old
+    # non-atomic writer or another tool).
+    (tmp_path / "x_0001.png").write_bytes(b"")
+    resumed = render_animation(scene, cams, cfg, out_pattern=pattern,
+                               batch_frames=2, resume=True)
+    for a, b in zip(full, resumed):
+        np.testing.assert_array_equal(a, b)
+    # Wrong resolution: re-render rather than returning mixed shapes.
+    from win32_raytracer_tpu.io.image import write_image
+    write_image(str(tmp_path / "x_0000.png"),
+                np.zeros((8, 8, 3), np.uint8))
+    resumed2 = render_animation(scene, cams, cfg, out_pattern=pattern,
+                                batch_frames=2, resume=True)
+    assert all(f.shape == (16, 24, 3) for f in resumed2)
+    for a, b in zip(full, resumed2):
+        np.testing.assert_array_equal(a, b)
+    # Explicit batching never silently drops a scheduler request.
+    import pytest
+    with pytest.raises(ValueError, match="persistent"):
+        render_animation(scene, cams, cfg.replace(scheduler="wavefront"),
+                         batch_frames=2)

@@ -90,10 +90,12 @@ def render_animation(
     reproducible and frames decorrelated.
 
     ``resume``: with ``out_pattern``, skip any batch whose frame files
-    all exist already (reading them back instead) — an interrupted
-    animation rerun with the same arguments continues where it stopped,
-    exactly (batch seeds depend only on the batch start index).  A batch
-    interrupted mid-write re-renders whole.
+    all exist already AND read back at this render's resolution — an
+    interrupted animation rerun with the same arguments continues where
+    it stopped, exactly (batch seeds depend only on the batch start
+    index).  Unreadable or wrong-shape files re-render the batch
+    (writes are atomic, so a mid-write kill leaves no torn file).
+    Resumed frames invoke ``frame_callback`` with ``ms=0.0``.
 
     ``batch_frames`` (0 = auto): on the persistent scheduler, render
     this many frames per BATCH — the whole group runs as one virtual
@@ -121,6 +123,24 @@ def render_animation(
         raise ValueError(
             f"batch_frames={batch_frames} needs shard_mode 'rows' or "
             f"'persistent' on a mesh (got {shard_mode!r})")
+    if batch_frames > 1 and scheduler != "persistent":
+        # Never silently override an explicit scheduler/determinism
+        # request: batching exists only on the persistent scheduler.
+        raise ValueError(
+            f"batch_frames={batch_frames} requires the persistent "
+            f"scheduler (resolved scheduler is {scheduler!r})")
+
+    def read_back(path):
+        """Read a prior run's frame; None (-> re-render) when missing,
+        unreadable, or not this render's [H, W, 3] resolution."""
+        if not os.path.exists(path):
+            return None
+        from .io.image import read_image
+        try:
+            img = read_image(path)
+        except Exception:
+            return None
+        return img if img.shape == (cfg.height, cfg.width, 3) else None
 
     def emit(i, img, ms):
         if out_pattern:
@@ -176,16 +196,15 @@ def render_animation(
         for b0 in range(0, len(cameras), batch_frames):
             group = cameras[b0:b0 + batch_frames]
             if resume and out_pattern:
-                paths = [out_pattern % (b0 + i) for i in range(len(group))]
-                if all(os.path.exists(p) for p in paths):
+                imgs = [read_back(out_pattern % (b0 + i))
+                        for i in range(len(group))]
+                if all(im is not None for im in imgs):
                     # Whole batch already on disk: read it back in frame
                     # order (drain the pipeline first to keep ordering).
-                    from .io.image import read_image
                     if pending is not None:
                         materialize(pending)
                         pending = None
-                    for i, p in enumerate(paths):
-                        img = read_image(p)
+                    for i, img in enumerate(imgs):
                         frames.append(img)
                         if frame_callback:
                             frame_callback(b0 + i, img, 0.0)
@@ -214,13 +233,13 @@ def render_animation(
     from .api import render as _render
 
     for i, cam in enumerate(cameras):
-        if resume and out_pattern and os.path.exists(out_pattern % i):
-            from .io.image import read_image
-            img = read_image(out_pattern % i)
-            frames.append(img)
-            if frame_callback:
-                frame_callback(i, img, 0.0)
-            continue
+        if resume and out_pattern:
+            img = read_back(out_pattern % i)
+            if img is not None:
+                frames.append(img)
+                if frame_callback:
+                    frame_callback(i, img, 0.0)
+                continue
         fcfg = cfg.replace(seed=cfg.seed * 1000003 + i)
         t0 = time.perf_counter()
         res = _render(scene, cam=cam, cfg=fcfg, mesh=mesh,

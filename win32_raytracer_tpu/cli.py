@@ -170,16 +170,25 @@ def main(argv=None) -> int:
         cams = orbit_path(n_frames=args.animate,
                           radius=args.orbit_radius,
                           aspect_ratio=cfg.width / cfg.height)
+        resumed = []  # resume=True read-backs report ms == 0.0
         t0 = time.perf_counter()
         frames = render_animation(get_scene(args.scene), cams, cfg,
                                   out_pattern=pattern, mesh=mesh,
                                   shard_mode=args.shard_mode,
                                   batch_frames=args.batch_frames,
-                                  resume=args.resume)
+                                  resume=args.resume,
+                                  frame_callback=(
+                                      lambda i, img, ms:
+                                      resumed.append(i) if ms == 0.0
+                                      else None))
         dt = time.perf_counter() - t0
-        fps = len(frames) / dt
-        log(f"{len(frames)} frames in {dt:.2f}s = {fps:.2f} fps "
-            f"({cfg.width * cfg.height * cfg.samples * len(frames) / dt / 1e6:.1f}"
+        # fps counts RENDERED frames only — disk read-backs of resumed
+        # frames must not inflate the perf-harness metric.
+        rendered = len(frames) - len(resumed)
+        fps = rendered / dt if rendered else 0.0
+        log(f"{len(frames)} frames ({rendered} rendered, "
+            f"{len(resumed)} resumed) in {dt:.2f}s = {fps:.2f} fps "
+            f"({cfg.width * cfg.height * cfg.samples * rendered / dt / 1e6:.1f}"
             " Mrays/s primary)")
         log(f"wrote {pattern % 0} .. {pattern % (len(frames) - 1)}")
         if perf_mode:
@@ -189,6 +198,7 @@ def main(argv=None) -> int:
                 "metric": "flythrough fps",
                 "value": round(fps, 3), "unit": "fps",
                 "wall_ms": round(dt * 1e3, 1),
+                "resumed_frames": len(resumed),
                 "config": f"{cfg.width}x{cfg.height}@{cfg.samples}spp "
                           f"x{len(frames)} frames scene={args.scene}",
             }))

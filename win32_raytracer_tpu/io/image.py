@@ -87,16 +87,21 @@ def write_image(path: str, image: np.ndarray) -> None:
     data = native.try_encode(ext, img)
     if data is None:
         data = _ENCODERS[ext](img)
-    with open(path, "wb") as f:
+    tmp = f"{path}.tmp{ext}"
+    with open(tmp, "wb") as f:
         f.write(data)
+    os.replace(tmp, path)  # atomic publish: no torn files on kill
 
 
 def read_png(path: str) -> np.ndarray:
     """Read an 8-bit RGB (color type 2, non-interlaced) PNG back to u8
-    [H, W, 3].  Handles all five scanline filters, so it reads both this
-    module's filter-0 output and the native encoder's filtered rows —
-    the read-back half of the reference's save-then-reload display loop
-    (Game.cpp:164-183 reloads out.bmp via WIC)."""
+    [H, W, 3] — the read-back half of the reference's save-then-reload
+    display loop (Game.cpp:164-183 reloads out.bmp via WIC).
+
+    Handles all five scanline filters.  This module's own encoder emits
+    filter 0 only (fast path); Sub and Up decode vectorized; Average/
+    Paeth rows (externally-produced PNGs) fall to a per-byte Python
+    loop — correct but slow, not a production decode path."""
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:8] != b"\x89PNG\r\n\x1a\n":
@@ -132,14 +137,15 @@ def read_png(path: str) -> np.ndarray:
             line = cur
         elif ftype == 2:                        # Up
             line = (cur + prev) & 0xFF
-        elif ftype in (1, 3, 4):                # Sub / Average / Paeth
+        elif ftype == 1:                        # Sub: per-channel cumsum
+            line = np.cumsum(cur.reshape(w, 3), axis=0,
+                             dtype=np.int64).reshape(-1) & 0xFF
+        elif ftype in (3, 4):                   # Average / Paeth
             line = np.zeros(w * 3, np.int32)
             for x in range(w * 3):
                 a = line[x - 3] if x >= 3 else 0
                 b = prev[x]
-                if ftype == 1:
-                    line[x] = (cur[x] + a) & 0xFF
-                elif ftype == 3:
+                if ftype == 3:
                     line[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
                 else:
                     c = prev[x - 3] if x >= 3 else 0
