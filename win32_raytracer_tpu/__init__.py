@@ -20,7 +20,7 @@ from .api import AsyncRender, RenderResult, render, render_async
 from .scene.builders import SCENES, get_scene, random_scene, test_scene
 from .scene.camera import Camera, default_camera, make_camera
 from .scene.spheres import SceneBuilder, SphereScene
-from .io.image import write_image, read_bmp
+from .io.image import write_image, read_bmp, read_image
 from .core import materials
 from .animation import orbit_path, render_animation
 from .scene.composite import CompositeScene
@@ -34,7 +34,7 @@ __all__ = [
     "SceneBuilder", "SphereScene", "CompositeScene", "TriangleScene",
     "box_mesh", "build_triangle_scene", "icosphere_mesh", "load_obj",
     "orbit_path", "render_animation",
-    "write_image", "read_bmp", "materials",
+    "write_image", "read_bmp", "read_image", "materials",
 ]
 
 __version__ = "0.1.0"
