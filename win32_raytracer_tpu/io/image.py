@@ -2,10 +2,11 @@
 
 Replaces the reference's vendored stb_image_write BMP path
 (win32-raytracer/Game.cpp:27-43 -> ``stbi_write_bmp("out.bmp")``) with
-writers for BMP (bit-compatible: 24bpp bottom-up BGR, the format stb emits)
-and PNG.  A native C++ encoder (native/rtnative.cpp) is used when built —
-the runtime tier stays native like the reference's — with these pure-Python
-implementations as a portable fallback and CI oracle.
+writers for BMP (bit-compatible: 24bpp bottom-up BGR, the format stb emits),
+PNG, and PPM, plus readers for all three (``read_image``).  The native C++
+encoder (native/rtnative.cpp) handles BMP when built — the runtime tier
+stays native like the reference's — with the pure-Python implementations
+as the PNG/PPM encoders, portable fallback, and CI oracle.
 """
 
 from __future__ import annotations
