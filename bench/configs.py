@@ -87,11 +87,14 @@ def run_config(idx: int, scale: float, platform: str, obj: str = ""):
         # compiles, and a different seed: the axon relay dedupes
         # identical (program, args) executions (docs/axon_runtime_notes
         # rule 15), so re-timing the warm seeds would read fiction.
+        # rows mode on a mesh frame-batches through the sharded
+        # persistent driver (multi-frame virtual tall image, row-blocks
+        # over devices) — strictly better than per-frame spp sharding.
         render_animation(scene, cams, cfg.replace(seed=cfg.seed + 7001),
-                         mesh=mesh, shard_mode="spp" if mesh else "rows")
+                         mesh=mesh, shard_mode="rows")
         t0 = time.perf_counter()
         frames = render_animation(scene, cams, cfg, mesh=mesh,
-                                  shard_mode="spp" if mesh else "rows")
+                                  shard_mode="rows")
         dt = time.perf_counter() - t0
         rays = cfg.width * cfg.height * cfg.samples * len(cams)
         return {
