@@ -74,12 +74,29 @@ def main():
     # relay dedupes duplicate (program, args) executions, so repeating
     # identical renders reads fiction (rule 15).  Seeds feed only traced
     # salts — no recompiles.
+    if not arms:
+        raise SystemExit("every benchmark arm failed to warm — see the "
+                         "warm-up errors above")
     best = {name: float("inf") for name in arms}
     for rep in range(3):
-        for name, acfg in arms.items():
-            t0 = time.perf_counter()
-            img = render(scene, cfg=acfg.replace(seed=3 + rep))
-            dt_i = time.perf_counter() - t0
+        for name, acfg in list(arms.items()):
+            try:
+                t0 = time.perf_counter()
+                img = render(scene, cfg=acfg.replace(seed=3 + rep))
+                dt_i = time.perf_counter() - t0
+            except Exception as e:
+                # Same best-effort contract as warm-up: a mid-run arm
+                # failure drops the arm, never the benchmark (unless it
+                # was the last arm with no finite time yet).
+                print(f"# {name} arm failed at rep {rep} "
+                      f"({type(e).__name__}: {e}); dropping it",
+                      file=sys.stderr)
+                del arms[name]
+                if best[name] == float("inf"):
+                    del best[name]
+                if not best:
+                    raise
+                continue
             print(f"# timed {name}[{rep}] seed={3 + rep}: {dt_i:.2f}s, "
                   f"image mean {img.mean():.2f}", file=sys.stderr)
             best[name] = min(best[name], dt_i)

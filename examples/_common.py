@@ -9,8 +9,8 @@ import os
 import sys
 
 # Examples run from a checkout without installing: put the repo root
-# (parent of examples/) ahead on sys.path.  A pip-installed package
-# shadows this harmlessly.
+# (parent of examples/) ahead on sys.path, so the checkout wins over
+# any pip-installed copy.
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 

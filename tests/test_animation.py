@@ -195,12 +195,10 @@ def test_flythrough_resume_skips_existing(tmp_path, monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
-def test_flythrough_resume_rerenders_bad_files(tmp_path, monkeypatch):
+def test_flythrough_resume_rerenders_bad_files(tmp_path):
     """resume=True re-renders (not crashes) when a frame file is empty,
     corrupt, or the wrong resolution; explicit batching on a wavefront
     scheduler raises instead of silently overriding it."""
-    import win32_raytracer_tpu.persistent as P
-
     scene = make_test_scene()
     cfg = RenderConfig(width=24, height=16, samples=16, seed=12,
                        backend="jnp", scheduler="persistent")

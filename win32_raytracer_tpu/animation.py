@@ -196,9 +196,13 @@ def render_animation(
         for b0 in range(0, len(cameras), batch_frames):
             group = cameras[b0:b0 + batch_frames]
             if resume and out_pattern:
-                imgs = [read_back(out_pattern % (b0 + i))
-                        for i in range(len(group))]
-                if all(im is not None for im in imgs):
+                imgs = []
+                for i in range(len(group)):  # stop at the first gap —
+                    img = read_back(out_pattern % (b0 + i))  # the batch
+                    if img is None:          # re-renders whole anyway
+                        break
+                    imgs.append(img)
+                if len(imgs) == len(group):
                     # Whole batch already on disk: read it back in frame
                     # order (drain the pipeline first to keep ordering).
                     if pending is not None:

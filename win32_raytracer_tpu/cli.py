@@ -170,6 +170,12 @@ def main(argv=None) -> int:
         cams = orbit_path(n_frames=args.animate,
                           radius=args.orbit_radius,
                           aspect_ratio=cfg.width / cfg.height)
+        if perf_mode and args.resume:
+            # Perf mode exists to MEASURE rendering; resumed read-backs
+            # would report disk-decode throughput (or 0 fps when fully
+            # resumed) as the metric.
+            log("perf mode ignores --resume (it must measure renders)")
+            args.resume = False
         resumed = []  # resume=True read-backs report ms == 0.0
         t0 = time.perf_counter()
         frames = render_animation(get_scene(args.scene), cams, cfg,

@@ -88,10 +88,14 @@ def write_image(path: str, image: np.ndarray) -> None:
     data = native.try_encode(ext, img)
     if data is None:
         data = _ENCODERS[ext](img)
-    tmp = f"{path}.tmp{ext}"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)  # atomic publish: no torn files on kill
+    tmp = f"{path}.tmp{os.getpid()}{ext}"  # unique per writer
+    try:
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic publish: no torn files on kill
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def read_png(path: str) -> np.ndarray:
