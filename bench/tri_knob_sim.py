@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Offline triangle-grid knob search (CPU, no chip time).
+
+The tri-grid kernel's cost is ~proportional to per-block VISITED tiles x
+tile_rows x ray_block (each visit is one [4*St,K]x[K,RB] MXU contraction
++ an RB-wide carry merge).  The visited count is a pure function of the
+masks/schedules (tri_accel.tri_block_schedule_rows) and the per-lane
+stopping bound — all backend-independent — so knob combos can be RANKED
+here on real bounce-ray populations and only the winners A/B'd on the
+chip (the policy_sim.py methodology, applied to the mesh20k config).
+
+Method: march real rays (the mesh20k scene, config-4 camera) through the
+exact jnp physics at a reduced resolution, snapshot (o, d, alive) per
+bounce depth, bin-sort each snapshot exactly like the production
+scheduler (persistent._bin_sort over the mesh AABB), then for each
+(tile_rows, ray_block) combo compute, per block:
+
+* scheduled tiles (the mask union — the no-early-exit cost), and
+* visited tiles under the in-kernel front-to-back early exit: the first
+  schedule index whose entry bound exceeds every lane's
+  min(true best t, segment end) — the same stop rule the kernel runs.
+
+Reported pair-work = sum_b visited_b * tile_rows * ray_block, in Mpairs,
+plus a merge term ~ visited_b * ray_block.  Lower is better; ratios are
+what matter (absolute time needs the chip).
+"""
+
+import os
+import sys
+import time
+
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, _ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_ROOT, ".jax_cache"))
+
+import jax
+
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np
+import jax.numpy as jnp
+
+from win32_raytracer_tpu.config import RenderConfig
+from win32_raytracer_tpu.kernels.dispatch import get_hit_fn_rows_accel
+from win32_raytracer_tpu.ops.hit import F32_MAX
+from win32_raytracer_tpu.persistent import (
+    PathState, _bin_sort, p_scatter_respawn_step,
+)
+from win32_raytracer_tpu.scene.builders import mesh_scene
+from win32_raytracer_tpu.scene.camera import default_camera
+from win32_raytracer_tpu.tri_accel import (
+    build_tri_grid, hit_triangles_grid_jnp, tri_block_schedule_rows,
+)
+
+W, H = 320, 240          # config-4 shape at quarter res (CPU feasible)
+DEPTHS = (0, 1, 2, 4, 7)  # snapshot bounce depths
+TILE_ROWS = (32, 64, 128)
+RAY_BLOCKS = (512, 1024, 2048)
+MERGE_COST = 24.0         # VPU slots/lane of the carry merge, vs ~14
+#                           slots/pair in the MXU sweep epilogue — turns
+#                           the per-tile fixed term into pair-equivalents
+
+
+def collect_snapshots():
+    """March one sample per pixel through the exact jnp physics on the
+    composite mesh20k scene; return [(depth, o, d, tm, alive_frac)]."""
+    cfg = RenderConfig(width=W, height=H, samples=1, seed=3, backend="jnp")
+    scene = mesh_scene(subdivisions=5)
+    cam = default_camera(W, H)
+    rscene, hit_fn = get_hit_fn_rows_accel(cfg, scene, cam)
+    n = W * H
+    z1 = jnp.zeros((1, n), jnp.float32)
+    z3 = jnp.zeros((3, n), jnp.float32)
+    st = PathState(
+        origin=z3, direction=z3.at[2, :].set(1.0), time=z1,
+        throughput=jnp.ones((3, n), jnp.float32), radiance_sum=z3,
+        depth=jnp.zeros((1, n), jnp.int32),
+        sample=jnp.full((1, n), -1, jnp.int32),
+        pixel=jnp.arange(n, dtype=jnp.int32)[None],
+        path_alive=jnp.zeros((1, n), bool),
+        s_base=jnp.zeros((1, n), jnp.int32),
+        s_quota=jnp.ones((1, n), jnp.int32),
+    )
+    # First respawn starts sample 0 on every lane (scatter is a no-op on
+    # dead lanes), then each loop iteration = one production bounce.
+    from win32_raytracer_tpu.persistent import p_respawn_step
+    st = p_respawn_step(cam, st, jnp.uint32(7), jnp.int32(0), cfg=cfg,
+                        width=W, height=H, spp=1)
+    from win32_raytracer_tpu.persistent import p_hit_step
+    snaps = []
+    for depth in range(max(DEPTHS) + 1):
+        if depth in DEPTHS:
+            alive = np.asarray(st.path_alive[0])
+            snaps.append((depth, np.asarray(st.origin),
+                          np.asarray(st.direction), np.asarray(st.time),
+                          alive))
+            print(f"# depth {depth}: alive {alive.mean():.3f}",
+                  flush=True)
+        rec, st = p_hit_step(rscene, st, cfg=cfg, hit_fn=hit_fn)
+        st = p_scatter_respawn_step(
+            rscene, cam, st, rec, jnp.uint32(7), jnp.int32(depth + 1),
+            cfg=cfg, width=W, height=H, spp=1)
+    return scene, snaps
+
+
+def eval_combo(grid, o, d, tm, best_bound, rb):
+    """(scheduled, visited) tile totals over blocks of rb lanes."""
+    n = o.shape[1]
+    pad = (-n) % rb
+    if pad:
+        o = np.pad(o, ((0, 0), (0, pad)))
+        o[1, n:] = -1e9
+        d = np.pad(d, ((0, 0), (0, pad)))
+        d[2, n:] = 1.0
+        best_bound = np.pad(best_bound, (0, pad))
+    mask, tlo, cap_eff = (np.asarray(x) for x in tri_block_schedule_rows(
+        grid, jnp.asarray(o), jnp.asarray(d), None, 0.001, rb))
+    nb = mask.shape[0]
+    # The kernel's stop bound: every lane's min(best t, segment end).
+    bound = np.minimum(best_bound, cap_eff[0]).reshape(nb, rb).max(axis=1)
+    key = np.where(mask > 0, np.minimum(tlo, 1e6), 1.5e6)
+    order = np.argsort(key, axis=1, kind="stable")
+    tlo_sorted = np.take_along_axis(key, order, axis=1)
+    counts = (mask > 0).sum(axis=1)
+    # visited = first schedule index whose NEXT entry bound > block bound
+    # (the kernel checks after each sweep), capped at the active count.
+    nxt = np.concatenate([tlo_sorted[:, 1:],
+                          np.full((nb, 1), 1.5e6, np.float32)], axis=1)
+    stop_ok = nxt > bound[:, None]
+    # first True position per row (always True at the padded end)
+    first_stop = stop_ok.argmax(axis=1) + 1
+    visited = np.minimum(first_stop, counts)
+    visited = np.where(counts == 0, 0, visited)
+    return int(counts.sum()), int(visited.sum()), nb
+
+
+def main():
+    t0 = time.perf_counter()
+    scene, snaps = collect_snapshots()
+    print(f"# snapshots in {time.perf_counter() - t0:.0f}s", flush=True)
+    tri = scene.triangles
+
+    grids = {}
+    for st_rows in TILE_ROWS:
+        grids[st_rows] = build_tri_grid(tri, tile_rows=st_rows)
+        print(f"# grid St={st_rows}: {grids[st_rows].n_tiles} tiles",
+              flush=True)
+
+    # True best-t per snapshot (grid-independent): the exact oracle on
+    # the default grid, with the sphere pass's t as the occlusion cap.
+    from win32_raytracer_tpu.ops.hit import hit_spheres
+    totals = {}
+    for depth, o, d, tm, alive in snaps:
+        sel = np.flatnonzero(alive)
+        if not len(sel):
+            continue
+        # production lane order: bin-sort alive lanes over the mesh box
+        sb = np.asarray(grids[64].scene_box, np.float64)
+        lo3, ext = sb[0::2], np.maximum(sb[1::2] - sb[0::2], 1e-6)
+        box = tuple(float(x) for x in lo3) + tuple(
+            float(1.0 / e) for e in ext)
+        n_a = len(sel)
+        st = PathState(
+            origin=jnp.asarray(o[:, sel]),
+            direction=jnp.asarray(d[:, sel]),
+            time=jnp.asarray(tm[:, sel]),
+            throughput=jnp.ones((3, n_a), jnp.float32),
+            radiance_sum=jnp.zeros((3, n_a), jnp.float32),
+            depth=jnp.zeros((1, n_a), jnp.int32),
+            sample=jnp.zeros((1, n_a), jnp.int32),
+            pixel=jnp.arange(n_a, dtype=jnp.int32)[None],
+            path_alive=jnp.ones((1, n_a), bool),
+            s_base=jnp.zeros((1, n_a), jnp.int32),
+            s_quota=jnp.ones((1, n_a), jnp.int32),
+        )
+        st = _bin_sort(st, box=box)
+        o_s = np.asarray(st.origin)
+        d_s = np.asarray(st.direction)
+        tm_s = np.asarray(st.time)
+
+        # Column-layout sphere oracle (ops/hit.py); misses carry F32_MAX,
+        # so t_sph caps the tri pass exactly like dispatch's composite.
+        rec_s = hit_spheres(scene.spheres, jnp.asarray(o_s.T),
+                            jnp.asarray(d_s.T), jnp.asarray(tm_s[0]))
+        t_sph = np.asarray(rec_s.t)
+        t_tri, _ = hit_triangles_grid_jnp(
+            grids[64], jnp.asarray(o_s), jnp.asarray(d_s),
+            jnp.asarray(tm_s), t_cap=jnp.asarray(t_sph[None]))
+        best = np.minimum(np.asarray(t_tri)[0], t_sph)
+
+        print(f"\n## depth {depth} ({n_a} alive lanes, bin-sorted)")
+        base = None
+        for st_rows in TILE_ROWS:
+            for rb in RAY_BLOCKS:
+                sched, vis, nb = eval_combo(
+                    grids[st_rows], o_s, d_s, tm_s, best, rb)
+                pw_full = sched * st_rows * rb / 1e6
+                pw_ee = vis * st_rows * rb / 1e6
+                merge = vis * rb * MERGE_COST / 14.0 / 1e6
+                cost = pw_ee + merge
+                if base is None:
+                    base = cost
+                totals.setdefault((st_rows, rb), 0.0)
+                totals[(st_rows, rb)] += cost * n_a  # lane-weighted
+                print(f"St={st_rows:4d} RB={rb:5d}: sched {sched:6d} "
+                      f"visit {vis:6d} tiles/blk {vis / nb:6.1f} | "
+                      f"pairs full {pw_full:7.1f}M ee {pw_ee:7.1f}M "
+                      f"+merge-> {cost:7.1f}M ({cost / base:5.2f}x)",
+                      flush=True)
+
+    print("\n## lane-weighted totals over all snapshot depths")
+    base = min(totals.values())
+    for (st_rows, rb), c in sorted(totals.items(), key=lambda kv: kv[1]):
+        print(f"St={st_rows:4d} RB={rb:5d}: {c / base:5.2f}x")
+
+
+if __name__ == "__main__":
+    main()
