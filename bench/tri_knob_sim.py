@@ -55,7 +55,7 @@ from win32_raytracer_tpu.tri_accel import (
     build_tri_grid, hit_triangles_grid_jnp, tri_block_schedule_rows,
 )
 
-W, H = 320, 240          # config-4 shape at quarter res (CPU feasible)
+W, H = int(os.environ.get("TKS_W", 320)), int(os.environ.get("TKS_H", 240))  # config-4 shape; env overrides
 DEPTHS = (0, 1, 2, 4, 7)  # snapshot bounce depths
 TILE_ROWS = (32, 64, 128)
 RAY_BLOCKS = (512, 1024, 2048)
@@ -137,11 +137,130 @@ def eval_combo(grid, o, d, tm, best_bound, rb):
     return int(counts.sum()), int(visited.sum()), nb
 
 
+def collect_snapshots_cached():
+    """Snapshot collection is the expensive part (~13 min at 640x480 on
+    this 1-core host); cache to /tmp keyed by resolution."""
+    path = f"/tmp/tks_snaps_{W}x{H}.npz"
+    scene = mesh_scene(subdivisions=5)
+    if os.path.exists(path):
+        with np.load(path) as z:
+            snaps = [(int(d), z[f"o{d}"], z[f"d{d}"], z[f"t{d}"],
+                      z[f"a{d}"]) for d in z["depths"]]
+        print(f"# snapshots from cache {path}", flush=True)
+        return scene, snaps
+    scene2, snaps = collect_snapshots()
+    payload = {"depths": np.asarray([s[0] for s in snaps])}
+    for d, o, dd, tm, al in snaps:
+        payload.update({f"o{d}": o, f"d{d}": dd, f"t{d}": tm, f"a{d}": al})
+    np.savez(path, **payload)
+    return scene2, snaps
+
+
+def _sort_keys(o, d, lo3, inv_ext, hi_t, variant):
+    """Alternative lane-sort keys (numpy; evaluated offline before any
+    change to persistent._bin_sort).  Returns [N] integer keys."""
+    def cells(p, bits):
+        n_c = 1 << bits
+        c = np.clip(((p - lo3[:, None]) * inv_ext[:, None] * n_c
+                     ).astype(np.int64), 0, n_c - 1)
+        return c
+
+    def morton(c, bits):
+        out = np.zeros(c.shape[1], np.int64)
+        for b in range(bits):
+            for ax in range(3):
+                out |= ((c[ax] >> b) & 1) << (3 * b + ax)
+        return out
+
+    octant = ((d[0] < 0).astype(np.int64)
+              | ((d[1] < 0).astype(np.int64) << 1)
+              | ((d[2] < 0).astype(np.int64) << 2))
+    if variant == "pos8+oct":                 # production key
+        return (morton(cells(o, 3), 3) << 3) | octant
+    if variant == "pos16+oct":
+        return (morton(cells(o, 4), 4) << 3) | octant
+    if variant == "pos4+oct":
+        return (morton(cells(o, 2), 2) << 3) | octant
+    if variant == "oct+pos8":                 # direction-major
+        return (octant << 9) | morton(cells(o, 3), 3)
+    if variant == "pos8+exit4":               # chord-aware: exit cell
+        ex = o + hi_t[None, :] * d
+        return ((morton(cells(o, 3), 3) << 6)
+                | morton(cells(ex, 2), 2))
+    if variant == "pos4+exit4+oct":
+        ex = o + hi_t[None, :] * d
+        return ((morton(cells(o, 2), 2) << 9)
+                | (morton(cells(ex, 2), 2) << 3) | octant)
+    raise ValueError(variant)
+
+
+def key_variant_sweep(scene, snaps, grids, st_rows=32, rb=512):
+    """Rank lane-sort keys by pair work at the fixed winner combo."""
+    from win32_raytracer_tpu.ops.hit import hit_spheres
+    grid = grids[st_rows]
+    sb = np.asarray(grid.scene_box, np.float64)
+    lo3 = sb[0::2].astype(np.float32)
+    inv_ext = (1.0 / np.maximum(sb[1::2] - sb[0::2], 1e-6)).astype(
+        np.float32)
+    variants = ["pos8+oct", "pos16+oct", "pos4+oct", "oct+pos8",
+                "pos8+exit4", "pos4+exit4+oct"]
+    totals = {v: 0.0 for v in variants}
+    for depth, o, d, tm, alive in snaps:
+        sel = np.flatnonzero(alive)
+        if len(sel) < rb:
+            continue
+        o_a, d_a, tm_a = o[:, sel], d[:, sel], tm[:, sel]
+        rec_s = hit_spheres(scene.spheres, jnp.asarray(o_a.T),
+                            jnp.asarray(d_a.T), jnp.asarray(tm_a[0]))
+        t_sph = np.asarray(rec_s.t)
+        t_tri, _ = hit_triangles_grid_jnp(
+            grid, jnp.asarray(o_a), jnp.asarray(d_a), jnp.asarray(tm_a),
+            t_cap=jnp.asarray(t_sph[None]))
+        best_a = np.minimum(np.asarray(t_tri)[0], t_sph)
+        # segment end for the exit-cell keys (scene-box slab test)
+        eps = 1e-12
+        lo_t = np.full(o_a.shape[1], 0.001, np.float32)
+        hi_t = np.full(o_a.shape[1], 1e8, np.float32)
+        for ax in range(3):
+            dn = np.where(np.abs(d_a[ax]) < eps,
+                          np.where(d_a[ax] < 0, -eps, eps), d_a[ax])
+            ta = (sb[2 * ax] - o_a[ax]) / dn
+            tb = (sb[2 * ax + 1] - o_a[ax]) / dn
+            lo_t = np.maximum(lo_t, np.minimum(ta, tb).astype(np.float32))
+            hi_t = np.minimum(hi_t, np.maximum(ta, tb).astype(np.float32))
+        hi_t = np.maximum(hi_t, 0.0)
+        print(f"\n## key sweep, depth {depth} ({len(sel)} lanes, "
+              f"St={st_rows} RB={rb})")
+        base = None
+        for v in variants:
+            keys = _sort_keys(o_a, d_a, lo3, inv_ext, hi_t, v)
+            order = np.argsort(keys, kind="stable")
+            sched, vis, nb = eval_combo(
+                grid, o_a[:, order], d_a[:, order], tm_a[:, order],
+                best_a[order], rb)
+            pw = vis * st_rows * rb / 1e6
+            cost = pw + vis * rb * MERGE_COST / 14.0 / 1e6
+            if base is None:
+                base = cost
+            totals[v] += cost * len(sel)
+            print(f"{v:>16s}: visit {vis:6d} tiles/blk {vis / nb:6.1f} "
+                  f"pairs {pw:7.1f}M ({cost / base:5.2f}x)", flush=True)
+    print("\n## key-variant lane-weighted totals")
+    base = min(totals.values())
+    for v, c in sorted(totals.items(), key=lambda kv: kv[1]):
+        print(f"{v:>16s}: {c / base:5.2f}x")
+
+
 def main():
     t0 = time.perf_counter()
-    scene, snaps = collect_snapshots()
+    scene, snaps = collect_snapshots_cached()
     print(f"# snapshots in {time.perf_counter() - t0:.0f}s", flush=True)
     tri = scene.triangles
+
+    if "--keys" in sys.argv:
+        grids = {32: build_tri_grid(tri, tile_rows=32)}
+        key_variant_sweep(scene, snaps, grids)
+        return
 
     grids = {}
     for st_rows in TILE_ROWS:

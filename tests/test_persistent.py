@@ -180,20 +180,44 @@ def test_bin_sort_spatial_key_and_conservation():
     assert (np.asarray(out.origin[1, n_alive:]) == -1e9).all()
     assert (np.asarray(out.direction[2, n_alive:]) == 1.0).all()
 
-    # Alive lanes: keys ascending (recomputed from the sorted state).
+    # Alive lanes: keys ascending (recomputed from the sorted state,
+    # replicating whichever variant _BIN_KEY selects).
     oo = np.asarray(out.origin[:, :n_alive])
     dd = np.asarray(out.direction[:, :n_alive])
-    cells = [np.clip(((oo[ax] - box[ax]) * box[3 + ax] * P._BIN_CELLS)
-                     .astype(np.int64), 0, P._BIN_CELLS - 1)
-             for ax in range(3)]
 
     def spread3(v):
         return (v & 1) | ((v & 2) << 2) | ((v & 4) << 4)
 
-    morton = spread3(cells[0]) | (spread3(cells[1]) << 1) | (
-        spread3(cells[2]) << 2)
+    def cells(p, n_c):
+        return [np.clip(((p[ax].astype(np.float32) - np.float32(box[ax]))
+                         * np.float32(box[3 + ax] * n_c))
+                        .astype(np.int64), 0, n_c - 1) for ax in range(3)]
+
+    def morton(cs):
+        return spread3(cs[0]) | (spread3(cs[1]) << 1) | (spread3(cs[2]) << 2)
+
     octant = ((dd[0] < 0) | ((dd[1] < 0) << 1) | ((dd[2] < 0) << 2))
-    key = (morton << 3) | octant
+    if P._BIN_KEY == "pos4+exit4+oct":
+        # f32 throughout — must reproduce the kernel's arithmetic bit
+        # for bit or edge-of-cell lanes produce spurious key mismatches.
+        eps = np.float32(1e-12)
+        hi_t = np.full(n_alive, 1e8, np.float32)
+        for ax in range(3):
+            dn = np.where(np.abs(dd[ax]) < eps,
+                          np.where(dd[ax] < 0, -eps, eps),
+                          dd[ax]).astype(np.float32)
+            lo_p = np.float32(box[ax])
+            hi_p = np.float32(box[ax] + 1.0 / box[3 + ax])
+            ta = ((lo_p - oo[ax]) / dn).astype(np.float32)
+            tb = ((hi_p - oo[ax]) / dn).astype(np.float32)
+            hi_t = np.minimum(hi_t, np.maximum(ta, tb))
+        hi_t = np.maximum(hi_t, np.float32(0.0))
+        exit_p = [(oo[ax] + hi_t * dd[ax]).astype(np.float32)
+                  for ax in range(3)]
+        key = ((morton(cells(oo, 4)) << 9)
+               | (morton(cells(exit_p, 4)) << 3) | octant)
+    else:
+        key = (morton(cells(oo, P._BIN_CELLS)) << 3) | octant
     assert (np.diff(key) >= 0).all()
 
     # Per-lane payload conservation (multiset equality over id tuples).

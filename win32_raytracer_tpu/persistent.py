@@ -444,10 +444,19 @@ _BIN_CELLS = 8  # per axis; 9-bit Morton + 3-bit octant = 4096 buckets
 # scatter, directions decohere) in exchange for amortizing the 19-operand
 # sort's cost over N hit phases.  A/B knob for the mesh-scene economics.
 _BIN_PERIOD = 1
+# Sort-key variant.  "pos4+exit4+oct" keys each ray by (coarse origin
+# cell, coarse CHORD-EXIT cell, direction octant) — the exit cell is
+# where the ray's t-segment leaves the accel AABB, so rays grouped
+# together share whole chords, not just starting points.  Offline
+# ranking on real bounce snapshots (bench/tri_knob_sim.py --keys at
+# 640x480): 2.22x less visited-tile pair work than the round-2
+# "pos8+oct" key (primaries all share the CAMERA's clamped position
+# cell, so the old key never discriminated them at all — 3.8x there).
+_BIN_KEY = "pos4+exit4+oct"  # | "pos8+oct" (the round-2 key, A/B arm)
 
 
-def _bin_sort_core(st: PathState, *, box) -> PathState:
-    """One stable multisort of the whole state by spatial bucket.
+def _bin_sort_core(st: PathState, *, box, key_variant=None) -> PathState:
+    """One stable multisort of the whole state by chord bucket.
 
     ``box`` = (lo_x, lo_y, lo_z, inv_ext_x, inv_ext_y, inv_ext_z) of the
     accel structure's scene AABB (static floats; one program per scene).
@@ -457,21 +466,47 @@ def _bin_sort_core(st: PathState, *, box) -> PathState:
     not bitwise — exactly like a different compaction cadence."""
     alive = st.path_alive
     o, d = st.origin, st.direction
-    cells = []
-    for ax in range(3):
-        c = ((o[ax] - np.float32(box[ax]))
-             * np.float32(box[3 + ax] * _BIN_CELLS)).astype(jnp.int32)
-        cells.append(jnp.clip(c, 0, _BIN_CELLS - 1))
+
+    def cells(p, n_c):
+        cs = []
+        for ax in range(3):
+            c = ((p[ax] - np.float32(box[ax]))
+                 * np.float32(box[3 + ax] * n_c)).astype(jnp.int32)
+            cs.append(jnp.clip(c, 0, n_c - 1))
+        return cs
 
     def spread3(v):  # 3-bit value -> bits at positions 0, 3, 6
         return (v & 1) | ((v & 2) << 2) | ((v & 4) << 4)
 
-    morton = (spread3(cells[0]) | (spread3(cells[1]) << 1)
-              | (spread3(cells[2]) << 2))
+    def morton(cs):
+        return (spread3(cs[0]) | (spread3(cs[1]) << 1)
+                | (spread3(cs[2]) << 2))
+
     octant = ((d[0] < 0).astype(jnp.int32)
               | ((d[1] < 0).astype(jnp.int32) << 1)
               | ((d[2] < 0).astype(jnp.int32) << 2))
-    key = jnp.where(alive[0], (morton << 3) | octant, jnp.int32(1 << 20))
+    if key_variant is None:
+        key_variant = _BIN_KEY
+    if key_variant == "pos4+exit4+oct":
+        # Chord exit point: slab test against the accel AABB (hi side =
+        # lo + 1/inv_ext); exit = o + hi_t*d, hi_t >= 0.
+        eps = np.float32(1e-12)
+        hi_t = jnp.full_like(o[0], np.float32(1e8))
+        for ax in range(3):
+            dn = jnp.where(jnp.abs(d[ax]) < eps,
+                           jnp.where(d[ax] < 0, -eps, eps), d[ax])
+            lo_p = np.float32(box[ax])
+            hi_p = np.float32(box[ax] + 1.0 / box[3 + ax])
+            ta = (lo_p - o[ax]) / dn
+            tb = (hi_p - o[ax]) / dn
+            hi_t = jnp.minimum(hi_t, jnp.maximum(ta, tb))
+        hi_t = jnp.maximum(hi_t, 0.0)
+        exit_p = [o[ax] + hi_t * d[ax] for ax in range(3)]
+        key_val = ((morton(cells(o, 4)) << 9)
+                   | (morton(cells(exit_p, 4)) << 3) | octant)
+    else:  # "pos8+oct" — the round-2 key
+        key_val = (morton(cells(o, _BIN_CELLS)) << 3) | octant
+    key = jnp.where(alive[0], key_val, jnp.int32(1 << 20))
 
     # Park dead lanes' rays below everything with an empty footprint
     # (kernels/tri_grid_rows padding convention); respawn overwrites the
@@ -498,8 +533,8 @@ def _bin_sort_core(st: PathState, *, box) -> PathState:
     return PathState(**cols)
 
 
-_bin_sort = functools.partial(jax.jit, static_argnames=("box",))(
-    _bin_sort_core)
+_bin_sort = functools.partial(
+    jax.jit, static_argnames=("box", "key_variant"))(_bin_sort_core)
 
 
 @jax.jit
@@ -745,7 +780,9 @@ def render_image_persistent(
             for _ in range(k):
                 step += 1
                 if bin_box is not None and (step - 1) % _BIN_PERIOD == 0:
-                    st = _bin_sort(st, box=bin_box)
+                    # key_variant passed as a static arg so flipping the
+                    # module global retraces (in-process A/B support).
+                    st = _bin_sort(st, box=bin_box, key_variant=_BIN_KEY)
                 if fuse:
                     st = p_bounce_step(scene, cam_x, st, salt,
                                        jnp.int32(step),
