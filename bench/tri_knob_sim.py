@@ -251,6 +251,69 @@ def key_variant_sweep(scene, snaps, grids, st_rows=32, rb=512):
         print(f"{v:>16s}: {c / base:5.2f}x")
 
 
+def partition_sweep(scene, snaps, rb=512):
+    """Rank tile partitions (morton vs median split) by pair work, lanes
+    sorted by the PRODUCTION chord key, at both tile granularities."""
+    from win32_raytracer_tpu.ops.hit import hit_spheres
+    combos = [("morton", 32), ("median", 32), ("morton", 64),
+              ("median", 64)]
+    grids = {(p, st): build_tri_grid(scene.triangles, tile_rows=st,
+                                     partition=p) for p, st in combos}
+    for (p, st), g in grids.items():
+        diag = np.linalg.norm(np.asarray(g.tile_boxes)[:, 1::2]
+                              - np.asarray(g.tile_boxes)[:, 0::2], axis=1)
+        print(f"# grid {p}/{st}: {g.n_tiles} tiles, "
+              f"mean diag {diag.mean():.3f}", flush=True)
+    sb = np.asarray(grids[("morton", 32)].scene_box, np.float64)
+    lo3 = sb[0::2].astype(np.float32)
+    inv_ext = (1.0 / np.maximum(sb[1::2] - sb[0::2], 1e-6)).astype(
+        np.float32)
+    totals = {c: 0.0 for c in combos}
+    for depth, o, d, tm, alive in snaps:
+        sel = np.flatnonzero(alive)
+        if len(sel) < rb:
+            continue
+        o_a, d_a, tm_a = o[:, sel], d[:, sel], tm[:, sel]
+        rec_s = hit_spheres(scene.spheres, jnp.asarray(o_a.T),
+                            jnp.asarray(d_a.T), jnp.asarray(tm_a[0]))
+        t_sph = np.asarray(rec_s.t)
+        t_tri, _ = hit_triangles_grid_jnp(
+            grids[("morton", 32)], jnp.asarray(o_a), jnp.asarray(d_a),
+            jnp.asarray(tm_a), t_cap=jnp.asarray(t_sph[None]))
+        best_a = np.minimum(np.asarray(t_tri)[0], t_sph)
+        eps = 1e-12
+        hi_t = np.full(o_a.shape[1], 1e8, np.float32)
+        for ax in range(3):
+            dn = np.where(np.abs(d_a[ax]) < eps,
+                          np.where(d_a[ax] < 0, -eps, eps), d_a[ax])
+            ta = (sb[2 * ax] - o_a[ax]) / dn
+            tb = (sb[2 * ax + 1] - o_a[ax]) / dn
+            hi_t = np.minimum(hi_t, np.maximum(ta, tb).astype(np.float32))
+        hi_t = np.maximum(hi_t, 0.0)
+        keys = _sort_keys(o_a, d_a, lo3, inv_ext, hi_t, "pos4+exit4+oct")
+        order = np.argsort(keys, kind="stable")
+        print(f"\n## partition sweep, depth {depth} ({len(sel)} lanes, "
+              f"RB={rb})")
+        base = None
+        for c in combos:
+            p, st = c
+            sched, vis, nb = eval_combo(
+                grids[c], o_a[:, order], d_a[:, order], tm_a[:, order],
+                best_a[order], rb)
+            pw = vis * st * rb / 1e6
+            cost = pw + vis * rb * MERGE_COST / 14.0 / 1e6
+            if base is None:
+                base = cost
+            totals[c] += cost * len(sel)
+            print(f"{p:>7s}/{st:<3d}: visit {vis:6d} tiles/blk "
+                  f"{vis / nb:6.1f} pairs {pw:7.1f}M "
+                  f"({cost / base:5.2f}x)", flush=True)
+    print("\n## partition lane-weighted totals")
+    base = min(totals.values())
+    for c, v in sorted(totals.items(), key=lambda kv: kv[1]):
+        print(f"{c[0]:>7s}/{c[1]:<3d}: {v / base:5.2f}x")
+
+
 def main():
     t0 = time.perf_counter()
     scene, snaps = collect_snapshots_cached()
@@ -260,6 +323,9 @@ def main():
     if "--keys" in sys.argv:
         grids = {32: build_tri_grid(tri, tile_rows=32)}
         key_variant_sweep(scene, snaps, grids)
+        return
+    if "--partition" in sys.argv:
+        partition_sweep(scene, snaps)
         return
 
     grids = {}

@@ -242,3 +242,28 @@ def test_ray_binning_on_requires_grid_scene():
                        backend="jnp", ray_binning="on")
     with pytest.raises(ValueError, match="ray_binning"):
         render_image_persistent(scene, None, cfg)
+
+
+def test_binned_grid_render_jnp_backend():
+    """accel='grid' on the jnp backend runs the pure-jnp tri-grid sweep
+    AND auto-enables ray binning (bin_box from the TriGridScene), so the
+    full binned driver path is CPU-CI-covered.  Binning permutes lanes
+    (different RNG streams), so parity with the unbinned arm is
+    statistical, like a different compaction cadence."""
+    from win32_raytracer_tpu.scene.builders import mesh_scene
+    from win32_raytracer_tpu.tri_accel import TriGridScene
+
+    scene = mesh_scene(subdivisions=3)  # ~1292 tris >= build min_tris
+    cfg = RenderConfig(width=32, height=16, samples=8, seed=5,
+                       backend="jnp", accel="grid")
+    # The accel resolution itself must produce a TriGridScene composite.
+    from win32_raytracer_tpu.kernels.dispatch import get_hit_fn_rows_accel
+    sc2, _ = get_hit_fn_rows_accel(cfg, scene, None)
+    assert isinstance(sc2.triangles, TriGridScene)
+
+    binned = np.asarray(render_image_persistent(scene, None, cfg))
+    off = np.asarray(render_image_persistent(
+        scene, None, cfg.replace(ray_binning="off")))
+    assert binned.shape == off.shape == (16, 32, 3)
+    d = np.abs(np.sqrt(np.clip(binned, 0, 1)) - np.sqrt(np.clip(off, 0, 1)))
+    assert d.mean() < 0.04, d.mean()

@@ -108,3 +108,23 @@ def test_sharded_composite_mesh_scene():
     lin_1 = np.asarray(render_image_persistent(scene, None, cfg))
     assert lin_s.shape == (16, 32, 3)
     assert np.abs(lin_s - lin_1).mean() < 0.05
+
+
+def test_sharded_binned_grid_render():
+    """accel='grid' + jnp backend over the mesh: each shard bin-sorts its
+    own lanes (per-shard _bin_sort_sm, no cross-shard traffic) and the
+    result statistically matches the single-chip binned render."""
+    from win32_raytracer_tpu.parallel import persistent_shard as PS
+    from win32_raytracer_tpu.scene.builders import mesh_scene
+
+    scene = mesh_scene(subdivisions=3)
+    cfg = RenderConfig(width=32, height=16, samples=8, seed=5,
+                       backend="jnp", accel="grid")
+    before = PS._bin_sort_sm.cache_info().misses
+    lin_s = np.asarray(render_image_persistent_sharded(
+        scene, None, cfg, make_mesh(4)))
+    assert PS._bin_sort_sm.cache_info().misses > before  # sort really ran
+    lin_1 = np.asarray(render_image_persistent(scene, None, cfg))
+    assert lin_s.shape == (16, 32, 3)
+    d = np.abs(np.sqrt(np.clip(lin_s, 0, 1)) - np.sqrt(np.clip(lin_1, 0, 1)))
+    assert d.mean() < 0.04, d.mean()

@@ -293,3 +293,32 @@ def test_early_exit_with_t_cap_matches_full_sweep():
                                 t_cap=cap, early_exit=False)
     for fa, fb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_median_partition_exact_and_tighter():
+    """The median-split partition (cfg.tri_partition='median') returns
+    the same nearest hits as the Morton partition (tile membership only
+    reshuffles which tile sweeps a triangle; the winner is partition-
+    independent up to the cross-tile tie rule) and its tiles are no
+    looser on average."""
+    scene = _mesh(3)
+    g_m = build_tri_grid(scene, tile_rows=64, partition="morton")
+    g_s = build_tri_grid(scene, tile_rows=64, partition="median")
+    assert g_s is not None and g_s.n_tiles == g_m.n_tiles
+    # membership: every active triangle exactly once
+    idxs = np.asarray(g_s.tile_attrs)[:, -2]
+    real = idxs[np.asarray(g_s.tile_attrs)[:, 3:9].any(axis=1)]
+    assert len(np.unique(real)) == int(np.asarray(scene.active).sum())
+
+    o, d, tm = _rays(512, seed=11)
+    t_m, _ = hit_triangles_grid_jnp(g_m, o, d, tm)
+    t_s, _ = hit_triangles_grid_jnp(g_s, o, d, tm)
+    np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_m),
+                               rtol=1e-6, atol=1e-6)
+
+    diag_m = np.linalg.norm(np.asarray(g_m.tile_boxes)[:, 1::2]
+                            - np.asarray(g_m.tile_boxes)[:, 0::2], axis=1)
+    diag_s = np.linalg.norm(np.asarray(g_s.tile_boxes)[:, 1::2]
+                            - np.asarray(g_s.tile_boxes)[:, 0::2], axis=1)
+    assert diag_s.mean() <= diag_m.mean() * 1.02, (
+        diag_s.mean(), diag_m.mean())

@@ -128,6 +128,12 @@ class RenderConfig:
     # next tile's bound (kernels/tri_grid_rows._sweep_scheduled) — exact
     # by construction.  "off" sweeps the full masked schedule (A/B arm).
     tri_early_exit: str = "auto"  # "auto" | "on" | "off"
+    # Triangle-grid tile partition: how contiguous tile membership is
+    # chosen from the centroid cloud.  "morton" cuts a space-filling
+    # curve; "median" recursively median-splits the widest axis (tighter
+    # tile AABBs — tri_accel._median_split_order).  "auto" = morton
+    # until the chip A/B decides.
+    tri_partition: str = "auto"  # "auto" | "morton" | "median"
     # Wavefront chunk size (lanes in flight per jit call).  4M lanes =
     # ~280 MB of state: one-chunk renders up to ~1200x800 with 4
     # lanes/pixel, the measured sweet spot on a v5e chip (bigger chunks

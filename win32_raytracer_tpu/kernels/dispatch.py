@@ -104,6 +104,34 @@ def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True):
     return composite
 
 
+@functools.lru_cache(maxsize=16)
+def _tri_grid_fn_jnp(ray_block=0):
+    """jnp twin of _tri_grid_fn: the pure-jnp grid sweep
+    (tri_accel.hit_triangles_grid_rows_jnp) with the jnp column-oracle
+    sphere pass capping the triangle mask.  Cached: static jit args."""
+    from ..ops.hit import hit_spheres
+    from ..ops.rows import combine_hits_rows, hit_rows_adapter
+    from ..tri_accel import TriGridScene, hit_triangles_grid_rows_jnp
+
+    rb = ray_block or 512
+    sphere_fn = hit_rows_adapter(hit_spheres)
+
+    def composite(sc, o, d, t, min_t=0.001):
+        if isinstance(sc, TriGridScene):
+            return hit_triangles_grid_rows_jnp(sc, o, d, t, min_t=min_t,
+                                               ray_block=rb)
+        if sc.spheres is None:
+            return hit_triangles_grid_rows_jnp(sc.triangles, o, d, t,
+                                               min_t=min_t, ray_block=rb)
+        rec = sphere_fn(sc.spheres, o, d, t, min_t=min_t)
+        rec_t = hit_triangles_grid_rows_jnp(sc.triangles, o, d, t,
+                                            min_t=min_t, t_cap=rec.t,
+                                            ray_block=rb)
+        return combine_hits_rows(rec, rec_t,
+                                 idx_offset_b=sc.spheres.padded_size)
+    return composite
+
+
 def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
     """Resolve (scene, rows hit fn) with the acceleration structure applied.
 
@@ -136,34 +164,48 @@ def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
             from .hit_grid_rows import hit_spheres_grid_rows
             return gs, hit_spheres_grid_rows
 
-    if cfg.accel in ("auto", "grid") and backend == "pallas":
+    if cfg.accel in ("auto", "grid"):
         tri = (scene if isinstance(scene, TriangleScene)
                else scene.triangles
                if isinstance(scene, CompositeScene) else None)
-        if tri is not None:
+        if tri is not None and (backend == "pallas"
+                                or cfg.accel == "grid"):
             from ..tri_accel import build_tri_grid
-            grid = (build_tri_grid(tri, tile_rows=cfg.tri_tile_rows)
-                    if cfg.tri_tile_rows else build_tri_grid(tri))
+            part = ("morton" if cfg.tri_partition == "auto"
+                    else cfg.tri_partition)
+            grid = (build_tri_grid(tri, tile_rows=cfg.tri_tile_rows,
+                                   partition=part)
+                    if cfg.tri_tile_rows
+                    else build_tri_grid(tri, partition=part))
             if grid is not None:
-                sphere_fn = None
-                if (isinstance(scene, CompositeScene)
-                        and scene.spheres is not None):
-                    sphere_fn = (_pallas_v6_rb2048
-                                 if cfg.hit_kernel in ("auto", "v6", "v7")
-                                 else _pallas_v4_rb2048)
-                    new_scene = scene._replace(triangles=grid)
-                else:
-                    new_scene = grid
-                return new_scene, _tri_grid_fn(
-                    sphere_fn, cfg.tri_ray_block,
-                    early_exit=cfg.tri_early_exit in ("auto", "on"))
+                has_spheres = (isinstance(scene, CompositeScene)
+                               and scene.spheres is not None)
+                new_scene = (scene._replace(triangles=grid)
+                             if has_spheres else grid)
+                if backend == "pallas":
+                    sphere_fn = None
+                    if has_spheres:
+                        sphere_fn = (_pallas_v6_rb2048
+                                     if cfg.hit_kernel in ("auto", "v6",
+                                                           "v7")
+                                     else _pallas_v4_rb2048)
+                    return new_scene, _tri_grid_fn(
+                        sphere_fn, cfg.tri_ray_block,
+                        early_exit=cfg.tri_early_exit in ("auto", "on"))
+                # jnp backend, explicit accel="grid": the pure-jnp grid
+                # sweep (tri_accel.hit_triangles_grid_rows_jnp).  No mask
+                # savings without Mosaic — this is the CI/verification
+                # path for the grid + ray-binning drivers on jnp hosts
+                # ("auto" keeps the cheaper brute sweep there).
+                return new_scene, _tri_grid_fn_jnp(cfg.tri_ray_block)
 
     if cfg.accel == "grid":
         raise ValueError(
             "accel='grid' requested but the scene/backend does not qualify "
-            "(needs a Pallas backend and either a sphere scene with enough "
-            "small spheres — accel.build_grid_accel — or a mesh with "
-            "enough triangles — tri_accel.build_tri_grid)")
+            "(sphere grids need a Pallas backend and enough small spheres "
+            "— accel.build_grid_accel; triangle grids need a mesh with "
+            "enough triangles — tri_accel.build_tri_grid — on any "
+            "backend)")
     return scene, get_hit_fn_rows(cfg, scene, platform)
 
 

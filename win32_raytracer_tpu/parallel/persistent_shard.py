@@ -31,10 +31,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
+from .. import persistent as _P
 from ..persistent import (
-    PathState, _COMPACT_FLOOR, _COMPACT_SHRINK, _MULTI_K, _compact_core,
-    _grid_size, _hit_core, _next_pow2, _resolve_kpp, _respawn_core,
-    _scatter_core, _split,
+    PathState, _COMPACT_FLOOR, _COMPACT_SHRINK, _MULTI_K, _bin_sort_core,
+    _compact_core, _derive_bin_box, _grid_size, _hit_core, _next_pow2,
+    _resolve_kpp, _respawn_core, _scatter_core, _split,
 )
 from ..scene.camera import Camera, default_camera
 from ..scene.spheres import SphereScene
@@ -220,6 +221,22 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
     return bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm
 
 
+@functools.lru_cache(maxsize=64)
+def _bin_sort_sm(mesh: Mesh, box, key_variant: str):
+    """Per-shard ray binning (persistent._bin_sort sharded): each shard
+    multisorts its OWN lanes by chord bucket — no cross-shard traffic.
+    Shard-local order is all the block-schedule mask needs (the tri-grid
+    kernel's ray blocks are per-shard), and the sharded compactor already
+    runs tail_sorted=False, so the permutation costs nothing downstream."""
+    sspec = _sspec()
+
+    def sort(st):
+        return _bin_sort_core(st, box=box, key_variant=key_variant)
+
+    return jax.jit(jax.shard_map(
+        sort, mesh=mesh, in_specs=(sspec,), out_specs=sspec))
+
+
 @functools.lru_cache(maxsize=256)
 def _compact_split_sm(mesh: Mesh, kpp: int, k_new: int, do_split: bool):
     sspec = _sspec()
@@ -302,6 +319,8 @@ def render_image_persistent_sharded(
         scene, hit_fn = get_hit_fn_rows_accel(
             cfg, scene, cams[0] if cams else cam,
             platform=mesh.devices.flat[0].platform)
+    # Ray binning (per shard): same policy as the single-chip driver.
+    bin_box = _derive_bin_box(cfg, scene)
     from ..kernels.dispatch import _resolve_backend as _rb
     coeffs = None
     if (_rb(cfg, platform=mesh.devices.flat[0].platform) == "pallas"
@@ -408,10 +427,12 @@ def render_image_persistent_sharded(
         def do_steps(st, k, step):
             # Tail economics mirror the single-chip driver: at or below
             # the per-shard floor the render is dispatch-bound, so
-            # _MULTI_K bounces ride one shard_map dispatch each.
+            # _MULTI_K bounces ride one shard_map dispatch each.  Binned
+            # scenes take single steps everywhere: a multi-bounce program
+            # would run bounces 2..K on bins gone stale after one scatter.
             cur = st.pixel.shape[1] // d
             bounce = bounce_for(cur)
-            if cur <= floor:
+            if cur <= floor and bin_box is None:
                 while k >= _MULTI_K:
                     st = multi_sm(scene, camt, st, dev_keys_s,
                                   jnp.int32(step + 1))
@@ -419,6 +440,10 @@ def render_image_persistent_sharded(
                     k -= _MULTI_K
             for _ in range(k):
                 step += 1
+                if bin_box is not None and (step - 1) % _P._BIN_PERIOD == 0:
+                    # _BIN_KEY read per call: flipping the module global
+                    # rebuilds (lru key) instead of reusing a stale trace.
+                    st = _bin_sort_sm(mesh, bin_box, _P._BIN_KEY)(st)
                 st = bounce(scene, camt, st, dev_keys_s, jnp.int32(step))
             return st, step
 

@@ -537,6 +537,42 @@ _bin_sort = functools.partial(
     jax.jit, static_argnames=("box", "key_variant"))(_bin_sort_core)
 
 
+def _derive_bin_box(cfg, scene):
+    """Ray-binning AABB: on (auto) whenever the scene carries a
+    block-schedule accel structure whose mask needs coherent blocks (see
+    _bin_sort); None when binning is off or inapplicable.  Shared by the
+    single-chip and sharded drivers (parallel/persistent_shard.py)."""
+    if cfg.ray_binning == "off":
+        return None
+    from .accel import GridScene
+    from .tri_accel import TriGridScene
+    g = scene if isinstance(scene, TriGridScene) else getattr(
+        scene, "triangles", None)
+    if isinstance(g, TriGridScene):
+        sb_ = np.asarray(g.scene_box, np.float64)
+        lo3 = sb_[0::2]
+        ext = np.maximum(sb_[1::2] - sb_[0::2], 1e-6)
+    elif isinstance(scene, GridScene) and cfg.ray_binning == "on":
+        # Sphere grid: (x, z) tiling + y slab (accel.py).  Explicit
+        # opt-in only: "auto" keeps the sphere grid's lane order (and
+        # its RNG-stream-exact parity with the brute sweep); the
+        # binned sphere grid is the A/B experiment, not the default.
+        tb = np.asarray(scene.tile_boxes, np.float64)
+        ys = np.asarray(scene.y_slab, np.float64)
+        lo3 = np.array([tb[:, 0].min(), ys[0], tb[:, 2].min()])
+        hi3 = np.array([tb[:, 1].max(), ys[1], tb[:, 3].max()])
+        ext = np.maximum(hi3 - lo3, 1e-6)
+    elif cfg.ray_binning == "on":
+        raise ValueError(
+            "ray_binning='on' needs a grid-accelerated scene "
+            f"(got {type(scene).__name__})")
+    else:
+        return None
+    return (float(lo3[0]), float(lo3[1]), float(lo3[2]),
+            float(1.0 / ext[0]), float(1.0 / ext[1]),
+            float(1.0 / ext[2]))
+
+
 @jax.jit
 def _split(st: PathState) -> PathState:
     """Sample splitting: hand half of every lane's *unstarted* samples to a
@@ -616,38 +652,7 @@ def render_image_persistent(
             from .kernels.hit_pallas_v7 import hit_coeffs
             hit_coeffs_v7 = hit_coeffs(scene)
 
-    # Ray binning: on (auto) whenever the scene carries a block-schedule
-    # accel structure whose mask needs coherent blocks (see _bin_sort).
-    bin_box = None
-    if cfg.ray_binning != "off":
-        from .accel import GridScene
-        from .tri_accel import TriGridScene
-        g = scene if isinstance(scene, TriGridScene) else getattr(
-            scene, "triangles", None)
-        if isinstance(g, TriGridScene):
-            sb_ = np.asarray(g.scene_box, np.float64)
-            lo3 = sb_[0::2]
-            ext = np.maximum(sb_[1::2] - sb_[0::2], 1e-6)
-        elif isinstance(scene, GridScene) and cfg.ray_binning == "on":
-            # Sphere grid: (x, z) tiling + y slab (accel.py).  Explicit
-            # opt-in only: "auto" keeps the sphere grid's lane order (and
-            # its RNG-stream-exact parity with the brute sweep); the
-            # binned sphere grid is the A/B experiment, not the default.
-            tb = np.asarray(scene.tile_boxes, np.float64)
-            ys = np.asarray(scene.y_slab, np.float64)
-            lo3 = np.array([tb[:, 0].min(), ys[0], tb[:, 2].min()])
-            hi3 = np.array([tb[:, 1].max(), ys[1], tb[:, 3].max()])
-            ext = np.maximum(hi3 - lo3, 1e-6)
-        elif cfg.ray_binning == "on":
-            raise ValueError(
-                "ray_binning='on' needs a grid-accelerated scene "
-                f"(got {type(scene).__name__})")
-        else:
-            lo3 = None
-        if lo3 is not None:
-            bin_box = (float(lo3[0]), float(lo3[1]), float(lo3[2]),
-                       float(1.0 / ext[0]), float(1.0 / ext[1]),
-                       float(1.0 / ext[2]))
+    bin_box = _derive_bin_box(cfg, scene)
     w, h, spp = cfg.width, cfg.height, cfg.samples
     h_virt = h * n_frames  # multi-frame: frames stack as a taller image
     if n_frames > 1:

@@ -110,15 +110,47 @@ _GRID_CACHE: dict = {}
 _GRID_CACHE_MAX = 8
 
 
+def _median_split_order(cen: np.ndarray, st: int) -> np.ndarray:
+    """BVH-style tile partition: recursively split the triangle set
+    along the widest centroid axis, rounding the cut to a multiple of
+    ``st`` so every leaf except possibly the last is a full tile.
+    Contiguous st-chunks of the returned order are the leaves — tighter
+    tile AABBs than Morton-order cuts (which slice a space-filling
+    curve, leaving stragglers at curve folds)."""
+    n = len(cen)
+    out = np.empty(n, np.int64)
+    pos = 0
+    stack = [np.arange(n, dtype=np.int64)]
+    while stack:
+        idx = stack.pop()
+        if len(idx) <= st:
+            out[pos:pos + len(idx)] = idx
+            pos += len(idx)
+            continue
+        c = cen[idx]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        ordax = idx[np.argsort(c[:, ax], kind="stable")]
+        n_tiles = -(-len(idx) // st)
+        cut = (n_tiles // 2) * st
+        # LIFO: push right first so the left half lands first in `out`.
+        stack.append(ordax[cut:])
+        stack.append(ordax[:cut])
+    return out
+
+
 def build_tri_grid(
     scene: TriangleScene,
     tile_rows: int = 64,
     min_tris: int = 512,
+    partition: str = "morton",
 ) -> Optional[TriGridScene]:
     """Build a :class:`TriGridScene`, or None when the mesh is too small
     to benefit (the brute MXU sweep wins below ~min_tris).  Memoized on
-    the scene object's identity (see _GRID_CACHE)."""
-    key = (id(scene), tile_rows, min_tris)
+    the scene object's identity (see _GRID_CACHE).  ``partition``:
+    "morton" (centroid space-filling-curve cuts) or "median" (recursive
+    widest-axis median splits — tighter tile AABBs; see
+    _median_split_order)."""
+    key = (id(scene), tile_rows, min_tris, partition)
     cached = _GRID_CACHE.get(key)
     if cached is not None and cached.base is scene:
         return cached
@@ -130,14 +162,22 @@ def build_tri_grid(
     e1 = np.asarray(scene.e1)[sel]
     e2 = np.asarray(scene.e2)[sel]
 
-    # Triangle AABBs + centroid Morton order.
+    # Triangle AABBs + centroid tile order.
     vs = np.stack([v0, v0 + e1, v0 + e2])                 # [3, F, 3]
     lo, hi = vs.min(axis=0), vs.max(axis=0)               # [F, 3]
     cen = 0.5 * (lo + hi)
-    cmin, cmax = cen.min(axis=0), cen.max(axis=0)
-    ext = np.maximum(cmax - cmin, 1e-9)
-    q = np.clip(((cen - cmin) / ext * 1023.0), 0, 1023).astype(np.uint32)
-    order = np.argsort(_morton3(q[:, 0], q[:, 1], q[:, 2]), kind="stable")
+    if partition == "median":
+        order = _median_split_order(cen, tile_rows)
+    elif partition == "morton":
+        cmin, cmax = cen.min(axis=0), cen.max(axis=0)
+        ext = np.maximum(cmax - cmin, 1e-9)
+        q = np.clip(((cen - cmin) / ext * 1023.0), 0,
+                    1023).astype(np.uint32)
+        order = np.argsort(_morton3(q[:, 0], q[:, 1], q[:, 2]),
+                           kind="stable")
+    else:
+        raise ValueError(f"unknown partition {partition!r} "
+                         "(use morton|median)")
 
     st = tile_rows
     n_t = -(-len(sel) // st)
@@ -381,3 +421,41 @@ def hit_triangles_grid_jnp(
         best_g = best_g * (1.0 - flag) + delta
         best_t = jnp.where(better, tile_t, best_t)
     return best_t[:, :n], best_g[:, :n]
+
+
+def hit_triangles_grid_rows_jnp(
+    grid: TriGridScene,
+    origin: jnp.ndarray,      # [3, N] rows
+    direction: jnp.ndarray,   # [3, N]
+    time: jnp.ndarray,        # [1, N] (unused; meshes static)
+    min_t: float = MIN_HIT_T,
+    ray_block: int = 512,
+    t_cap: Optional[jnp.ndarray] = None,
+):
+    """Rows-record wrapper over the pure-jnp grid sweep: the CPU drop-in
+    for kernels/tri_grid_rows.hit_triangles_grid_rows (identical
+    HitRecordRows contract; the mask computes then discards without a
+    Mosaic schedule, so this path verifies the grid + ray-binning
+    drivers on jnp hosts rather than speeding them up)."""
+    from .ops.rows import HitRecordRows
+    t_out, g = hit_triangles_grid_jnp(
+        grid, origin, direction, time, min_t=min_t,
+        ray_block=ray_block, t_cap=t_cap)
+    o, d = origin, direction
+    hit = t_out < F32_MAX
+    t_safe = jnp.where(hit, t_out, 0.0)
+    point = o + t_safe * d
+    e1 = g[_T_E1X:_T_E1X + 3]
+    e2 = g[_T_E2X:_T_E2X + 3]
+    gx = e1[1:2] * e2[2:3] - e1[2:3] * e2[1:2]
+    gy = e1[2:3] * e2[0:1] - e1[0:1] * e2[2:3]
+    gz = e1[0:1] * e2[1:2] - e1[1:2] * e2[0:1]
+    norm = jnp.sqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
+    normal = jnp.concatenate([gx, gy, gz], axis=0) / norm
+    return HitRecordRows(
+        hit=hit, t=t_out, point=point, normal=normal,
+        idx=g[_T_IDX:_T_IDX + 1].astype(jnp.int32),
+        mat_id=g[_T_MAT:_T_MAT + 1].astype(jnp.int32),
+        albedo=g[_T_ALR:_T_ALB + 1],
+        fuzz=g[_T_FUZZ:_T_FUZZ + 1], ior=g[_T_IOR:_T_IOR + 1],
+    )
