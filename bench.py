@@ -33,10 +33,48 @@ BASELINE_MRAYS = 2.50
 WIDTH, HEIGHT, SPP = 1200, 800, 100
 
 
+def _require_axon_relay(window_s: float = 120.0) -> None:
+    """Fail fast when the axon loopback relay is configured but absent.
+
+    Without this, the first device op retries inside the C++ client for
+    ~50 min per compile (docs/axon_runtime_notes.md #20a) — a dead relay
+    turns the benchmark into a multi-hour hang.  Only applies to the
+    axon platform; direct-TPU environments skip the check."""
+    import socket
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+
+    def up():
+        for p in range(8080, 8221):
+            s = socket.socket()
+            s.settimeout(0.4)
+            try:
+                s.connect(("127.0.0.1", p))
+                return True
+            except OSError:
+                pass
+            finally:
+                s.close()
+        return False
+
+    deadline = time.monotonic() + window_s
+    while time.monotonic() < deadline:
+        if up():
+            return
+        time.sleep(5.0)
+    print("bench.py: axon relay listener absent (ports 8080-8220) after "
+          f"{window_s:.0f}s; aborting instead of hanging in the C++ "
+          "retry loop", file=sys.stderr)
+    sys.exit(1)
+
+
 def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
+
+    _require_axon_relay()
 
     # Flip to sync (honest-timing) mode first; this one fetch is the slow
     # one-per-process channel setup and must not pollute the measurement.
