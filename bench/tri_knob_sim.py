@@ -314,6 +314,175 @@ def partition_sweep(scene, snaps, rb=512):
         print(f"{c[0]:>7s}/{c[1]:<3d}: {v / base:5.2f}x")
 
 
+def capped_key_sweep(scene, snaps, st_rows=32, rb=512):
+    """Predict the two-phase hit restructure: sphere pass FIRST, then
+    sort the triangle working set by an occlusion-CAPPED chord key
+    (no-touch lanes packed last, where their blocks schedule ~zero
+    tiles).  Compares the production key (uncapped, sorted before the
+    sphere pass) against capped variants at the same combo."""
+    from win32_raytracer_tpu.ops.hit import hit_spheres
+    grid = build_tri_grid(scene.triangles, tile_rows=st_rows)
+    sb = np.asarray(grid.scene_box, np.float64)
+    lo3 = sb[0::2].astype(np.float32)
+    inv_ext = (1.0 / np.maximum(sb[1::2] - sb[0::2], 1e-6)).astype(
+        np.float32)
+    totals = {}
+    for depth, o, d, tm, alive in snaps:
+        sel = np.flatnonzero(alive)
+        if len(sel) < rb:
+            continue
+        o_a, d_a, tm_a = o[:, sel], d[:, sel], tm[:, sel]
+        rec_s = hit_spheres(scene.spheres, jnp.asarray(o_a.T),
+                            jnp.asarray(d_a.T), jnp.asarray(tm_a[0]))
+        t_sph = np.asarray(rec_s.t)
+        t_tri, _ = hit_triangles_grid_jnp(
+            grid, jnp.asarray(o_a), jnp.asarray(d_a), jnp.asarray(tm_a),
+            t_cap=jnp.asarray(t_sph[None]))
+        best_a = np.minimum(np.asarray(t_tri)[0], t_sph)
+        # box slab: entry/exit of the UNCAPPED segment
+        eps = 1e-12
+        lo_t = np.full(o_a.shape[1], 0.001, np.float32)
+        hi_t = np.full(o_a.shape[1], 1e8, np.float32)
+        for ax in range(3):
+            dn = np.where(np.abs(d_a[ax]) < eps,
+                          np.where(d_a[ax] < 0, -eps, eps), d_a[ax])
+            ta = ((sb[2 * ax] - o_a[ax]) / dn).astype(np.float32)
+            tb = ((sb[2 * ax + 1] - o_a[ax]) / dn).astype(np.float32)
+            lo_t = np.maximum(lo_t, np.minimum(ta, tb))
+            hi_t = np.minimum(hi_t, np.maximum(ta, tb))
+        hi_t = np.maximum(hi_t, 0.0)
+        # the sphere pass's t caps the segment (the real restructure
+        # would use rec_sphere.t; the sim uses t_sph likewise)
+        hi_c = np.minimum(hi_t, t_sph.astype(np.float32))
+        no_touch = (hi_c < lo_t)
+        print(f"\n## capped-key sweep, depth {depth} "
+              f"({len(sel)} lanes, {no_touch.mean()*100:.0f}% no-touch, "
+              f"St={st_rows} RB={rb})")
+        base = None
+        arms = ["production", "capped", "capped+entry"]
+        for vname in arms:
+            if vname == "production":
+                keys = _sort_keys(o_a, d_a, lo3, inv_ext, hi_t,
+                                  "pos4+exit4+oct").astype(np.int64)
+            else:
+                # entry point = o + lo_t*d (clamped into the box), exit
+                # from the CAPPED segment end; no-touch lanes last.
+                ent = np.stack([o_a[ax] + lo_t * d_a[ax]
+                                for ax in range(3)])
+                ex = np.stack([o_a[ax] + hi_c * d_a[ax]
+                               for ax in range(3)])
+                def mcells(p, bits):
+                    n_c = 1 << bits
+                    c = np.clip(((p - lo3[:, None]) * inv_ext[:, None]
+                                 * n_c).astype(np.int64), 0, n_c - 1)
+                    out = np.zeros(p.shape[1], np.int64)
+                    for b in range(bits):
+                        for ax in range(3):
+                            out |= ((c[ax] >> b) & 1) << (3 * b + ax)
+                    return out
+                octant = ((d_a[0] < 0).astype(np.int64)
+                          | ((d_a[1] < 0).astype(np.int64) << 1)
+                          | ((d_a[2] < 0).astype(np.int64) << 2))
+                if vname == "capped":
+                    keys = ((mcells(o_a, 2) << 9)
+                            | (mcells(ex, 2) << 3) | octant)
+                else:  # capped+entry: key on the box ENTRY cell instead
+                    keys = ((mcells(ent, 2) << 9)
+                            | (mcells(ex, 2) << 3) | octant)
+                keys = np.where(no_touch, np.int64(1 << 40), keys)
+            order = np.argsort(keys, kind="stable")
+            _, vis, nb = eval_combo(
+                grid, o_a[:, order], d_a[:, order], tm_a[:, order],
+                best_a[order], rb)
+            pw = vis * st_rows * rb / 1e6
+            cost = pw + vis * rb * MERGE_COST / 14.0 / 1e6
+            if base is None:
+                base = cost
+            totals[vname] = totals.get(vname, 0.0) + cost * len(sel)
+            print(f"{vname:>14s}: visit {vis:6d} tiles/blk "
+                  f"{vis / nb:6.1f} pairs {pw:7.1f}M "
+                  f"({cost / base:5.2f}x)", flush=True)
+    print("\n## capped-key lane-weighted totals")
+    base = max(totals.values())
+    for v, c in sorted(totals.items(), key=lambda kv: kv[1]):
+        print(f"{v:>14s}: {c / base:5.2f}x")
+
+
+def ideal_sweep(scene, snaps, st_rows=32, rb=512):
+    """Size the per-tile ray RE-BINNING prize: exact per-ray tile-touch
+    pair work (every ray pays only tiles its own clipped segment
+    reaches) vs the shipped per-block union schedule.  The gap is the
+    theoretical ceiling of re-binning rays to tiles (gather/pack costs
+    not modeled)."""
+    from win32_raytracer_tpu.ops.hit import hit_spheres
+    grid = build_tri_grid(scene.triangles, tile_rows=st_rows)
+    boxes = np.asarray(grid.tile_boxes, np.float64)       # [T, 6]
+    sb = np.asarray(grid.scene_box, np.float64)
+    lo3 = sb[0::2].astype(np.float32)
+    inv_ext = (1.0 / np.maximum(sb[1::2] - sb[0::2], 1e-6)).astype(
+        np.float32)
+    tot_block, tot_ideal = 0.0, 0.0
+    for depth, o, d, tm, alive in snaps:
+        sel = np.flatnonzero(alive)
+        if len(sel) < rb:
+            continue
+        o_a, d_a, tm_a = o[:, sel], d[:, sel], tm[:, sel]
+        rec_s = hit_spheres(scene.spheres, jnp.asarray(o_a.T),
+                            jnp.asarray(d_a.T), jnp.asarray(tm_a[0]))
+        t_sph = np.asarray(rec_s.t)
+        t_tri, _ = hit_triangles_grid_jnp(
+            grid, jnp.asarray(o_a), jnp.asarray(d_a), jnp.asarray(tm_a),
+            t_cap=jnp.asarray(t_sph[None]))
+        best_a = np.minimum(np.asarray(t_tri)[0], t_sph)
+        # production lane order for the block arm
+        eps = 1e-12
+        hi_t = np.full(o_a.shape[1], 1e8, np.float32)
+        for ax in range(3):
+            dn = np.where(np.abs(d_a[ax]) < eps,
+                          np.where(d_a[ax] < 0, -eps, eps), d_a[ax])
+            ta = (sb[2 * ax] - o_a[ax]) / dn
+            tb = (sb[2 * ax + 1] - o_a[ax]) / dn
+            hi_t = np.minimum(hi_t, np.maximum(ta, tb).astype(np.float32))
+        hi_t = np.maximum(hi_t, 0.0)
+        keys = _sort_keys(o_a, d_a, lo3, inv_ext, hi_t, "pos4+exit4+oct")
+        order = np.argsort(keys, kind="stable")
+        _, vis, nb = eval_combo(
+            grid, o_a[:, order], d_a[:, order], tm_a[:, order],
+            best_a[order], rb)
+        block_pairs = vis * st_rows * rb
+
+        # Exact per-ray tile touches: slab test each ray segment
+        # [0.001, min(best, scene exit)] against every tile AABB.
+        n = o_a.shape[1]
+        cap = np.minimum(best_a, hi_t.astype(np.float64))
+        touched = 0
+        for c0 in range(0, n, 32768):
+            c1 = min(n, c0 + 32768)
+            oc = o_a[:, c0:c1].astype(np.float64)          # [3, C]
+            dc = d_a[:, c0:c1].astype(np.float64)
+            dn = np.where(np.abs(dc) < eps,
+                          np.where(dc < 0, -eps, eps), dc)
+            lo_seg = np.full(c1 - c0, 0.001)
+            hi_seg = cap[c0:c1]
+            t_lo = np.full((len(boxes), c1 - c0), 0.001)
+            t_hi = np.tile(hi_seg, (len(boxes), 1))
+            for ax in range(3):
+                ta = (boxes[:, 2 * ax, None] - oc[ax]) / dn[ax]
+                tb = (boxes[:, 2 * ax + 1, None] - oc[ax]) / dn[ax]
+                t_lo = np.maximum(t_lo, np.minimum(ta, tb))
+                t_hi = np.minimum(t_hi, np.maximum(ta, tb))
+            touched += int((t_lo <= t_hi).sum())
+        ideal_pairs = touched * st_rows
+        tot_block += block_pairs * 1.0
+        tot_ideal += ideal_pairs * 1.0
+        print(f"depth {depth}: block {block_pairs/1e6:8.1f}M pairs, "
+              f"per-ray ideal {ideal_pairs/1e6:8.1f}M "
+              f"({block_pairs/max(ideal_pairs,1):.2f}x headroom; "
+              f"{touched/n:.1f} tiles/ray)", flush=True)
+    print(f"\n## re-binning ceiling: block/ideal = "
+          f"{tot_block/max(tot_ideal,1):.2f}x at St={st_rows} RB={rb}")
+
+
 def main():
     t0 = time.perf_counter()
     scene, snaps = collect_snapshots_cached()
@@ -326,6 +495,12 @@ def main():
         return
     if "--partition" in sys.argv:
         partition_sweep(scene, snaps)
+        return
+    if "--ideal" in sys.argv:
+        ideal_sweep(scene, snaps)
+        return
+    if "--capped" in sys.argv:
+        capped_key_sweep(scene, snaps)
         return
 
     grids = {}
