@@ -128,3 +128,19 @@ def test_sharded_binned_grid_render():
     assert lin_s.shape == (16, 32, 3)
     d = np.abs(np.sqrt(np.clip(lin_s, 0, 1)) - np.sqrt(np.clip(lin_1, 0, 1)))
     assert d.mean() < 0.04, d.mean()
+
+
+def test_sharded_tri_rebin_matches_off_exactly():
+    """tri_rebin='on' over the mesh: the working-set sort lives inside
+    the per-shard hit fn and never permutes state lanes, so the sharded
+    render is bitwise the rebin-off sharded render."""
+    from win32_raytracer_tpu.scene.builders import mesh_scene
+
+    scene = mesh_scene(subdivisions=3)
+    cfg = RenderConfig(width=32, height=16, samples=8, seed=5,
+                       backend="jnp", accel="grid", ray_binning="off")
+    base = np.asarray(render_image_persistent_sharded(
+        scene, None, cfg, make_mesh(4)))
+    reb = np.asarray(render_image_persistent_sharded(
+        scene, None, cfg.replace(tri_rebin="on"), make_mesh(4)))
+    np.testing.assert_array_equal(reb, base)

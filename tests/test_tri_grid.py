@@ -322,3 +322,60 @@ def test_median_partition_exact_and_tighter():
                             - np.asarray(g_s.tile_boxes)[:, 0::2], axis=1)
     assert diag_s.mean() <= diag_m.mean() * 1.02, (
         diag_s.mean(), diag_m.mean())
+
+
+def test_sorted_tri_pass_matches_direct():
+    """The two-phase working-set sort (kernels/tri_rebin.py) returns the
+    SAME records as the direct call in the original lane order: the jnp
+    sweep's winner is lane-order-independent (tile visit order is fixed
+    and the mask is conservative), and the inverse-permutation sort
+    restores lane positions exactly."""
+    from win32_raytracer_tpu.kernels.tri_rebin import sorted_tri_pass
+    from win32_raytracer_tpu.tri_accel import hit_triangles_grid_rows_jnp
+
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    o, d, tm = _rays(640, seed=7)
+    rng = np.random.default_rng(3)
+    # t_cap mix: some tight (occluded), some +inf
+    cap = np.where(rng.random(640) < 0.5, rng.uniform(0.1, 3.0, 640),
+                   3.4e38).astype(np.float32)[None]
+
+    def tri_fn(g, o2, d2, t2, min_t=0.001, t_cap=None):
+        return hit_triangles_grid_rows_jnp(g, o2, d2, t2, min_t=min_t,
+                                           t_cap=t_cap, ray_block=256)
+
+    direct = tri_fn(grid, o, d, tm, t_cap=jnp.asarray(cap))
+    sorted_ = sorted_tri_pass(tri_fn, grid, o, d, tm, jnp.asarray(cap))
+    # t_cap only TIGHTENS the mask; hits beyond the cap are legal output
+    # (combine_hits_rows discards them: strict b.t < a.t with a.t=cap),
+    # and the no-touch packing legitimately turns them into misses.
+    # Parity contract is therefore the EFFECTIVE record: identical
+    # wherever the hit survives the cap; otherwise both arms must be
+    # post-combine dead (miss, or t >= cap).
+    dt, st_ = np.asarray(direct.t[0]), np.asarray(sorted_.t[0])
+    live_d = np.asarray(direct.hit[0]) & (dt < cap[0])
+    live_s = np.asarray(sorted_.hit[0]) & (st_ < cap[0])
+    np.testing.assert_array_equal(live_d, live_s)
+    assert live_d.any()  # the comparison is not vacuous
+    for f, a, b in zip(direct._fields, direct, sorted_):
+        np.testing.assert_array_equal(np.asarray(a)[:, live_d],
+                                      np.asarray(b)[:, live_d],
+                                      err_msg=f)
+
+
+def test_tri_rebin_render_matches_off_exactly():
+    """tri_rebin='on' never permutes the path state, so the render is
+    exactly the rebin-off image (unlike driver-level binning, which
+    permutes lanes and only matches statistically)."""
+    from win32_raytracer_tpu.persistent import render_image_persistent
+    from win32_raytracer_tpu.config import RenderConfig
+    from win32_raytracer_tpu.scene.builders import mesh_scene
+
+    scene = mesh_scene(subdivisions=3)
+    cfg = RenderConfig(width=32, height=16, samples=8, seed=5,
+                       backend="jnp", accel="grid", ray_binning="off")
+    base = np.asarray(render_image_persistent(scene, None, cfg))
+    reb = np.asarray(render_image_persistent(
+        scene, None, cfg.replace(tri_rebin="on")))
+    np.testing.assert_array_equal(reb, base)

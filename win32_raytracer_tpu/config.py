@@ -134,6 +134,16 @@ class RenderConfig:
     # tile AABBs — tri_accel._median_split_order).  "auto" = morton
     # until the chip A/B decides.
     tri_partition: str = "auto"  # "auto" | "morton" | "median"
+    # Two-phase triangle pass (kernels/tri_rebin.py): sphere pass first,
+    # then the triangle working set is lax.sorted by an occlusion-CAPPED
+    # chord key (no-touch lanes packed last) before the grid kernel and
+    # unsorted after — per-block tile unions tighten by the occlusion
+    # the driver-level bin sort can never see (offline ceiling: 92x less
+    # pair work, bench/tri_knob_sim.py --ideal).  Replaces driver-level
+    # ray binning when on; state lanes are never permuted, so results
+    # match rebin-off exactly (cross-tile tie rule aside).  "auto" = off
+    # until the chip A/B decides.
+    tri_rebin: str = "auto"  # "auto" | "on" | "off"
     # Wavefront chunk size (lanes in flight per jit call).  4M lanes =
     # ~280 MB of state: one-chunk renders up to ~1200x800 with 4
     # lanes/pixel, the measured sweet spot on a v5e chip (bigger chunks

@@ -10,6 +10,8 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from ..config import RenderConfig
 from ..ops.hit import hit_spheres as hit_spheres_jnp
@@ -69,14 +71,16 @@ def _pallas_v4_rb2048(scene, o, d, t, min_t=0.001):
 
 
 @functools.lru_cache(maxsize=16)
-def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True):
+def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True, rebin=False):
     """Rows hit fn for scenes whose triangle side carries a TriGridScene.
 
     For composites the (cheap) sphere pass runs first and its nearest t
     CAPS the triangle block mask — a sphere hit occludes every farther
     tile.  ``ray_block`` 0 = the kernel default; ``early_exit`` = the
-    front-to-back in-kernel stop (cfg.tri_early_exit).  Cached: hit fns
-    are static jit args downstream."""
+    front-to-back in-kernel stop (cfg.tri_early_exit); ``rebin`` = the
+    two-phase occlusion-capped working-set sort (cfg.tri_rebin,
+    kernels/tri_rebin.py).  Cached: hit fns are static jit args
+    downstream."""
     from ..ops.rows import combine_hits_rows
     from .tri_grid_rows import (
         DEFAULT_TRI_GRID_RAY_BLOCK, hit_triangles_grid_rows,
@@ -84,28 +88,36 @@ def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True):
 
     rb = ray_block or DEFAULT_TRI_GRID_RAY_BLOCK
 
+    def tri_pass(grid, o, d, t, min_t, t_cap):
+        if rebin:
+            from .tri_rebin import sorted_tri_pass
+            if t_cap is None:
+                t_cap = jnp.full_like(o[:1], np.float32(3.4e38))
+            return sorted_tri_pass(
+                lambda g, o2, d2, t2, min_t=0.001, t_cap=None:
+                    hit_triangles_grid_rows(g, o2, d2, t2, min_t=min_t,
+                                            t_cap=t_cap, ray_block=rb,
+                                            early_exit=early_exit),
+                grid, o, d, t, t_cap, min_t=min_t)
+        return hit_triangles_grid_rows(grid, o, d, t, min_t=min_t,
+                                       t_cap=t_cap, ray_block=rb,
+                                       early_exit=early_exit)
+
     def composite(sc, o, d, t, min_t=0.001):
         from ..tri_accel import TriGridScene
         if isinstance(sc, TriGridScene):
-            return hit_triangles_grid_rows(sc, o, d, t, min_t=min_t,
-                                           ray_block=rb,
-                                           early_exit=early_exit)
+            return tri_pass(sc, o, d, t, min_t, None)
         if sc.spheres is None:
-            return hit_triangles_grid_rows(sc.triangles, o, d, t,
-                                           min_t=min_t, ray_block=rb,
-                                           early_exit=early_exit)
+            return tri_pass(sc.triangles, o, d, t, min_t, None)
         rec = sphere_fn(sc.spheres, o, d, t, min_t=min_t)
-        rec_t = hit_triangles_grid_rows(sc.triangles, o, d, t,
-                                        min_t=min_t, t_cap=rec.t,
-                                        ray_block=rb,
-                                        early_exit=early_exit)
+        rec_t = tri_pass(sc.triangles, o, d, t, min_t, rec.t)
         return combine_hits_rows(rec, rec_t,
                                  idx_offset_b=sc.spheres.padded_size)
     return composite
 
 
 @functools.lru_cache(maxsize=16)
-def _tri_grid_fn_jnp(ray_block=0):
+def _tri_grid_fn_jnp(ray_block=0, rebin=False):
     """jnp twin of _tri_grid_fn: the pure-jnp grid sweep
     (tri_accel.hit_triangles_grid_rows_jnp) with the jnp column-oracle
     sphere pass capping the triangle mask.  Cached: static jit args."""
@@ -116,17 +128,27 @@ def _tri_grid_fn_jnp(ray_block=0):
     rb = ray_block or 512
     sphere_fn = hit_rows_adapter(hit_spheres)
 
+    def tri_pass(grid, o, d, t, min_t, t_cap):
+        if rebin:
+            from .tri_rebin import sorted_tri_pass
+            if t_cap is None:
+                t_cap = jnp.full_like(o[:1], np.float32(3.4e38))
+            return sorted_tri_pass(
+                lambda g, o2, d2, t2, min_t=0.001, t_cap=None:
+                    hit_triangles_grid_rows_jnp(g, o2, d2, t2,
+                                                min_t=min_t, t_cap=t_cap,
+                                                ray_block=rb),
+                grid, o, d, t, t_cap, min_t=min_t)
+        return hit_triangles_grid_rows_jnp(grid, o, d, t, min_t=min_t,
+                                           t_cap=t_cap, ray_block=rb)
+
     def composite(sc, o, d, t, min_t=0.001):
         if isinstance(sc, TriGridScene):
-            return hit_triangles_grid_rows_jnp(sc, o, d, t, min_t=min_t,
-                                               ray_block=rb)
+            return tri_pass(sc, o, d, t, min_t, None)
         if sc.spheres is None:
-            return hit_triangles_grid_rows_jnp(sc.triangles, o, d, t,
-                                               min_t=min_t, ray_block=rb)
+            return tri_pass(sc.triangles, o, d, t, min_t, None)
         rec = sphere_fn(sc.spheres, o, d, t, min_t=min_t)
-        rec_t = hit_triangles_grid_rows_jnp(sc.triangles, o, d, t,
-                                            min_t=min_t, t_cap=rec.t,
-                                            ray_block=rb)
+        rec_t = tri_pass(sc.triangles, o, d, t, min_t, rec.t)
         return combine_hits_rows(rec, rec_t,
                                  idx_offset_b=sc.spheres.padded_size)
     return composite
@@ -191,13 +213,15 @@ def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
                                      else _pallas_v4_rb2048)
                     return new_scene, _tri_grid_fn(
                         sphere_fn, cfg.tri_ray_block,
-                        early_exit=cfg.tri_early_exit in ("auto", "on"))
+                        early_exit=cfg.tri_early_exit in ("auto", "on"),
+                        rebin=cfg.tri_rebin == "on")
                 # jnp backend, explicit accel="grid": the pure-jnp grid
                 # sweep (tri_accel.hit_triangles_grid_rows_jnp).  No mask
                 # savings without Mosaic — this is the CI/verification
                 # path for the grid + ray-binning drivers on jnp hosts
                 # ("auto" keeps the cheaper brute sweep there).
-                return new_scene, _tri_grid_fn_jnp(cfg.tri_ray_block)
+                return new_scene, _tri_grid_fn_jnp(
+                    cfg.tri_ray_block, rebin=cfg.tri_rebin == "on")
 
     if cfg.accel == "grid":
         raise ValueError(

@@ -548,6 +548,11 @@ def _derive_bin_box(cfg, scene):
     from .tri_accel import TriGridScene
     g = scene if isinstance(scene, TriGridScene) else getattr(
         scene, "triangles", None)
+    if isinstance(g, TriGridScene) and cfg.tri_rebin == "on":
+        # The two-phase hit fn sorts its own working set with occlusion
+        # knowledge (kernels/tri_rebin.py); driver-level state binning
+        # would just pay a redundant 19-row sort on top.
+        return None
     if isinstance(g, TriGridScene):
         sb_ = np.asarray(g.scene_box, np.float64)
         lo3 = sb_[0::2]
