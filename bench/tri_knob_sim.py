@@ -500,7 +500,8 @@ def main():
         ideal_sweep(scene, snaps)
         return
     if "--capped" in sys.argv:
-        capped_key_sweep(scene, snaps)
+        capped_key_sweep(scene, snaps,
+                         rb=int(os.environ.get("TKS_RB", 512)))
         return
 
     grids = {}

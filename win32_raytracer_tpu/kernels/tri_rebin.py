@@ -84,11 +84,18 @@ def capped_chord_keys(scene_box, o, d, t_cap, min_t=0.001):
                 | (spread3(cs[2]) << 2))
 
     hi_c = jnp.maximum(hi_t, 0.0)
+    lo_c = jnp.maximum(lo_t, 0.0)
+    # Box-ENTRY point, not raw origin: lanes starting far outside the
+    # grid box land in the cell where their chord actually begins
+    # (sim: capped+entry 0.76x vs capped-origin 0.78x lane-weighted,
+    # bench/tri_knob_sim.py --capped).
+    entry_p = [o[ax] + lo_c * d[ax] for ax in range(3)]
     exit_p = [o[ax] + hi_c * d[ax] for ax in range(3)]
     octant = ((d[0] < 0).astype(jnp.int32)
               | ((d[1] < 0).astype(jnp.int32) << 1)
               | ((d[2] < 0).astype(jnp.int32) << 2))
-    key = (morton(cells4(o)) << 9) | (morton(cells4(exit_p)) << 3) | octant
+    key = ((morton(cells4(entry_p)) << 9) | (morton(cells4(exit_p)) << 3)
+           | octant)
     return jnp.where(no_touch, _NO_TOUCH, key)
 
 
