@@ -156,6 +156,37 @@ def collect_snapshots_cached():
     return scene2, snaps
 
 
+_ORACLE_CACHE: dict = {}
+
+
+def oracle_ts(scene, depth, o_a, d_a, tm_a):
+    """(t_sph, best_a) for one snapshot's alive lanes — the slow jnp
+    sphere + grid sweeps, disk-cached per (resolution, depth) since
+    every sweep mode needs the same occlusion oracle."""
+    key = (W, H, depth)
+    if key in _ORACLE_CACHE:
+        return _ORACLE_CACHE[key]
+    path = f"/tmp/tks_oracle_{W}x{H}_d{depth}.npz"
+    if os.path.exists(path):
+        with np.load(path) as z:
+            out = (z["t_sph"], z["best_a"])
+        _ORACLE_CACHE[key] = out
+        return out
+    from win32_raytracer_tpu.ops.hit import hit_spheres
+    grid = build_tri_grid(scene.triangles, tile_rows=64)
+    rec_s = hit_spheres(scene.spheres, jnp.asarray(o_a.T),
+                        jnp.asarray(d_a.T), jnp.asarray(tm_a[0]))
+    t_sph = np.asarray(rec_s.t)
+    t_tri, _ = hit_triangles_grid_jnp(
+        grid, jnp.asarray(o_a), jnp.asarray(d_a), jnp.asarray(tm_a),
+        t_cap=jnp.asarray(t_sph[None]))
+    best_a = np.minimum(np.asarray(t_tri)[0], t_sph)
+    np.savez(path, t_sph=t_sph, best_a=best_a)
+    out = (t_sph, best_a)
+    _ORACLE_CACHE[key] = out
+    return out
+
+
 def _sort_keys(o, d, lo3, inv_ext, hi_t, variant):
     """Alternative lane-sort keys (numpy; evaluated offline before any
     change to persistent._bin_sort).  Returns [N] integer keys."""
@@ -332,13 +363,7 @@ def capped_key_sweep(scene, snaps, st_rows=32, rb=512):
         if len(sel) < rb:
             continue
         o_a, d_a, tm_a = o[:, sel], d[:, sel], tm[:, sel]
-        rec_s = hit_spheres(scene.spheres, jnp.asarray(o_a.T),
-                            jnp.asarray(d_a.T), jnp.asarray(tm_a[0]))
-        t_sph = np.asarray(rec_s.t)
-        t_tri, _ = hit_triangles_grid_jnp(
-            grid, jnp.asarray(o_a), jnp.asarray(d_a), jnp.asarray(tm_a),
-            t_cap=jnp.asarray(t_sph[None]))
-        best_a = np.minimum(np.asarray(t_tri)[0], t_sph)
+        t_sph, best_a = oracle_ts(scene, depth, o_a, d_a, tm_a)
         # box slab: entry/exit of the UNCAPPED segment
         eps = 1e-12
         lo_t = np.full(o_a.shape[1], 0.001, np.float32)
@@ -406,6 +431,143 @@ def capped_key_sweep(scene, snaps, st_rows=32, rb=512):
     base = max(totals.values())
     for v, c in sorted(totals.items(), key=lambda kv: kv[1]):
         print(f"{v:>14s}: {c / base:5.2f}x")
+
+
+def dda_expansion_sweep(scene, snaps, st_rows=32, rb=512, grid_n=4,
+                        k_max=8):
+    """Size the per-tile gather restructure: each lane EXPANDS into the
+    macro-cells (grid_n^3 over the scene box) its capped chord visits
+    (DDA, up to k_max), pairs sort by cell, and ray blocks are cut from
+    the pair list — every block then covers ~one cell, so its schedule
+    is that cell's static tile list instead of a degenerate union.
+    Models pair work + duplicate-merge cost; compares against the
+    capped-key block scheme at the same combo."""
+    from win32_raytracer_tpu.ops.hit import hit_spheres
+    grid = build_tri_grid(scene.triangles, tile_rows=st_rows)
+    boxes = np.asarray(grid.tile_boxes, np.float64)       # [T, 6]
+    sb = np.asarray(grid.scene_box, np.float64)
+    lo3 = sb[0::2]
+    ext = np.maximum(sb[1::2] - sb[0::2], 1e-9)
+    csz = ext / grid_n
+    # static cell -> tile-list: tile AABB vs cell AABB overlap
+    n_cells = grid_n ** 3
+    cell_tiles = np.zeros((n_cells, len(boxes)), bool)
+    for ci in range(n_cells):
+        cx, cy, cz = (ci % grid_n, (ci // grid_n) % grid_n,
+                      ci // (grid_n * grid_n))
+        clo = lo3 + np.array([cx, cy, cz]) * csz
+        chi = clo + csz
+        ov = np.ones(len(boxes), bool)
+        for ax in range(3):
+            ov &= (boxes[:, 2 * ax] <= chi[ax]) & (
+                boxes[:, 2 * ax + 1] >= clo[ax])
+        cell_tiles[ci] = ov
+    print(f"# macro {grid_n}^3: tiles/cell mean "
+          f"{cell_tiles.sum(1).mean():.1f} max {cell_tiles.sum(1).max()}",
+          flush=True)
+
+    tot_dda, tot_block, tot_pairs_per_lane = 0.0, 0.0, []
+    for depth, o, d, tm, alive in snaps:
+        sel = np.flatnonzero(alive)
+        if len(sel) < rb:
+            continue
+        o_a, d_a, tm_a = o[:, sel], d[:, sel], tm[:, sel]
+        t_sph, best_a = oracle_ts(scene, depth, o_a, d_a, tm_a)
+        n = o_a.shape[1]
+        eps = 1e-12
+        lo_t = np.full(n, 0.001)
+        hi_t = np.full(n, 1e8)
+        dn = np.where(np.abs(d_a) < eps,
+                      np.where(d_a < 0, -eps, eps), d_a).astype(np.float64)
+        for ax in range(3):
+            ta = (sb[2 * ax] - o_a[ax]) / dn[ax]
+            tb = (sb[2 * ax + 1] - o_a[ax]) / dn[ax]
+            lo_t = np.maximum(lo_t, np.minimum(ta, tb))
+            hi_t = np.minimum(hi_t, np.maximum(ta, tb))
+        hi_c = np.minimum(hi_t, t_sph)  # occlusion cap (sphere pass)
+        touch = hi_c >= lo_t
+
+        # DDA: fixed k_max steps from the entry point; cell per step.
+        cells_visited = np.full((k_max, n), -1, np.int64)
+        t_cur = np.where(touch, lo_t, np.inf)
+        for k in range(k_max):
+            live = t_cur <= hi_c
+            p = o_a.astype(np.float64) + t_cur * d_a.astype(np.float64)
+            ci = np.zeros(n, np.int64)
+            for ax in range(3):
+                c = np.clip(((p[ax] - lo3[ax]) / csz[ax]).astype(
+                    np.int64), 0, grid_n - 1)
+                ci += c * (grid_n ** ax)
+            cells_visited[k] = np.where(live, ci, -1)
+            # advance to the next cell boundary along the ray
+            t_next = np.full(n, np.inf)
+            for ax in range(3):
+                c = np.clip(((p[ax] - lo3[ax]) / csz[ax]).astype(
+                    np.int64), 0, grid_n - 1)
+                step_to = lo3[ax] + np.where(dn[ax] > 0, c + 1, c) * csz[ax]
+                t_ax = (step_to - o_a[ax]) / dn[ax]
+                t_next = np.minimum(t_next, np.where(
+                    t_ax > t_cur + 1e-9, t_ax, np.inf))
+            t_cur = t_next
+        # dedupe repeated cells per lane (clamping at box edges)
+        pair_cell, pair_lane = [], []
+        for k in range(k_max):
+            ci = cells_visited[k]
+            new = ci >= 0
+            for j in range(k):
+                new &= ci != cells_visited[j]
+            idx = np.flatnonzero(new)
+            pair_cell.append(ci[idx])
+            pair_lane.append(idx)
+        pc = np.concatenate(pair_cell)
+        pl = np.concatenate(pair_lane)
+        tot_pairs_per_lane.append(len(pc) / n)
+        order = np.argsort(pc, kind="stable")
+        pc = pc[order]
+        n_pairs = len(pc)
+        # blocks of rb pairs; block cost = union of distinct cells' tiles
+        dda_vis = 0
+        for b0 in range(0, n_pairs, rb):
+            cs = np.unique(pc[b0:b0 + rb])
+            dda_vis += int(cell_tiles[cs].any(axis=0).sum())
+        dda_pairs = dda_vis * st_rows * rb
+        dda_cost = (dda_pairs + dda_vis * rb * MERGE_COST / 14.0
+                    + n_pairs * MERGE_COST)  # + per-duplicate lane merge
+
+        # capped-key block arm at same combo (reuses eval_combo)
+        lo_c = np.maximum(lo_t, 0.0)
+        ent = np.stack([o_a[ax] + lo_c * d_a[ax] for ax in range(3)])
+        ex = np.stack([o_a[ax] + np.maximum(np.minimum(hi_c, 1e8), 0.0)
+                       * d_a[ax] for ax in range(3)])
+        inv_ext = (1.0 / ext).astype(np.float32)
+        def mcells(p, bits):
+            n_c = 1 << bits
+            c = np.clip(((p - lo3[:, None]) * inv_ext[:, None] * n_c
+                         ).astype(np.int64), 0, n_c - 1)
+            out = np.zeros(p.shape[1], np.int64)
+            for b in range(bits):
+                for ax in range(3):
+                    out |= ((c[ax] >> b) & 1) << (3 * b + ax)
+            return out
+        octant = ((d_a[0] < 0).astype(np.int64)
+                  | ((d_a[1] < 0).astype(np.int64) << 1)
+                  | ((d_a[2] < 0).astype(np.int64) << 2))
+        keys = (mcells(ent, 2) << 9) | (mcells(ex, 2) << 3) | octant
+        keys = np.where(touch, keys, np.int64(1 << 40))
+        order = np.argsort(keys, kind="stable")
+        _, vis, nb = eval_combo(
+            grid, o_a[:, order], d_a[:, order], tm_a[:, order],
+            best_a[order], rb)
+        blk_pairs = vis * st_rows * rb
+        blk_cost = blk_pairs + vis * rb * MERGE_COST / 14.0
+        tot_dda += dda_cost * n
+        tot_block += blk_cost * n
+        print(f"depth {depth}: capped-block {blk_cost/1e6:8.1f}M, "
+              f"dda {dda_cost/1e6:8.1f}M ({blk_cost/max(dda_cost,1):.2f}x"
+              f"; {len(pc)/n:.2f} cells/lane)", flush=True)
+    print(f"\n## dda expansion: capped-block/dda = "
+          f"{tot_block/max(tot_dda,1):.2f}x lane-weighted "
+          f"(G={grid_n}, K={k_max}, St={st_rows}, RB={rb})")
 
 
 def ideal_sweep(scene, snaps, st_rows=32, rb=512):
@@ -498,6 +660,12 @@ def main():
         return
     if "--ideal" in sys.argv:
         ideal_sweep(scene, snaps)
+        return
+    if "--dda" in sys.argv:
+        dda_expansion_sweep(
+            scene, snaps, rb=int(os.environ.get("TKS_RB", 512)),
+            grid_n=int(os.environ.get("TKS_G", 4)),
+            k_max=int(os.environ.get("TKS_K", 8)))
         return
     if "--capped" in sys.argv:
         capped_key_sweep(scene, snaps,
