@@ -379,3 +379,63 @@ def test_tri_rebin_render_matches_off_exactly():
     reb = np.asarray(render_image_persistent(
         scene, None, cfg.replace(tri_rebin="on")))
     np.testing.assert_array_equal(reb, base)
+
+
+def test_dda_tri_pass_matches_direct():
+    """The DDA macro-cell expansion (kernels/tri_dda.py) returns the
+    same EFFECTIVE records as the direct pass: every hit surviving the
+    occlusion cap is found by one of the lane's cell pairs (the pair
+    windows tile the capped chord; overflow lanes fall back to one
+    full-segment pair), with t agreeing to float round-off (slot>=1
+    origins shift to the interval start)."""
+    from win32_raytracer_tpu.kernels.tri_dda import dda_tri_pass
+    from win32_raytracer_tpu.tri_accel import hit_triangles_grid_rows_jnp
+
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    o, d, tm = _rays(640, seed=7)
+    rng = np.random.default_rng(3)
+    cap = np.where(rng.random(640) < 0.5, rng.uniform(0.1, 3.0, 640),
+                   3.4e38).astype(np.float32)[None]
+
+    def tri_fn(g, o2, d2, t2, min_t=0.001, t_cap=None):
+        return hit_triangles_grid_rows_jnp(g, o2, d2, t2, min_t=min_t,
+                                           t_cap=t_cap, ray_block=256)
+
+    direct = tri_fn(grid, o, d, tm, t_cap=jnp.asarray(cap))
+    dda = dda_tri_pass(tri_fn, grid, o, d, tm, jnp.asarray(cap),
+                       g_cells=8, k_max=4)
+    dt, st_ = np.asarray(direct.t[0]), np.asarray(dda.t[0])
+    live_d = np.asarray(direct.hit[0]) & (dt < cap[0])
+    live_s = np.asarray(dda.hit[0]) & (st_ < cap[0])
+    np.testing.assert_array_equal(live_d, live_s)
+    assert live_d.any()
+    np.testing.assert_allclose(st_[live_d], dt[live_d], rtol=2e-5,
+                               atol=2e-5)
+    # winning geometry identical where the hit is unambiguous
+    np.testing.assert_array_equal(np.asarray(dda.idx[0])[live_d],
+                                  np.asarray(direct.idx[0])[live_d])
+    np.testing.assert_array_equal(np.asarray(dda.mat_id[0])[live_d],
+                                  np.asarray(direct.mat_id[0])[live_d])
+
+
+def test_tri_dda_render_matches_off():
+    """tri_rebin='dda' renders match the rebin-off image to float
+    round-off (slot>=1 pair origins shift by the interval offset, so
+    per-lane t/point can differ in last ulps — unlike 'on', which is
+    bitwise)."""
+    from win32_raytracer_tpu.persistent import render_image_persistent
+    from win32_raytracer_tpu.config import RenderConfig
+    from win32_raytracer_tpu.scene.builders import mesh_scene
+
+    scene = mesh_scene(subdivisions=3)
+    cfg = RenderConfig(width=32, height=16, samples=8, seed=5,
+                       backend="jnp", accel="grid", ray_binning="off")
+    base = np.asarray(render_image_persistent(scene, None, cfg),
+                      np.float32)
+    dda = np.asarray(render_image_persistent(
+        scene, None, cfg.replace(tri_rebin="dda")), np.float32)
+    diff = np.abs(np.sqrt(np.clip(dda, 0, 1))
+                  - np.sqrt(np.clip(base, 0, 1)))
+    assert diff.mean() < 2e-3, diff.mean()
+    assert (diff > 8 / 255).mean() < 0.01, (diff > 8 / 255).mean()

@@ -141,9 +141,13 @@ class RenderConfig:
     # the driver-level bin sort can never see (offline ceiling: 92x less
     # pair work, bench/tri_knob_sim.py --ideal).  Replaces driver-level
     # ray binning when on; state lanes are never permuted, so results
-    # match rebin-off exactly (cross-tile tie rule aside).  "auto" = off
+    # match rebin-off exactly (cross-tile tie rule aside).  "dda" goes
+    # further (kernels/tri_dda.py): lanes EXPAND into the macro cells
+    # their capped chord visits (fixed K slots) and the pair list sorts
+    # by cell, so every ray block covers ~one cell — sim: 2.27x less
+    # modeled cost than "on" at G=8 (tri_knob_sim --dda).  "auto" = off
     # until the chip A/B decides.
-    tri_rebin: str = "auto"  # "auto" | "on" | "off"
+    tri_rebin: str = "auto"  # "auto" | "on" | "dda" | "off"
     # Wavefront chunk size (lanes in flight per jit call).  4M lanes =
     # ~280 MB of state: one-chunk renders up to ~1200x800 with 4
     # lanes/pixel, the measured sweet spot on a v5e chip (bigger chunks

@@ -89,16 +89,22 @@ def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True, rebin=False):
     rb = ray_block or DEFAULT_TRI_GRID_RAY_BLOCK
 
     def tri_pass(grid, o, d, t, min_t, t_cap):
-        if rebin:
-            from .tri_rebin import sorted_tri_pass
+        if rebin in ("on", "dda"):
             if t_cap is None:
                 t_cap = jnp.full_like(o[:1], np.float32(3.4e38))
-            return sorted_tri_pass(
-                lambda g, o2, d2, t2, min_t=0.001, t_cap=None:
-                    hit_triangles_grid_rows(g, o2, d2, t2, min_t=min_t,
-                                            t_cap=t_cap, ray_block=rb,
-                                            early_exit=early_exit),
-                grid, o, d, t, t_cap, min_t=min_t)
+
+            def tf(g, o2, d2, t2, min_t=0.001, t_cap=None):
+                return hit_triangles_grid_rows(g, o2, d2, t2,
+                                               min_t=min_t, t_cap=t_cap,
+                                               ray_block=rb,
+                                               early_exit=early_exit)
+
+            if rebin == "dda":
+                from .tri_dda import dda_tri_pass
+                return dda_tri_pass(tf, grid, o, d, t, t_cap,
+                                    min_t=min_t)
+            from .tri_rebin import sorted_tri_pass
+            return sorted_tri_pass(tf, grid, o, d, t, t_cap, min_t=min_t)
         return hit_triangles_grid_rows(grid, o, d, t, min_t=min_t,
                                        t_cap=t_cap, ray_block=rb,
                                        early_exit=early_exit)
@@ -129,16 +135,22 @@ def _tri_grid_fn_jnp(ray_block=0, rebin=False):
     sphere_fn = hit_rows_adapter(hit_spheres)
 
     def tri_pass(grid, o, d, t, min_t, t_cap):
-        if rebin:
-            from .tri_rebin import sorted_tri_pass
+        if rebin in ("on", "dda"):
             if t_cap is None:
                 t_cap = jnp.full_like(o[:1], np.float32(3.4e38))
-            return sorted_tri_pass(
-                lambda g, o2, d2, t2, min_t=0.001, t_cap=None:
-                    hit_triangles_grid_rows_jnp(g, o2, d2, t2,
-                                                min_t=min_t, t_cap=t_cap,
-                                                ray_block=rb),
-                grid, o, d, t, t_cap, min_t=min_t)
+
+            def tf(g, o2, d2, t2, min_t=0.001, t_cap=None):
+                return hit_triangles_grid_rows_jnp(g, o2, d2, t2,
+                                                   min_t=min_t,
+                                                   t_cap=t_cap,
+                                                   ray_block=rb)
+
+            if rebin == "dda":
+                from .tri_dda import dda_tri_pass
+                return dda_tri_pass(tf, grid, o, d, t, t_cap,
+                                    min_t=min_t)
+            from .tri_rebin import sorted_tri_pass
+            return sorted_tri_pass(tf, grid, o, d, t, t_cap, min_t=min_t)
         return hit_triangles_grid_rows_jnp(grid, o, d, t, min_t=min_t,
                                            t_cap=t_cap, ray_block=rb)
 
@@ -214,14 +226,17 @@ def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
                     return new_scene, _tri_grid_fn(
                         sphere_fn, cfg.tri_ray_block,
                         early_exit=cfg.tri_early_exit in ("auto", "on"),
-                        rebin=cfg.tri_rebin == "on")
+                        rebin="off" if cfg.tri_rebin == "auto"
+                        else cfg.tri_rebin)
                 # jnp backend, explicit accel="grid": the pure-jnp grid
                 # sweep (tri_accel.hit_triangles_grid_rows_jnp).  No mask
                 # savings without Mosaic — this is the CI/verification
                 # path for the grid + ray-binning drivers on jnp hosts
                 # ("auto" keeps the cheaper brute sweep there).
                 return new_scene, _tri_grid_fn_jnp(
-                    cfg.tri_ray_block, rebin=cfg.tri_rebin == "on")
+                    cfg.tri_ray_block,
+                    rebin="off" if cfg.tri_rebin == "auto"
+                    else cfg.tri_rebin)
 
     if cfg.accel == "grid":
         raise ValueError(

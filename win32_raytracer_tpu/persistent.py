@@ -548,7 +548,7 @@ def _derive_bin_box(cfg, scene):
     from .tri_accel import TriGridScene
     g = scene if isinstance(scene, TriGridScene) else getattr(
         scene, "triangles", None)
-    if isinstance(g, TriGridScene) and cfg.tri_rebin == "on":
+    if isinstance(g, TriGridScene) and cfg.tri_rebin in ("on", "dda"):
         # The two-phase hit fn sorts its own working set with occlusion
         # knowledge (kernels/tri_rebin.py); driver-level state binning
         # would just pay a redundant 19-row sort on top.
