@@ -37,6 +37,32 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 SPOOL = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_jobs"
 os.makedirs(SPOOL, exist_ok=True)
 
+def _relay_port():
+    """The axon relay's loopback listener, or None.  A device op issued
+    while the listener is gone burns ~50 min per compile inside the C++
+    retry loop (docs/axon_runtime_notes.md #20a) — never touch the
+    device without this returning a port."""
+    import socket
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return -1  # direct-TPU / CPU environments: no relay to wait for
+    for p in range(8080, 8221):
+        s = socket.socket()
+        s.settimeout(0.4)
+        try:
+            s.connect(("127.0.0.1", p))
+            return p
+        except OSError:
+            pass
+        finally:
+            s.close()
+    return None
+
+
+while _relay_port() is None:
+    print("relay listener absent; waiting before first device op",
+          flush=True)
+    time.sleep(45)
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -45,7 +71,16 @@ t0 = time.perf_counter()
 np.asarray(jnp.ones((8,)) + 1)
 print(f"sync flip: {time.perf_counter() - t0:.1f}s", flush=True)
 
-NS = {"np": np, "jax": jax, "jnp": jnp, "time": time}
+
+class RetryLater(Exception):
+    """A job raises this to put itself back at the head of the queue
+    (file NOT consumed); the worker sleeps and retries.  Use for
+    relay-down guards so an outage pauses the queue instead of
+    burning every queued A/B on failed asserts."""
+
+
+NS = {"np": np, "jax": jax, "jnp": jnp, "time": time,
+      "RetryLater": RetryLater, "_relay_port": _relay_port}
 print(f"worker ready, spool={SPOOL}", flush=True)
 
 while True:
@@ -66,12 +101,18 @@ while True:
         sys.stdout = sys.stderr = buf
         exec(compile(src, path, "exec"), NS)
         status = "ok"
+    except RetryLater as e:
+        status = f"retry ({e})"
     except BaseException:
         traceback.print_exc(file=buf)
         status = "error"
     finally:
         sys.stdout, sys.stderr = orig_out, orig_err
     dt = time.perf_counter() - t0
+    if status.startswith("retry"):
+        print(f"{name}: {status}; sleeping 60s (file kept)", flush=True)
+        time.sleep(60.0)
+        continue
     with open(out_path, "w") as f:
         f.write(buf.getvalue())
         f.write(f"\n# [{status}] {dt:.1f}s\n")
