@@ -488,17 +488,32 @@ def dda_expansion_sweep(scene, snaps, st_rows=32, rb=512, grid_n=4,
         touch = hi_c >= lo_t
 
         # DDA: fixed k_max steps from the entry point; cell per step.
+        # Lanes still inside the capped chord after k_max steps are
+        # OVERFLOW lanes: the kernel (tri_dda.dda_pairs) collapses them
+        # to one full-segment pair (exactness), so model them as a
+        # single pair whose block contribution is the union of ALL
+        # cells their chord touches — not a silent truncation.
         cells_visited = np.full((k_max, n), -1, np.int64)
         t_cur = np.where(touch, lo_t, np.inf)
-        for k in range(k_max):
+        overflow_cells = [set() for _ in range(n)]
+        k = 0
+        while True:
             live = t_cur <= hi_c
+            if not live.any():
+                break
             p = o_a.astype(np.float64) + t_cur * d_a.astype(np.float64)
             ci = np.zeros(n, np.int64)
             for ax in range(3):
                 c = np.clip(((p[ax] - lo3[ax]) / csz[ax]).astype(
                     np.int64), 0, grid_n - 1)
                 ci += c * (grid_n ** ax)
-            cells_visited[k] = np.where(live, ci, -1)
+            if k < k_max:
+                cells_visited[k] = np.where(live, ci, -1)
+            else:
+                for li in np.flatnonzero(live):
+                    overflow_cells[li].add(int(ci[li]))
+                if k > 3 * grid_n + k_max:
+                    break  # a chord crosses <= 3*G+1 cells
             # advance to the next cell boundary along the ray
             t_next = np.full(n, np.inf)
             for ax in range(3):
@@ -509,27 +524,49 @@ def dda_expansion_sweep(scene, snaps, st_rows=32, rb=512, grid_n=4,
                 t_next = np.minimum(t_next, np.where(
                     t_ax > t_cur + 1e-9, t_ax, np.inf))
             t_cur = t_next
-        # dedupe repeated cells per lane (clamping at box edges)
+            k += 1
+        over = np.array([len(s) > 0 for s in overflow_cells])
+        n_over = int(over.sum())
+        # dedupe repeated cells per lane (clamping at box edges);
+        # overflow lanes contribute ONE full-segment pair instead
         pair_cell, pair_lane = [], []
         for k in range(k_max):
             ci = cells_visited[k]
-            new = ci >= 0
+            new = (ci >= 0) & ~over
             for j in range(k):
                 new &= ci != cells_visited[j]
             idx = np.flatnonzero(new)
             pair_cell.append(ci[idx])
             pair_lane.append(idx)
-        pc = np.concatenate(pair_cell)
-        pl = np.concatenate(pair_lane)
+        # full-segment pairs sort last (sentinel cell id): each block of
+        # them unions every cell its lanes' chords touch
+        over_idx = np.flatnonzero(over)
+        over_sets = [np.fromiter(overflow_cells[li], np.int64)
+                     for li in over_idx]
+        # overflow lanes also visited their first k_max cells
+        for j, li in enumerate(over_idx):
+            head = cells_visited[:, li]
+            over_sets[j] = np.unique(np.concatenate(
+                [over_sets[j], head[head >= 0]]))
+        pc = np.concatenate(pair_cell
+                            + [np.full(n_over, n_cells, np.int64)])
+        pl = np.concatenate(pair_lane + [over_idx])
         tot_pairs_per_lane.append(len(pc) / n)
         order = np.argsort(pc, kind="stable")
-        pc = pc[order]
+        pc, pl = pc[order], pl[order]
         n_pairs = len(pc)
-        # blocks of rb pairs; block cost = union of distinct cells' tiles
+        over_rank = {int(li): j for j, li in enumerate(over_idx)}
+        # blocks of rb pairs; block cost = union of distinct cells'
+        # tiles; full-segment (sentinel) pairs union their whole chord
         dda_vis = 0
         for b0 in range(0, n_pairs, rb):
-            cs = np.unique(pc[b0:b0 + rb])
-            dda_vis += int(cell_tiles[cs].any(axis=0).sum())
+            bc, bl = pc[b0:b0 + rb], pl[b0:b0 + rb]
+            cs = np.unique(bc[bc < n_cells])
+            mask = cell_tiles[cs].any(axis=0)
+            for li in bl[bc == n_cells]:
+                mask = mask | cell_tiles[
+                    over_sets[over_rank[int(li)]]].any(axis=0)
+            dda_vis += int(mask.sum())
         dda_pairs = dda_vis * st_rows * rb
         dda_cost = (dda_pairs + dda_vis * rb * MERGE_COST / 14.0
                     + n_pairs * MERGE_COST)  # + per-duplicate lane merge
@@ -564,7 +601,8 @@ def dda_expansion_sweep(scene, snaps, st_rows=32, rb=512, grid_n=4,
         tot_block += blk_cost * n
         print(f"depth {depth}: capped-block {blk_cost/1e6:8.1f}M, "
               f"dda {dda_cost/1e6:8.1f}M ({blk_cost/max(dda_cost,1):.2f}x"
-              f"; {len(pc)/n:.2f} cells/lane)", flush=True)
+              f"; {len(pc)/n:.2f} cells/lane, "
+              f"{100.0 * n_over / n:.1f}% overflow)", flush=True)
     print(f"\n## dda expansion: capped-block/dda = "
           f"{tot_block/max(tot_dda,1):.2f}x lane-weighted "
           f"(G={grid_n}, K={k_max}, St={st_rows}, RB={rb})")

@@ -439,3 +439,12 @@ def test_tri_dda_render_matches_off():
                   - np.sqrt(np.clip(base, 0, 1)))
     assert diff.mean() < 2e-3, diff.mean()
     assert (diff > 8 / 255).mean() < 0.01, (diff > 8 / 255).mean()
+    # cfg.tri_dda_k overrides the kernel's pair-slot count (K=12 is the
+    # sim winner); the render stays within the same round-off envelope.
+    k12 = np.asarray(render_image_persistent(
+        scene, None, cfg.replace(tri_rebin="dda", tri_dda_k=12)),
+        np.float32)
+    diff = np.abs(np.sqrt(np.clip(k12, 0, 1))
+                  - np.sqrt(np.clip(base, 0, 1)))
+    assert diff.mean() < 2e-3, diff.mean()
+    assert (diff > 8 / 255).mean() < 0.01, (diff > 8 / 255).mean()

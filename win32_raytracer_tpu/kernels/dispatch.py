@@ -71,7 +71,8 @@ def _pallas_v4_rb2048(scene, o, d, t, min_t=0.001):
 
 
 @functools.lru_cache(maxsize=16)
-def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True, rebin=False):
+def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True, rebin=False,
+                 dda_k=0):
     """Rows hit fn for scenes whose triangle side carries a TriGridScene.
 
     For composites the (cheap) sphere pass runs first and its nearest t
@@ -101,8 +102,9 @@ def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True, rebin=False):
 
             if rebin == "dda":
                 from .tri_dda import dda_tri_pass
+                kw = {"k_max": dda_k} if dda_k else {}
                 return dda_tri_pass(tf, grid, o, d, t, t_cap,
-                                    min_t=min_t)
+                                    min_t=min_t, **kw)
             from .tri_rebin import sorted_tri_pass
             return sorted_tri_pass(tf, grid, o, d, t, t_cap, min_t=min_t)
         return hit_triangles_grid_rows(grid, o, d, t, min_t=min_t,
@@ -123,7 +125,7 @@ def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True, rebin=False):
 
 
 @functools.lru_cache(maxsize=16)
-def _tri_grid_fn_jnp(ray_block=0, rebin=False):
+def _tri_grid_fn_jnp(ray_block=0, rebin=False, dda_k=0):
     """jnp twin of _tri_grid_fn: the pure-jnp grid sweep
     (tri_accel.hit_triangles_grid_rows_jnp) with the jnp column-oracle
     sphere pass capping the triangle mask.  Cached: static jit args."""
@@ -147,8 +149,9 @@ def _tri_grid_fn_jnp(ray_block=0, rebin=False):
 
             if rebin == "dda":
                 from .tri_dda import dda_tri_pass
+                kw = {"k_max": dda_k} if dda_k else {}
                 return dda_tri_pass(tf, grid, o, d, t, t_cap,
-                                    min_t=min_t)
+                                    min_t=min_t, **kw)
             from .tri_rebin import sorted_tri_pass
             return sorted_tri_pass(tf, grid, o, d, t, t_cap, min_t=min_t)
         return hit_triangles_grid_rows_jnp(grid, o, d, t, min_t=min_t,
@@ -227,7 +230,7 @@ def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
                         sphere_fn, cfg.tri_ray_block,
                         early_exit=cfg.tri_early_exit in ("auto", "on"),
                         rebin="off" if cfg.tri_rebin == "auto"
-                        else cfg.tri_rebin)
+                        else cfg.tri_rebin, dda_k=cfg.tri_dda_k)
                 # jnp backend, explicit accel="grid": the pure-jnp grid
                 # sweep (tri_accel.hit_triangles_grid_rows_jnp).  No mask
                 # savings without Mosaic — this is the CI/verification
@@ -236,7 +239,7 @@ def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
                 return new_scene, _tri_grid_fn_jnp(
                     cfg.tri_ray_block,
                     rebin="off" if cfg.tri_rebin == "auto"
-                    else cfg.tri_rebin)
+                    else cfg.tri_rebin, dda_k=cfg.tri_dda_k)
 
     if cfg.accel == "grid":
         raise ValueError(

@@ -19,9 +19,12 @@ takes the next step the TPU way — still no new kernels:
    [min_t, cap] window IS the interval (t corrected back after), then
    merge the K slots per lane by nearest-t and unsort by lane index
 
-Offline prediction at G=8, K=12 (tri_knob_sim --dda): 2.27x less
-modeled pair+merge cost than the capped-key block scheme, winning at
-every bounce depth (4.1-4.7x at depths 1-2).
+Offline prediction at G=8 (tri_knob_sim --dda, overflow lanes modeled
+as the full-segment fallback): 1.82x less modeled pair+merge cost than
+the capped-key block scheme at K=12 (2.7x at depth 1), but only 1.20x
+at the K=4 default, where 8-30% of lanes overflow and their
+full-segment pairs re-pollute blocks.  cfg.tri_dda_k picks K; the chip
+prices K against the K*N working set.
 
 Exactness: every pair's mask window covers its chord interval, the
 intervals tile the capped chord, and the winning hit lies in one of
