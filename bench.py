@@ -33,13 +33,18 @@ BASELINE_MRAYS = 2.50
 WIDTH, HEIGHT, SPP = 1200, 800, 100
 
 
-def _require_axon_relay(window_s: float = 120.0) -> None:
-    """Fail fast when the axon loopback relay is configured but absent.
+def _require_axon_relay(window_s: float = 1800.0) -> None:
+    """Wait (bounded) for the axon loopback relay when it is configured
+    but absent, then abort rather than hang.
 
     Without this, the first device op retries inside the C++ client for
     ~50 min per compile (docs/axon_runtime_notes.md #20a) — a dead relay
-    turns the benchmark into a multi-hour hang.  Only applies to the
-    axon platform; direct-TPU environments skip the check."""
+    turns the benchmark into a multi-hour hang.  The wait window is long
+    (relay outages last minutes-to-hours and come back on their own;
+    aborting early forfeits the round's benchmark, waiting costs only
+    idle time), but bounded so the caller always gets an exit.  Only
+    applies to the axon platform; direct-TPU environments skip the
+    check."""
     import socket
 
     if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
@@ -59,9 +64,14 @@ def _require_axon_relay(window_s: float = 120.0) -> None:
         return False
 
     deadline = time.monotonic() + window_s
+    t0 = time.monotonic()
     while time.monotonic() < deadline:
         if up():
             return
+        waited = time.monotonic() - t0
+        if waited > 1.0 and int(waited) % 60 < 5:
+            print(f"# bench.py: axon relay down, waiting "
+                  f"({waited:.0f}s/{window_s:.0f}s)", file=sys.stderr)
         time.sleep(5.0)
     print("bench.py: axon relay listener absent (ports 8080-8220) after "
           f"{window_s:.0f}s; aborting instead of hanging in the C++ "
