@@ -267,3 +267,123 @@ def test_binned_grid_render_jnp_backend():
     assert binned.shape == off.shape == (16, 32, 3)
     d = np.abs(np.sqrt(np.clip(binned, 0, 1)) - np.sqrt(np.clip(off, 0, 1)))
     assert d.mean() < 0.04, d.mean()
+
+
+def test_one_shot_bitwise_equals_sequential_steps():
+    """p_render_oneshot is max_steps successive p_bounce_step dispatches
+    in one device-side while_loop: identical state, bit for bit."""
+    import jax.numpy as jnp
+    from win32_raytracer_tpu.persistent import (
+        PathState, p_bounce_step, p_render_oneshot, p_respawn_step,
+        _resolve_kpp)
+    from win32_raytracer_tpu.kernels.dispatch import get_hit_fn_rows_accel
+    from win32_raytracer_tpu.scene.camera import default_camera
+
+    scene = make_test_scene()
+    w, h, spp = 32, 16, 8
+    cfg = RenderConfig(width=w, height=h, samples=spp, seed=4,
+                       backend="jnp")
+    scene, hit_fn = get_hit_fn_rows_accel(cfg, scene, None)
+    cam = default_camera(w, h)
+    kpp = _resolve_kpp(cfg, spp)
+    quota = spp // kpp
+    n = w * h * kpp
+    st0 = PathState(
+        origin=jnp.zeros((3, n), jnp.float32),
+        direction=jnp.zeros((3, n), jnp.float32).at[2, :].set(1.0),
+        time=jnp.zeros((1, n), jnp.float32),
+        throughput=jnp.ones((3, n), jnp.float32),
+        radiance_sum=jnp.zeros((3, n), jnp.float32),
+        depth=jnp.zeros((1, n), jnp.int32),
+        sample=jnp.full((1, n), -1, jnp.int32),
+        pixel=jnp.arange(n, dtype=jnp.int32)[None],
+        path_alive=jnp.zeros((1, n), bool),
+        s_base=(jnp.arange(n, dtype=jnp.int32) % kpp * quota)[None],
+        s_quota=jnp.full((1, n), quota, jnp.int32),
+    )
+    salt = np.uint32(0xBEEF)
+    kw = dict(cfg=cfg.replace(seed=0), hit_fn=hit_fn, width=w, height=h,
+              spp=spp, lanes_per_pixel=kpp)
+    st0 = p_respawn_step(cam, st0, salt, jnp.int32(0), cfg=cfg.replace(seed=0),
+                         width=w, height=h, spp=spp, lanes_per_pixel=kpp)
+    max_steps = (quota + 1) * (cfg.max_depth + 2)
+
+    one = p_render_oneshot(scene, cam, st0, salt, jnp.int32(0),
+                           max_steps=max_steps, **kw)
+
+    seq = st0
+    for step in range(1, max_steps + 1):
+        seq = p_bounce_step(scene, cam, seq, salt, jnp.int32(step), **kw)
+        if not bool(jnp.any(seq.path_alive)):
+            break
+
+    assert not bool(jnp.any(one.path_alive))
+    for name, a, b in zip(PathState._fields, one, seq):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+def test_one_shot_render_matches_host_loop_statistically():
+    """Full renders, one_shot on vs off: the host loop's split events
+    re-key lane draws so parity is statistical, like any scheduler
+    cadence change."""
+    scene = make_test_scene()
+    cfg = RenderConfig(width=64, height=32, samples=16, seed=11,
+                       backend="jnp")
+    on = np.asarray(render_image_persistent(
+        scene, None, cfg.replace(one_shot="on")))
+    off = np.asarray(render_image_persistent(
+        scene, None, cfg.replace(one_shot="off")))
+    assert on.shape == off.shape == (32, 64, 3)
+    d = np.abs(np.sqrt(np.clip(on, 0, 1)) - np.sqrt(np.clip(off, 0, 1)))
+    assert d.mean() < 0.03, d.mean()
+
+
+def test_one_shot_conflicts_raise():
+    """Binned renders need the host loop's per-period bin sorts: an
+    explicit one_shot='on' raises instead of silently unfusing (the
+    fuse_bounce='on' contract).  adaptive_alloc is NOT a conflict (its
+    phase 2 takes the tail finisher)."""
+    import pytest
+    from win32_raytracer_tpu.scene.builders import mesh_scene
+
+    scene = mesh_scene(subdivisions=3)
+    cfg = RenderConfig(width=32, height=16, samples=8, seed=2,
+                       backend="jnp", accel="grid", one_shot="on")
+    with pytest.raises(ValueError, match="one_shot"):
+        render_image_persistent(scene, None, cfg)
+
+    adaptive_cfg = RenderConfig(width=32, height=16, samples=16, seed=2,
+                                backend="jnp", one_shot="on",
+                                adaptive_alloc="on")
+    img = np.asarray(render_image_persistent(make_test_scene(), None,
+                                             adaptive_cfg))
+    assert img.shape == (16, 32, 3) and np.isfinite(img).all()
+
+
+def test_one_shot_tail_finisher_above_floor(monkeypatch):
+    """Chunks above the compaction floor keep the host loop (compaction
+    where it pays) and hand the below-floor tail to the one-shot
+    finisher.  CPU-sized renders never cross the real 512k floor, so
+    shrink it: with floor=4096 a 64x32 kpp-4 chunk (8192 lanes) starts
+    above the floor, compacts, and must still complete every sample
+    through the finisher."""
+    import win32_raytracer_tpu.persistent as P
+
+    monkeypatch.setattr(P, "_COMPACT_FLOOR", 4096)
+    monkeypatch.setattr(P, "_COMPACT_QUANTUM", 2048)
+    scene = make_test_scene()
+    cfg = RenderConfig(width=64, height=32, samples=16, seed=6,
+                       backend="jnp")
+    fin = np.asarray(P.render_image_persistent(
+        scene, None, cfg.replace(one_shot="on")))
+    host = np.asarray(P.render_image_persistent(
+        scene, None, cfg.replace(one_shot="off")))
+    assert fin.shape == host.shape == (32, 64, 3)
+    # Same estimator, different step cadence: statistical agreement.
+    d = np.abs(np.sqrt(np.clip(fin, 0, 1)) - np.sqrt(np.clip(host, 0, 1)))
+    assert d.mean() < 0.03, d.mean()
+    # And against the wavefront oracle: no sample lost to the handoff.
+    ref = np.asarray(render_image(scene, None, cfg))
+    d2 = np.abs(np.sqrt(np.clip(fin, 0, 1)) - np.sqrt(np.clip(ref, 0, 1)))
+    assert d2.mean() < 0.03, d2.mean()

@@ -144,3 +144,33 @@ def test_sharded_tri_rebin_matches_off_exactly():
     reb = np.asarray(render_image_persistent_sharded(
         scene, None, cfg.replace(tri_rebin="on"), make_mesh(4)))
     np.testing.assert_array_equal(reb, base)
+
+
+def test_sharded_one_shot_matches_host_loop():
+    """one_shot on vs off over the mesh: each shard's tail runs in one
+    device-side while_loop vs the host-checked loop — same estimator,
+    statistical parity.  Also: the explicit knob must round-trip (the
+    tiny default batch takes the whole-batch shortcut under 'on')."""
+    scene = make_test_scene()
+    cfg = RenderConfig(width=64, height=32, samples=16, seed=8,
+                       backend="jnp")
+    mesh = make_mesh(8)
+    on = np.asarray(render_image_persistent_sharded(
+        scene, None, cfg.replace(one_shot="on"), mesh))
+    off = np.asarray(render_image_persistent_sharded(
+        scene, None, cfg.replace(one_shot="off"), mesh))
+    assert on.shape == off.shape == (32, 64, 3)
+    d = np.abs(np.sqrt(np.clip(on, 0, 1)) - np.sqrt(np.clip(off, 0, 1)))
+    assert d.mean() < 0.03, d.mean()
+
+
+def test_sharded_one_shot_conflict_raises():
+    """Binned mesh renders need the host loop's per-period bin sorts:
+    explicit one_shot='on' raises on the sharded driver too."""
+    from win32_raytracer_tpu.scene.builders import mesh_scene
+
+    scene = mesh_scene(subdivisions=3)
+    cfg = RenderConfig(width=32, height=16, samples=8, seed=2,
+                       backend="jnp", accel="grid", one_shot="on")
+    with pytest.raises(ValueError, match="one_shot"):
+        render_image_persistent_sharded(scene, None, cfg, make_mesh(4))

@@ -171,6 +171,28 @@ class RenderConfig:
     # Persistent scheduler: steps between host-side all-done checks (each
     # check costs one device sync).
     check_period: int = 0  # 0 = auto
+    # One-shot chunk rendering (persistent scheduler): run a whole lane
+    # chunk to completion inside ONE jitted program — a lax.while_loop
+    # whose body is the one-program XLA bounce and whose condition is
+    # "any lane alive" — instead of the host-driven check/compact loop.
+    # Small renders are dispatch-bound (the ~3 ms/dispatch floor and
+    # ~27 ms alive-check syncs dominate: config 1 spends ~97% of its
+    # wall time there), and below the compaction floor the host loop
+    # has no compaction decisions left to make anyway.  The loop body
+    # is the same bounce step with the same draw derivation (results
+    # match sequential dispatches bitwise; vs the host driver they
+    # match until its first split/compaction re-keys lane draws —
+    # statistically equivalent after that).  Above-floor chunks use it
+    # as a TAIL FINISHER: the host loop compacts normally, and at its
+    # first below-floor check it splits once and hands the remaining
+    # work to the while_loop program (no further host round trips).
+    # "auto" = on when no feature that needs the host loop BETWEEN
+    # steps is active (ray binning / tri rebin, an explicit pallas
+    # scatter_backend); adaptive_alloc is compatible (its phase 2
+    # takes the tail finisher; only the whole-chunk form is skipped).
+    # "on" is the same policy but raises on a conflict instead of
+    # silently falling back; "off" always uses the host loop (A/B arm).
+    one_shot: str = "auto"  # "auto" | "on" | "off"
     # Persistent scheduler: replica lanes per pixel (samples split across
     # K lanes with quota spp/K each — more parallelism for hard pixels,
     # shorter sequential tails, bigger batches).  0 = auto (largest of

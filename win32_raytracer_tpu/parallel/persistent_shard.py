@@ -218,7 +218,39 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
         in_specs=(sspec, P("tiles", None, None)),
         out_specs=P("tiles", None, None)))
 
-    return bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm
+    # One-shot tail finisher (persistent.p_render_oneshot, sharded):
+    # run the batch TO COMPLETION in one shard-local while_loop per
+    # device.  Each shard's condition reads only its own lanes, so
+    # shards desynchronize freely (no lockstep alive checks, no
+    # per-dispatch floor) and the program has no collectives to
+    # deadlock on.  step0/max_s ride as traced scalars so one compiled
+    # program serves every chunk and the adaptive phase-2 rerun.
+    def oneshot_finish(scene, cam, st, salts, step0, max_s):
+        salt = salts[0]
+
+        def cond(carry):
+            st_, s_ = carry
+            return (s_ < max_s) & jnp.any(st_.path_alive)
+
+        def body(carry):
+            st_, s_ = carry
+            s_ = s_ + 1
+            rec, st_ = _hit_core(scene, st_, cfg=cfg, hit_fn=hit_fn)
+            st_ = _scatter_core(scene, st_, rec, salt, s_, cfg=cfg)
+            st_ = _respawn_core(cam[0], st_, salt, s_, cfg=cfg,
+                                width=width, height=height, spp=spp,
+                                lanes_per_pixel=kpp, n_frames=n_frames)
+            return st_, s_
+
+        st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(step0)))
+        return st
+
+    finish_sm = jax.jit(jax.shard_map(
+        oneshot_finish, mesh=mesh,
+        in_specs=(P(), P(), sspec, kspec, P(), P()),
+        out_specs=sspec, check_vma=False))
+
+    return bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm, finish_sm
 
 
 @functools.lru_cache(maxsize=64)
@@ -322,8 +354,9 @@ def render_image_persistent_sharded(
     # Ray binning (per shard): same policy as the single-chip driver.
     bin_box = _derive_bin_box(cfg, scene)
     from ..kernels.dispatch import _resolve_backend as _rb
+    backend = _rb(cfg, platform=mesh.devices.flat[0].platform)
     coeffs = None
-    if (_rb(cfg, platform=mesh.devices.flat[0].platform) == "pallas"
+    if (backend == "pallas"
             and isinstance(scene, SphereScene)
             and cfg.hit_kernel in ("auto", "v7")):
         # v7 on a TPU mesh: whole hit phase in one pallas program per
@@ -357,6 +390,25 @@ def render_image_persistent_sharded(
     max_steps = (quota + 1) * (cfg.max_depth + 2)
     min_lanes = 1 << 10
     floor = max(_COMPACT_FLOOR // d, min_lanes)
+
+    # One-shot tail finisher (single-chip semantics, persistent.py): at
+    # or below the per-shard floor, hand the rest of the batch to one
+    # shard-local while_loop per device.  Conflicts mirror the
+    # single-chip driver: per-period bin sorts and an honored pallas
+    # scatter need the host loop between steps.
+    one_shot = cfg.one_shot
+    if one_shot not in ("auto", "on", "off"):
+        raise ValueError(f"one_shot must be auto|on|off, got {one_shot!r}")
+    _os_conflicts = [name for hit, name in (
+        (bin_box is not None, "ray binning / tri rebin"),
+        (backend == "pallas" and cfg.scatter_backend == "pallas",
+         "scatter_backend='pallas'"),
+    ) if hit]
+    if one_shot == "on" and _os_conflicts:
+        raise ValueError("one_shot='on' conflicts with "
+                         + ", ".join(_os_conflicts))
+    if one_shot == "auto":
+        one_shot = "off" if _os_conflicts else "on"
 
     lanes = _interleaved_pixel_lanes(h_virt, w, kpp, d)  # [D, n_local]
     n_local = lanes.shape[1]
@@ -406,9 +458,10 @@ def render_image_persistent_sharded(
     def make_driver(kpp_s, dev_keys_s):
         """do_steps + the check/compact/split loop bound to one lane
         encoding (kpp_s) and per-device salt set."""
-        steps5 = _steps(mesh, cfg, w, h, spp, kpp_s, hit_fn,
+        steps6 = _steps(mesh, cfg, w, h, spp, kpp_s, hit_fn,
                         n_frames=n_frames)
-        bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm = steps5
+        (bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm,
+         finish_sm) = steps6
 
         def bounce_for(n_local: int):
             """Per-shard-size bounce: the v7/fused Mosaic path when the
@@ -449,6 +502,13 @@ def render_image_persistent_sharded(
 
         def run_loop(st, accum, first_check_s, max_steps_s):
             step = 0
+            # Whole-batch one-shot: a batch that STARTS at/below the
+            # per-shard floor never compacts, so skip the host loop
+            # entirely (the single-chip chunk-level shortcut, sharded).
+            if one_shot == "on" and st.pixel.shape[1] // d <= floor:
+                st = finish_sm(scene, camt, st, dev_keys_s, jnp.int32(0),
+                               jnp.int32(max_steps_s))
+                return st, accum
             period = check_period
             last_alive = n
             while step < max_steps_s:
@@ -482,6 +542,19 @@ def render_image_persistent_sharded(
                     period = check_period
                 last_alive = worst
                 if cur <= floor:
+                    if one_shot == "on":
+                        # One-shot tail: compact+split once if it would
+                        # fire anyway, then finish every shard in one
+                        # device-side while_loop — no further host round
+                        # trips or lockstep alive checks.
+                        k_new = max(min_lanes, _next_pow2(worst))
+                        if k_new <= cur // 2:
+                            st, accum = _compact_split_sm(
+                                mesh, kpp_s, k_new, True)(st, accum)
+                        st = finish_sm(scene, camt, st, dev_keys_s,
+                                       jnp.int32(step),
+                                       jnp.int32(max_steps_s))
+                        break
                     k_new = max(min_lanes, _next_pow2(worst))
                     if k_new <= cur // 2:
                         st, accum = _compact_split_sm(

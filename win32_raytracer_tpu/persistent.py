@@ -263,6 +263,57 @@ def p_bounce_multi_step(scene: SphereScene, cam: Camera, st: PathState,
     return jax.lax.fori_loop(0, k, body, st)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "hit_fn", "width", "height", "spp",
+                              "lanes_per_pixel", "n_frames", "max_steps"))
+def p_render_oneshot(scene: SphereScene, cam: Camera, st: PathState,
+                     salt: jnp.ndarray, step0: jnp.ndarray, *,
+                     cfg: RenderConfig, hit_fn,
+                     width: int, height: int, spp: int,
+                     lanes_per_pixel: int = 1, n_frames: int = 1,
+                     max_steps: int = 1) -> PathState:
+    """A whole lane chunk to completion in ONE dispatch: a
+    lax.while_loop over the one-program XLA bounce, terminating when
+    every lane is dead (or at ``max_steps``, the same quota*(depth+2)
+    bound the host loop uses).  Small renders are dispatch-bound — the
+    ~3 ms/dispatch relay floor plus ~27 ms per alive-check sync is ~97%
+    of config 1's wall time — and at/below the compaction floor the
+    host loop makes no compaction decisions, so moving the loop onto
+    the device removes every host round trip.  The body is bounce step
+    ``step+1`` with the same salt/step draw derivation, so the result
+    is BIT-IDENTICAL to ``max_steps`` successive ``p_bounce_step``
+    dispatches on the same state.  Vs the host driver it is identical
+    only until the driver's first below-floor split/compaction event:
+    those permute/extend the lane axis, and per-lane draws key on lane
+    position, so subsequent draws differ (statistically equivalent
+    Monte Carlo streams, same estimator).  The while body compiles once
+    (XLA cannot unroll a data-dependent while), so program size stays
+    at one bounce.
+
+    ``step0`` (traced) is the step index already consumed by earlier
+    dispatches — the loop's first bounce is step0+1, so draw indices
+    never repeat when this finishes a render the host loop started
+    (the below-floor tail finisher).  ``max_steps`` stays the chunk's
+    static total-step bound, not a count of steps to run here."""
+    def cond(carry):
+        st_, step_ = carry
+        return (step_ < max_steps) & jnp.any(st_.path_alive)
+
+    def body(carry):
+        st_, step_ = carry
+        step_ = step_ + 1
+        rec, st_ = _hit_core(scene, st_, cfg=cfg, hit_fn=hit_fn)
+        st_ = _scatter_core(scene, st_, rec, salt, step_, cfg=cfg)
+        st_ = _respawn_core(cam, st_, salt, step_, cfg=cfg, width=width,
+                            height=height, spp=spp,
+                            lanes_per_pixel=lanes_per_pixel,
+                            n_frames=n_frames)
+        return st_, step_
+
+    st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(step0)))
+    return st
+
+
 def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1)).bit_length()
 
@@ -750,6 +801,27 @@ def render_image_persistent(
     if adaptive:
         from .adaptive import alloc_lanes
 
+    # One-shot programs (p_render_oneshot): below-floor chunks run
+    # whole in one device-side while_loop; above-floor chunks hand
+    # their below-floor tail to the same program (make_finish).
+    # Features that need the host loop BETWEEN steps conflict outright:
+    # per-period bin sorts and an explicit pallas scatter (the one-shot
+    # body is the XLA bounce).  The adaptive two-phase driver is NOT a
+    # conflict — its phase 2 is an ordinary run_loop and takes the tail
+    # finisher; only the whole-chunk form is skipped under adaptive.
+    one_shot = cfg.one_shot
+    if one_shot not in ("auto", "on", "off"):
+        raise ValueError(f"one_shot must be auto|on|off, got {one_shot!r}")
+    _os_conflicts = [name for cond, name in (
+        (bin_box is not None, "ray binning / tri rebin"),
+        (use_pallas_scatter, "scatter_backend='pallas'"),
+    ) if cond]
+    if one_shot == "on" and _os_conflicts:
+        raise ValueError("one_shot='on' conflicts with "
+                         + ", ".join(_os_conflicts))
+    if one_shot == "auto":
+        one_shot = "off" if _os_conflicts else "on"
+
     def make_steps(salt, kpp_s):
         """Bind the bounce-step closures to a draw salt and lane
         encoding (kpp_s: pixel-lane id stride; 1 = raw pixel ids)."""
@@ -824,8 +896,24 @@ def render_image_persistent(
 
         return do_steps
 
+    def make_finish(salt, kpp_s):
+        """Tail finisher: once the batch is below the compaction floor
+        (dispatch-bound regime — step cost no longer shrinks with the
+        batch), run the REST of the chunk as one device-side while_loop
+        (p_render_oneshot with the already-consumed step offset) instead
+        of host-checked multi-bounce dispatches.  Kills the ~3 ms
+        dispatch floor and every remaining ~27 ms alive-check sync in
+        the tail."""
+        def finish(st, step, max_steps_):
+            return p_render_oneshot(
+                scene, cam_x, st, salt, jnp.int32(step), cfg=cfg,
+                hit_fn=hit_fn, width=w, height=h, spp=spp,
+                lanes_per_pixel=kpp_s, n_frames=n_frames,
+                max_steps=max_steps_)
+        return finish
+
     def run_loop(st, accum, do_steps, *, kpp_s, first_check, max_steps,
-                 state_sorted):
+                 state_sorted, finish=None):
         """The check/compact/split driver loop for one lane batch."""
         step = 0
         period = check_period
@@ -862,6 +950,19 @@ def render_image_persistent(
                 period = check_period
             last_alive = n_alive
             if cur <= _COMPACT_FLOOR:
+                if finish is not None:
+                    # One-shot tail: compact+split once if it would fire
+                    # anyway (drops the dead tail and halves hard-pixel
+                    # sample quotas), then finish the chunk in ONE
+                    # device-side while_loop — no further host round
+                    # trips.
+                    k_new = max(min_lanes, _next_pow2(n_alive))
+                    if k_new <= cur // 2:
+                        st, accum = _compact(st, accum, k_new=k_new,
+                                             lanes_per_pixel=kpp_s)
+                        st = _split(st)
+                    st = finish(st, step, max_steps)
+                    break
                 # Dispatch-bound regime: step cost no longer shrinks with
                 # the batch, so instead of compacting, SPLIT — drop dead
                 # lanes and hand every lane's unstarted samples to clone
@@ -956,7 +1057,9 @@ def render_image_persistent(
                 st, accum, make_steps(salt2, 1), kpp_s=1,
                 first_check=spp_rest // min(cfg.kpp_max, spp_rest) + 2,
                 max_steps=(spp_rest + 1) * (cfg.max_depth + 2),
-                state_sorted=bin_box is None)
+                state_sorted=bin_box is None,
+                finish=(make_finish(salt2, 1)
+                        if one_shot == "on" else None))
             flush_div = 1
         else:
             st = fresh_state(
@@ -969,13 +1072,27 @@ def render_image_persistent(
             st = p_respawn_step(cam_x, st, salt, jnp.int32(0), cfg=cfg,
                                 width=w, height=h, spp=spp,
                                 lanes_per_pixel=kpp, n_frames=n_frames)
-            # Pixel order starts as identity; receiver redistribution and
-            # ray binning break it (and with it the argsort-free tail
-            # flush).
-            st, accum = run_loop(
-                st, accum, make_steps(salt, kpp), kpp_s=kpp,
-                first_check=first_check, max_steps=max_steps,
-                state_sorted=bin_box is None)
+            # One-shot regime: at/below the compaction floor the host
+            # loop only ever decides termination, so the whole chunk
+            # runs as one device-side while_loop.  Above the floor the
+            # host loop runs with the one-shot TAIL finisher instead
+            # (compaction still happens where it pays).
+            if one_shot == "on" and n <= _COMPACT_FLOOR:
+                st = p_render_oneshot(
+                    scene, cam_x, st, salt, jnp.int32(0), cfg=cfg,
+                    hit_fn=hit_fn, width=w, height=h, spp=spp,
+                    lanes_per_pixel=kpp, n_frames=n_frames,
+                    max_steps=max_steps)
+            else:
+                # Pixel order starts as identity; receiver
+                # redistribution and ray binning break it (and with it
+                # the argsort-free tail flush).
+                st, accum = run_loop(
+                    st, accum, make_steps(salt, kpp), kpp_s=kpp,
+                    first_check=first_check, max_steps=max_steps,
+                    state_sorted=bin_box is None,
+                    finish=(make_finish(salt, kpp)
+                            if one_shot == "on" else None))
             flush_div = kpp
         # Flush this chunk's remaining radiance into the accumulator.
         accum = accum.at[:, st.pixel[0] // flush_div].add(st.radiance_sum)
