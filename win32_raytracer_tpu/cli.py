@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lanes-per-pixel", type=int, default=0,
                    help="persistent scheduler: replica lanes per pixel "
                         "(0 = auto; must divide samples)")
+    p.add_argument("--one-shot", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="device-side while_loop render loops for "
+                        "dispatch-bound chunks/tails (persistent "
+                        "scheduler; auto = on unless binning or an "
+                        "explicit pallas scatter needs the host loop)")
     p.add_argument("--adaptive", default="off", choices=["off", "on"],
                    help="difficulty-adaptive lane allocation: a quota-1 "
                         "prepass measures per-pixel path length, the "
@@ -134,6 +140,7 @@ def main(argv=None) -> int:
         scheduler=args.scheduler,
         lanes_per_pixel=args.lanes_per_pixel, stratify=args.stratify,
         adaptive_alloc=args.adaptive,
+        one_shot=args.one_shot,
         russian_roulette=args.russian_roulette,
     )
     if args.textbook:
