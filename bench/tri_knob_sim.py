@@ -702,11 +702,13 @@ def main():
     if "--dda" in sys.argv:
         dda_expansion_sweep(
             scene, snaps, rb=int(os.environ.get("TKS_RB", 512)),
+            st_rows=int(os.environ.get("TKS_ST", 32)),
             grid_n=int(os.environ.get("TKS_G", 4)),
             k_max=int(os.environ.get("TKS_K", 8)))
         return
     if "--capped" in sys.argv:
         capped_key_sweep(scene, snaps,
+                         st_rows=int(os.environ.get("TKS_ST", 32)),
                          rb=int(os.environ.get("TKS_RB", 512)))
         return
 
