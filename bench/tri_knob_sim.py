@@ -161,12 +161,20 @@ _ORACLE_CACHE: dict = {}
 
 def oracle_ts(scene, depth, o_a, d_a, tm_a):
     """(t_sph, best_a) for one snapshot's alive lanes — the slow jnp
-    sphere + grid sweeps, disk-cached per (resolution, depth) since
-    every sweep mode needs the same occlusion oracle."""
-    key = (W, H, depth)
+    sphere + grid sweeps, disk-cached per (resolution, depth, snapshot
+    content) since every sweep mode needs the same occlusion oracle.
+    The content fingerprint keeps a regenerated snapshot set (new scene
+    builder, new seed) from silently reusing a stale oracle whose lane
+    arrays no longer correspond."""
+    import hashlib
+    fp = hashlib.sha1()
+    fp.update(np.ascontiguousarray(o_a).tobytes())
+    fp.update(np.ascontiguousarray(d_a).tobytes())
+    fp = fp.hexdigest()[:12]
+    key = (W, H, depth, fp)
     if key in _ORACLE_CACHE:
         return _ORACLE_CACHE[key]
-    path = f"/tmp/tks_oracle_{W}x{H}_d{depth}.npz"
+    path = f"/tmp/tks_oracle_{W}x{H}_d{depth}_{fp}.npz"
     if os.path.exists(path):
         with np.load(path) as z:
             out = (z["t_sph"], z["best_a"])
@@ -538,8 +546,12 @@ def dda_expansion_sweep(scene, snaps, st_rows=32, rb=512, grid_n=4,
             idx = np.flatnonzero(new)
             pair_cell.append(ci[idx])
             pair_lane.append(idx)
-        # full-segment pairs sort last (sentinel cell id): each block of
-        # them unions every cell its lanes' chords touch
+        # Full-segment pairs carry their lane's FIRST cell as sort key —
+        # that is what the kernel does (tri_dda.dda_pairs slot 0 keeps
+        # keys[0] for overflow lanes) — so they mix into that cell's
+        # regular blocks and their whole-chord union pollutes it.  (An
+        # earlier sentinel-keyed model concentrated them in trailing
+        # blocks and under-modeled pollution in overflow-heavy regimes.)
         over_idx = np.flatnonzero(over)
         over_sets = [np.fromiter(overflow_cells[li], np.int64)
                      for li in over_idx]
@@ -548,22 +560,24 @@ def dda_expansion_sweep(scene, snaps, st_rows=32, rb=512, grid_n=4,
             head = cells_visited[:, li]
             over_sets[j] = np.unique(np.concatenate(
                 [over_sets[j], head[head >= 0]]))
-        pc = np.concatenate(pair_cell
-                            + [np.full(n_over, n_cells, np.int64)])
+        over_first = cells_visited[0, over_idx]
+        pc = np.concatenate(pair_cell + [over_first])
         pl = np.concatenate(pair_lane + [over_idx])
+        pf = np.concatenate([np.zeros(len(x), bool) for x in pair_cell]
+                            + [np.ones(n_over, bool)])
         tot_pairs_per_lane.append(len(pc) / n)
         order = np.argsort(pc, kind="stable")
-        pc, pl = pc[order], pl[order]
+        pc, pl, pf = pc[order], pl[order], pf[order]
         n_pairs = len(pc)
         over_rank = {int(li): j for j, li in enumerate(over_idx)}
         # blocks of rb pairs; block cost = union of distinct cells'
-        # tiles; full-segment (sentinel) pairs union their whole chord
+        # tiles; full-segment pairs union their whole chord
         dda_vis = 0
         for b0 in range(0, n_pairs, rb):
-            bc, bl = pc[b0:b0 + rb], pl[b0:b0 + rb]
-            cs = np.unique(bc[bc < n_cells])
+            bc, bl, bf = pc[b0:b0 + rb], pl[b0:b0 + rb], pf[b0:b0 + rb]
+            cs = np.unique(bc[~bf])
             mask = cell_tiles[cs].any(axis=0)
-            for li in bl[bc == n_cells]:
+            for li in bl[bf]:
                 mask = mask | cell_tiles[
                     over_sets[over_rank[int(li)]]].any(axis=0)
             dda_vis += int(mask.sum())

@@ -360,6 +360,18 @@ def test_one_shot_conflicts_raise():
                                              adaptive_cfg))
     assert img.shape == (16, 32, 3) and np.isfinite(img).all()
 
+    # tri_rebin is a conflict even though it DISABLES driver-level
+    # binning (_derive_bin_box returns None there): the exclusion must
+    # probe the cfg/scene directly, not bin_box (round-2 regression —
+    # the dead bin_box check silently ran rebin renders one-shot).
+    for mode in ("on", "dda"):
+        rebin_cfg = RenderConfig(width=32, height=16, samples=8, seed=2,
+                                 backend="jnp", accel="grid",
+                                 ray_binning="off", tri_rebin=mode,
+                                 one_shot="on")
+        with pytest.raises(ValueError, match="one_shot"):
+            render_image_persistent(scene, None, rebin_cfg)
+
 
 def test_one_shot_tail_finisher_above_floor(monkeypatch):
     """Chunks above the compaction floor keep the host loop (compaction

@@ -448,3 +448,21 @@ def test_tri_dda_render_matches_off():
                   - np.sqrt(np.clip(base, 0, 1)))
     assert diff.mean() < 2e-3, diff.mean()
     assert (diff > 8 / 255).mean() < 0.01, (diff > 8 / 255).mean()
+
+
+def test_tri_knob_validation():
+    """Bad tri_rebin / tri_dda_k values raise instead of silently
+    running the production path (an unvalidated 'ON' typo used to
+    behave as 'off' with driver binning still active)."""
+    from win32_raytracer_tpu.config import RenderConfig
+    from win32_raytracer_tpu.kernels.dispatch import get_hit_fn_rows_accel
+
+    scene = _mesh(3)
+    cfg = RenderConfig(width=32, height=16, samples=4, backend="jnp",
+                       accel="grid", tri_rebin="ON")
+    with pytest.raises(ValueError, match="tri_rebin"):
+        get_hit_fn_rows_accel(cfg, scene, None)
+    cfg2 = RenderConfig(width=32, height=16, samples=4, backend="jnp",
+                        accel="grid", tri_dda_k=-1)
+    with pytest.raises(ValueError, match="tri_dda_k"):
+        get_hit_fn_rows_accel(cfg2, scene, None)

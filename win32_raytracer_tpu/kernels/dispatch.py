@@ -70,36 +70,22 @@ def _pallas_v4_rb2048(scene, o, d, t, min_t=0.001):
     return hit_spheres_pallas_v4(scene, o, d, t, min_t=min_t, ray_block=2048)
 
 
-@functools.lru_cache(maxsize=16)
-def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True, rebin=False,
-                 dda_k=0):
-    """Rows hit fn for scenes whose triangle side carries a TriGridScene.
-
-    For composites the (cheap) sphere pass runs first and its nearest t
-    CAPS the triangle block mask — a sphere hit occludes every farther
-    tile.  ``ray_block`` 0 = the kernel default; ``early_exit`` = the
-    front-to-back in-kernel stop (cfg.tri_early_exit); ``rebin`` = the
-    two-phase occlusion-capped working-set sort (cfg.tri_rebin,
-    kernels/tri_rebin.py).  Cached: hit fns are static jit args
-    downstream."""
-    from ..ops.rows import combine_hits_rows
-    from .tri_grid_rows import (
-        DEFAULT_TRI_GRID_RAY_BLOCK, hit_triangles_grid_rows,
-    )
-
-    rb = ray_block or DEFAULT_TRI_GRID_RAY_BLOCK
+def _make_tri_pass(kernel, rb, rebin, dda_k, **kernel_kw):
+    """Triangle-pass wrapper over a grid-sweep ``kernel``, shared by the
+    Pallas and jnp twins (the jnp path is the CI/verification oracle, so
+    the rebin/dda wiring must be literally the same code): three-way
+    branch between the plain sweep, the occlusion-capped working-set
+    sort (kernels/tri_rebin.py), and DDA macro-cell expansion
+    (kernels/tri_dda.py).  ``kernel_kw`` forwards kernel-specific knobs
+    (the Pallas sweep's ``early_exit``)."""
+    def tf(g, o2, d2, t2, min_t=0.001, t_cap=None):
+        return kernel(g, o2, d2, t2, min_t=min_t, t_cap=t_cap,
+                      ray_block=rb, **kernel_kw)
 
     def tri_pass(grid, o, d, t, min_t, t_cap):
         if rebin in ("on", "dda"):
             if t_cap is None:
                 t_cap = jnp.full_like(o[:1], np.float32(3.4e38))
-
-            def tf(g, o2, d2, t2, min_t=0.001, t_cap=None):
-                return hit_triangles_grid_rows(g, o2, d2, t2,
-                                               min_t=min_t, t_cap=t_cap,
-                                               ray_block=rb,
-                                               early_exit=early_exit)
-
             if rebin == "dda":
                 from .tri_dda import dda_tri_pass
                 kw = {"k_max": dda_k} if dda_k else {}
@@ -107,12 +93,18 @@ def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True, rebin=False,
                                     min_t=min_t, **kw)
             from .tri_rebin import sorted_tri_pass
             return sorted_tri_pass(tf, grid, o, d, t, t_cap, min_t=min_t)
-        return hit_triangles_grid_rows(grid, o, d, t, min_t=min_t,
-                                       t_cap=t_cap, ray_block=rb,
-                                       early_exit=early_exit)
+        return tf(grid, o, d, t, min_t=min_t, t_cap=t_cap)
+    return tri_pass
+
+
+def _make_composite(sphere_fn, tri_pass):
+    """Rows hit fn over a (spheres?, TriGridScene) composite: the cheap
+    sphere pass runs first and its nearest t CAPS the triangle block
+    mask — a sphere hit occludes every farther tile."""
+    from ..ops.rows import combine_hits_rows
+    from ..tri_accel import TriGridScene
 
     def composite(sc, o, d, t, min_t=0.001):
-        from ..tri_accel import TriGridScene
         if isinstance(sc, TriGridScene):
             return tri_pass(sc, o, d, t, min_t, None)
         if sc.spheres is None:
@@ -122,6 +114,26 @@ def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True, rebin=False,
         return combine_hits_rows(rec, rec_t,
                                  idx_offset_b=sc.spheres.padded_size)
     return composite
+
+
+@functools.lru_cache(maxsize=16)
+def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True, rebin=False,
+                 dda_k=0):
+    """Rows hit fn for scenes whose triangle side carries a TriGridScene.
+
+    ``ray_block`` 0 = the kernel default; ``early_exit`` = the
+    front-to-back in-kernel stop (cfg.tri_early_exit); ``rebin`` = the
+    two-phase occlusion-capped working-set sort (cfg.tri_rebin,
+    kernels/tri_rebin.py).  Cached: hit fns are static jit args
+    downstream."""
+    from .tri_grid_rows import (
+        DEFAULT_TRI_GRID_RAY_BLOCK, hit_triangles_grid_rows,
+    )
+
+    rb = ray_block or DEFAULT_TRI_GRID_RAY_BLOCK
+    tri_pass = _make_tri_pass(hit_triangles_grid_rows, rb, rebin, dda_k,
+                              early_exit=early_exit)
+    return _make_composite(sphere_fn, tri_pass)
 
 
 @functools.lru_cache(maxsize=16)
@@ -130,43 +142,13 @@ def _tri_grid_fn_jnp(ray_block=0, rebin=False, dda_k=0):
     (tri_accel.hit_triangles_grid_rows_jnp) with the jnp column-oracle
     sphere pass capping the triangle mask.  Cached: static jit args."""
     from ..ops.hit import hit_spheres
-    from ..ops.rows import combine_hits_rows, hit_rows_adapter
-    from ..tri_accel import TriGridScene, hit_triangles_grid_rows_jnp
+    from ..ops.rows import hit_rows_adapter
+    from ..tri_accel import hit_triangles_grid_rows_jnp
 
     rb = ray_block or 512
     sphere_fn = hit_rows_adapter(hit_spheres)
-
-    def tri_pass(grid, o, d, t, min_t, t_cap):
-        if rebin in ("on", "dda"):
-            if t_cap is None:
-                t_cap = jnp.full_like(o[:1], np.float32(3.4e38))
-
-            def tf(g, o2, d2, t2, min_t=0.001, t_cap=None):
-                return hit_triangles_grid_rows_jnp(g, o2, d2, t2,
-                                                   min_t=min_t,
-                                                   t_cap=t_cap,
-                                                   ray_block=rb)
-
-            if rebin == "dda":
-                from .tri_dda import dda_tri_pass
-                kw = {"k_max": dda_k} if dda_k else {}
-                return dda_tri_pass(tf, grid, o, d, t, t_cap,
-                                    min_t=min_t, **kw)
-            from .tri_rebin import sorted_tri_pass
-            return sorted_tri_pass(tf, grid, o, d, t, t_cap, min_t=min_t)
-        return hit_triangles_grid_rows_jnp(grid, o, d, t, min_t=min_t,
-                                           t_cap=t_cap, ray_block=rb)
-
-    def composite(sc, o, d, t, min_t=0.001):
-        if isinstance(sc, TriGridScene):
-            return tri_pass(sc, o, d, t, min_t, None)
-        if sc.spheres is None:
-            return tri_pass(sc.triangles, o, d, t, min_t, None)
-        rec = sphere_fn(sc.spheres, o, d, t, min_t=min_t)
-        rec_t = tri_pass(sc.triangles, o, d, t, min_t, rec.t)
-        return combine_hits_rows(rec, rec_t,
-                                 idx_offset_b=sc.spheres.padded_size)
-    return composite
+    tri_pass = _make_tri_pass(hit_triangles_grid_rows_jnp, rb, rebin, dda_k)
+    return _make_composite(sphere_fn, tri_pass)
 
 
 def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
@@ -192,6 +174,13 @@ def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
     from ..scene.spheres import SphereScene
     from ..scene.triangles import TriangleScene
 
+    if cfg.tri_rebin not in ("auto", "on", "dda", "off"):
+        raise ValueError(
+            f"tri_rebin must be auto|on|dda|off, got {cfg.tri_rebin!r}")
+    if cfg.tri_dda_k < 0:
+        raise ValueError(
+            f"tri_dda_k must be >= 0 (0 = kernel default), got "
+            f"{cfg.tri_dda_k}")
     backend = _resolve_backend(cfg, platform)
     if (cfg.accel == "grid" and backend == "pallas"
             and isinstance(scene, SphereScene)):

@@ -195,7 +195,9 @@ def dda_tri_pass(tri_fn, grid, o, d, time, t_cap, g_cells=8, k_max=4,
     merged = {"hit": any_hit[None],
               "t": jnp.where(any_hit, t_best, f32_max)[None]}
     for f, rows_n, dt in layout:
-        v = jnp.einsum("kn,rkn->rn", onehot,
-                       cols[f].astype(jnp.float32))
-        merged[f] = v.astype(dt) if dt != jnp.float32 else v
+        # Contract in the field's OWN dtype: integer fields (idx,
+        # mat_id) routed through a float32 one-hot would silently round
+        # above 2^24 (a ~16.8M-triangle mesh corrupts winning indices);
+        # an int32 einsum over K slots is exact and stays a cheap VPU op.
+        merged[f] = jnp.einsum("kn,rkn->rn", onehot.astype(dt), cols[f])
     return HitRecordRows(**merged)

@@ -34,6 +34,7 @@ from ..config import RenderConfig
 from .. import persistent as _P
 from ..persistent import (
     PathState, _COMPACT_FLOOR, _COMPACT_SHRINK, _MULTI_K, _bin_sort_core,
+    _tri_rebin_active,
     _compact_core, _derive_bin_box, _grid_size, _hit_core, _next_pow2,
     _resolve_kpp, _respawn_core, _scatter_core, _split,
 )
@@ -400,7 +401,8 @@ def render_image_persistent_sharded(
     if one_shot not in ("auto", "on", "off"):
         raise ValueError(f"one_shot must be auto|on|off, got {one_shot!r}")
     _os_conflicts = [name for hit, name in (
-        (bin_box is not None, "ray binning / tri rebin"),
+        (bin_box is not None, "ray binning"),
+        (_tri_rebin_active(cfg, scene), "tri_rebin working-set sorts"),
         (backend == "pallas" and cfg.scatter_backend == "pallas",
          "scatter_backend='pallas'"),
     ) if hit]

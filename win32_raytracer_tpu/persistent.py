@@ -588,6 +588,19 @@ _bin_sort = functools.partial(
     jax.jit, static_argnames=("box", "key_variant"))(_bin_sort_core)
 
 
+def _tri_rebin_active(cfg, scene):
+    """True when the two-phase triangle working-set rebin (cfg.tri_rebin
+    'on'/'dda', kernels/tri_rebin.py) applies to this scene — i.e. the
+    triangle side carries a TriGridScene.  Shared by _derive_bin_box and
+    both drivers' one_shot conflict checks (checking ``bin_box`` alone
+    misses it: _derive_bin_box deliberately returns None under tri
+    rebin, so the conflict must probe the cfg/scene directly)."""
+    from .tri_accel import TriGridScene
+    g = scene if isinstance(scene, TriGridScene) else getattr(
+        scene, "triangles", None)
+    return isinstance(g, TriGridScene) and cfg.tri_rebin in ("on", "dda")
+
+
 def _derive_bin_box(cfg, scene):
     """Ray-binning AABB: on (auto) whenever the scene carries a
     block-schedule accel structure whose mask needs coherent blocks (see
@@ -599,7 +612,7 @@ def _derive_bin_box(cfg, scene):
     from .tri_accel import TriGridScene
     g = scene if isinstance(scene, TriGridScene) else getattr(
         scene, "triangles", None)
-    if isinstance(g, TriGridScene) and cfg.tri_rebin in ("on", "dda"):
+    if _tri_rebin_active(cfg, scene):
         # The two-phase hit fn sorts its own working set with occlusion
         # knowledge (kernels/tri_rebin.py); driver-level state binning
         # would just pay a redundant 19-row sort on top.
@@ -813,7 +826,8 @@ def render_image_persistent(
     if one_shot not in ("auto", "on", "off"):
         raise ValueError(f"one_shot must be auto|on|off, got {one_shot!r}")
     _os_conflicts = [name for cond, name in (
-        (bin_box is not None, "ray binning / tri rebin"),
+        (bin_box is not None, "ray binning"),
+        (_tri_rebin_active(cfg, scene), "tri_rebin working-set sorts"),
         (use_pallas_scatter, "scatter_backend='pallas'"),
     ) if cond]
     if one_shot == "on" and _os_conflicts:
