@@ -45,23 +45,16 @@ def _require_axon_relay(window_s: float = 1800.0) -> None:
     idle time), but bounded so the caller always gets an exit.  Only
     applies to the axon platform; direct-TPU environments skip the
     check."""
-    import socket
-
     if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
         return
 
-    def up():
-        for p in range(8080, 8221):
-            s = socket.socket()
-            s.settimeout(0.4)
-            try:
-                s.connect(("127.0.0.1", p))
-                return True
-            except OSError:
-                pass
-            finally:
-                s.close()
-        return False
+    # bench.py shadows the bench/ directory as a module name, so pull
+    # the shared probe in by path (same module name worker.py uses).
+    probe_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench")
+    if probe_dir not in sys.path:
+        sys.path.insert(0, probe_dir)
+    from relay_probe import relay_port_up as up
 
     deadline = time.monotonic() + window_s
     t0 = time.monotonic()

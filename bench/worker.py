@@ -42,20 +42,10 @@ def _relay_port():
     while the listener is gone burns ~50 min per compile inside the C++
     retry loop (docs/axon_runtime_notes.md #20a) — never touch the
     device without this returning a port."""
-    import socket
+    from relay_probe import relay_port_up
     if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
         return -1  # direct-TPU / CPU environments: no relay to wait for
-    for p in range(8080, 8221):
-        s = socket.socket()
-        s.settimeout(0.4)
-        try:
-            s.connect(("127.0.0.1", p))
-            return p
-        except OSError:
-            pass
-        finally:
-            s.close()
-    return None
+    return relay_port_up()
 
 
 while _relay_port() is None:
