@@ -144,17 +144,19 @@ class RenderConfig:
     # match rebin-off exactly (cross-tile tie rule aside).  "dda" goes
     # further (kernels/tri_dda.py): lanes EXPAND into the macro cells
     # their capped chord visits (fixed K slots) and the pair list sorts
-    # by cell, so every ray block covers ~one cell — sim: 1.2-1.8x less
-    # modeled cost than "on" at G=8, K-dependent (tri_knob_sim --dda,
-    # tri_dda_k below).  "auto" = off until the chip A/B decides.
+    # by cell, so every ray block covers ~one cell — the corrected
+    # overflow model gives it only ~1.18x over "on" at matched knobs
+    # (K=12, St=16, RB=128; losses at K=4 or RB=512 — tri_knob_sim
+    # --dda).  "auto" = off until the chip A/B decides.
     tri_rebin: str = "auto"  # "auto" | "on" | "dda" | "off"
     # Pair slots per lane for tri_rebin="dda" (kernels/tri_dda.py
     # k_max).  Lanes whose capped chord spans more macro-cells fall
-    # back to one full-segment pair, so small K stays exact but sorts
-    # overflow lanes as impure blocks: the overflow-aware sim models
-    # 1.82x (K=12, ~1% overflow) vs 1.20x (K=4, 8-30% overflow) over
-    # tri_rebin="on" — K trades that against a K*lanes pair working
-    # set (tri_knob_sim --dda).  0 = the kernel default (4).
+    # back to one full-segment pair, so small K stays exact but mixes
+    # whole-chord unions into their first cell's blocks: the corrected
+    # sim models 1.18x (K=12, St=16, RB=128) vs 0.77x — a LOSS —
+    # (K=4, RB=512) over tri_rebin="on" at matched knobs; K trades
+    # gain against a K*lanes pair working set (tri_knob_sim --dda).
+    # 0 = the kernel default (4).
     tri_dda_k: int = 0
     # Wavefront chunk size (lanes in flight per jit call).  4M lanes =
     # ~280 MB of state: one-chunk renders up to ~1200x800 with 4

@@ -19,12 +19,14 @@ takes the next step the TPU way — still no new kernels:
    [min_t, cap] window IS the interval (t corrected back after), then
    merge the K slots per lane by nearest-t and unsort by lane index
 
-Offline prediction at G=8 (tri_knob_sim --dda, overflow lanes modeled
-as the full-segment fallback): 1.82x less modeled pair+merge cost than
-the capped-key block scheme at K=12 (2.7x at depth 1), but only 1.20x
-at the K=4 default, where 8-30% of lanes overflow and their
-full-segment pairs re-pollute blocks.  cfg.tri_dda_k picks K; the chip
-prices K against the K*N working set.
+Offline prediction at G=8 (tri_knob_sim --dda, corrected model:
+overflow pairs keyed by their first cell, as dda_pairs emits them):
+only ~1.18x less modeled pair+merge cost than the capped-key block
+scheme at matched knobs (K=12, St=16, RB=128), and modeled LOSSES at
+K=4 or RB=512 where overflow/duplicate-merge costs dominate — most of
+the earlier claimed win belonged to RB=128/St=16 themselves, which
+help the capped sort too.  cfg.tri_dda_k picks K; the chip prices the
+per-block fixed costs the pair-count model can't see (tpu_jobs 439).
 
 Exactness: every pair's mask window covers its chord interval, the
 intervals tile the capped chord, and the winning hit lies in one of
