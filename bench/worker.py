@@ -99,6 +99,12 @@ while True:
     finally:
         sys.stdout, sys.stderr = orig_out, orig_err
     dt = time.perf_counter() - t0
+    if status == "error" and _relay_port() is None:
+        # The job died WHILE the relay was absent (it flapped mid-job):
+        # the failure is the outage's, not the job's.  Keep the job
+        # queued instead of burning a queued A/B per ~50 min C++ retry
+        # cycle on a flapping relay.
+        status = "retry (relay vanished mid-job)"
     if status.startswith("retry"):
         print(f"{name}: {status}; sleeping 60s (file kept)", flush=True)
         time.sleep(60.0)
