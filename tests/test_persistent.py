@@ -399,3 +399,52 @@ def test_one_shot_tail_finisher_above_floor(monkeypatch):
     ref = np.asarray(render_image(scene, None, cfg))
     d2 = np.abs(np.sqrt(np.clip(fin, 0, 1)) - np.sqrt(np.clip(ref, 0, 1)))
     assert d2.mean() < 0.03, d2.mean()
+
+
+def test_compact_tail_sorted_flush_exact_across_compactions():
+    """Two successive tail_sorted compactions: the composite (dead,
+    pixel) key must keep every flush's segment indices ascending and
+    the per-pixel radiance accounting exact.  Regression: a dead-bit-
+    only key interleaved newly-dead and retained-dead pixels from the
+    second compaction on while still promising sorted indices to
+    segment_sum — XLA-undefined on TPU."""
+    from win32_raytracer_tpu.persistent import PathState, _compact_core
+
+    rng = np.random.default_rng(0)
+    n = 64
+    pix = np.arange(n, dtype=np.int32)  # unique pixel per lane
+    alive = rng.random(n) < 0.6
+    rad = rng.random((3, n)).astype(np.float32)
+    st = PathState(
+        origin=jnp.zeros((3, n), jnp.float32),
+        direction=jnp.zeros((3, n), jnp.float32),
+        time=jnp.zeros((1, n), jnp.float32),
+        throughput=jnp.ones((3, n), jnp.float32),
+        radiance_sum=jnp.asarray(rad),
+        depth=jnp.zeros((1, n), jnp.int32),
+        sample=jnp.zeros((1, n), jnp.int32),
+        pixel=jnp.asarray(pix)[None],
+        path_alive=jnp.asarray(alive)[None],
+        s_base=jnp.zeros((1, n), jnp.int32),
+        s_quota=jnp.ones((1, n), jnp.int32),
+    )
+    accum = jnp.zeros((3, n), jnp.float32)
+
+    k1 = int(alive.sum()) + 8  # retain 8 dead lanes in the head
+    st, accum = _compact_core(st, accum, k_new=k1, tail_sorted=True)
+    p1 = np.asarray(st.pixel[0])
+    a1 = np.asarray(st.path_alive[0])
+    assert (np.diff(p1[a1]) > 0).all(), "alive block must stay ascending"
+    assert (np.diff(p1[~a1]) > 0).all(), "retained dead must be ascending"
+
+    # Kill alternating survivors so newly-dead pixels interleave with
+    # the retained-dead block's — the case the old key got wrong.
+    a2 = a1.copy()
+    a2[np.flatnonzero(a2)[::2]] = False
+    st = st._replace(path_alive=jnp.asarray(a2)[None])
+    k2 = int(a2.sum()) + 4
+    st, accum = _compact_core(st, accum, k_new=k2, tail_sorted=True)
+
+    # Driver-style final flush of whatever is still in the batch.
+    accum = accum.at[:, np.asarray(st.pixel[0])].add(st.radiance_sum)
+    np.testing.assert_allclose(np.asarray(accum), rad, rtol=0, atol=0)

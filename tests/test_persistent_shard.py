@@ -174,3 +174,22 @@ def test_sharded_one_shot_conflict_raises():
                        backend="jnp", accel="grid", one_shot="on")
     with pytest.raises(ValueError, match="one_shot"):
         render_image_persistent_sharded(scene, None, cfg, make_mesh(4))
+
+
+def test_sharded_sample_accounting_sky_same_shard_wrap():
+    """Height chosen so the short last row-block wraps rows onto the
+    SAME shard that owns block 0 ((ceil(h/8)-1) % d == 0, h % 8 != 0):
+    the wrap dedupe must be first-occurrence-aware WITHIN a shard, or
+    the duplicated rows get quota twice and render ~2x bright
+    (round-2 regression: vectorized ~first_seen marked both copies
+    fresh)."""
+    from win32_raytracer_tpu.scene.camera import make_camera
+    scene = make_test_scene()
+    cam = make_camera((0, 50, 0), (0, 51, 0), (1, 0, 0), 60.0, 2.0, 0.0, 1.0)
+    h = 67  # ceil(67/8) = 9 blocks; block 8 lands on shard 0 and wraps
+    cfg = RenderConfig(width=16, height=h, samples=8, seed=1,
+                       backend="jnp")
+    mesh = make_mesh(8)
+    lin = np.asarray(render_image_persistent_sharded(scene, cam, cfg, mesh))
+    assert lin.min() >= 0.5 - 1e-5 and lin.max() <= 1.0 + 1e-5, (
+        lin.min(), lin.max())

@@ -105,11 +105,8 @@ def render_animation(
     for wavefront renders and non-row mesh shard modes).
     """
     cfg = cfg or RenderConfig()
-    scheduler = cfg.scheduler
-    if scheduler == "auto":
-        scheduler = ("persistent"
-                     if cfg.samples >= 8 and not cfg.deterministic
-                     else "wavefront")
+    from .config import resolve_scheduler
+    scheduler = resolve_scheduler(cfg)
     cameras = list(cameras)
     # Multi-frame batching rides the persistent scheduler: single-chip,
     # or sharded over a mesh (row-block shard modes only — the virtual
@@ -166,7 +163,7 @@ def render_animation(
         from .persistent import _resolve_kpp
 
         per_frame = cfg.width * cfg.height * _resolve_kpp(cfg, cfg.samples)
-        pending = None  # (b0, n, tonemapped device arrays, t_start)
+        pending = None  # (b0, tonemapped device arrays, per-frame ms)
 
         def materialize(p):
             # Frame-by-frame fetch+emit: all transfers were prefetched, so
@@ -174,8 +171,10 @@ def render_animation(
             # i+1.. keep riding the relay — the PNG encode of frame i
             # overlaps the remaining transfers (matters for the last
             # batch, whose transfer has no successor compute to hide in).
-            b0_, n_, dev, t0_ = p
-            ms = (time.perf_counter() - t0_) * 1e3 / n_
+            # ``ms`` was captured when the batch's compute drained (before
+            # the pipeline deferred it behind the next batch) — measuring
+            # here would bill the NEXT batch's render to these frames.
+            b0_, dev, ms = p
             for i, a in enumerate(dev):
                 img = np.asarray(a)              # device->host fetch
                 frames.append(img)
@@ -223,13 +222,18 @@ def render_animation(
             linear = render_batch(scene, group, fcfg)
             dev = [tonemap(linear[i]) for i in range(len(group))]
             prefetch(dev)
+            # Per-frame wall: the render_batch host loop blocks on its
+            # own alive-check syncs, so compute has drained by here (the
+            # prefetched d2h transfer is deliberately excluded — it rides
+            # under the next batch's compute).
+            ms = (time.perf_counter() - t0) * 1e3 / len(group)
             # Materialize the PREVIOUS batch only now: its transfer was
             # prefetched before this batch ran, so the asarray is a wait
             # at worst, and the emit work (PNG encode on the 1-core host)
             # overlaps THIS batch's just-enqueued transfer.
             if pending is not None:
                 materialize(pending)
-            pending = (b0, len(group), dev, t0)
+            pending = (b0, dev, ms)
         if pending is not None:
             materialize(pending)
         return frames

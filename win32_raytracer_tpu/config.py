@@ -219,3 +219,16 @@ class RenderConfig:
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
+
+
+def resolve_scheduler(cfg: RenderConfig, samples: int | None = None) -> str:
+    """The scheduler "auto" rule, shared by render.render, animation
+    batching, and checkpoint pass decomposition (which resolves on the
+    PER-PASS spp): the persistent scheduler earns its compaction
+    machinery at >= 8 samples; deterministic renders stay on the
+    fixed-step wavefront."""
+    if cfg.scheduler != "auto":
+        return cfg.scheduler
+    spp = cfg.samples if samples is None else samples
+    return ("persistent"
+            if spp >= 8 and not cfg.deterministic else "wavefront")

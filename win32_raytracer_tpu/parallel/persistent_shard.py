@@ -380,10 +380,16 @@ def render_image_persistent_sharded(
     kpp = _resolve_kpp(cfg, spp)
     quota = spp // kpp
     adaptive = cfg.adaptive_alloc == "on"
-    if adaptive and not (kpp > 1 and spp > kpp):
+    if adaptive and not (kpp > 1 and spp > kpp and bin_box is None):
+        # Mirror the single-chip gate (persistent.py): with ray binning
+        # active the prepass's bin sorts permute shard lanes every step,
+        # so the est reshape would attribute path lengths to the wrong
+        # pixels — silently inverting the feature's win.
         raise ValueError(
-            "adaptive_alloc='on' needs lanes_per_pixel > 1 and "
-            f"samples > lanes_per_pixel (got kpp={kpp}, samples={spp})")
+            "adaptive_alloc='on' needs an unbinned render with "
+            "lanes_per_pixel > 1 and samples > lanes_per_pixel "
+            f"(got kpp={kpp}, samples={spp}, "
+            f"ray_binning={'active' if bin_box else 'off'})")
     seed = cfg.seed
     cfg = cfg.replace(seed=0)
     check_period = cfg.check_period or 8
@@ -415,12 +421,20 @@ def render_image_persistent_sharded(
     lanes = _interleaved_pixel_lanes(h_virt, w, kpp, d)  # [D, n_local]
     n_local = lanes.shape[1]
     n = d * n_local
-    # Wrapped padding lanes (duplicate pixel ids) get zero quota.
+    # Wrapped padding lanes (duplicate pixel ids) get zero quota.  The
+    # dedupe must be first-occurrence-aware WITHIN a shard too: when the
+    # short last row-block wraps rows 0..k and lands on the shard that
+    # also owns block 0 ((n_blocks-1) % d == 0 with h % block_rows != 0),
+    # both copies of a lane id sit in the same lanes[b] — a vectorized
+    # ~first_seen[lanes[b]] read marks BOTH fresh and those pixels
+    # render 2x their samples (divided by spp once: over-bright rows).
     first_seen = np.zeros(h_virt * w * kpp, bool)
     quota_np = np.zeros((d, n_local), np.int32)
     for b in range(d):
-        fresh = ~first_seen[lanes[b]]
-        first_seen[lanes[b]] |= fresh
+        uniq, first_idx = np.unique(lanes[b], return_index=True)
+        fresh = np.zeros(n_local, bool)
+        fresh[first_idx] = ~first_seen[uniq]
+        first_seen[uniq] = True
         quota_np[b] = np.where(fresh, quota, 0)
 
     spec = jax.NamedSharding(mesh, P(None, "tiles"))

@@ -351,6 +351,38 @@ _COMPACT_FLOOR = 1 << 19     # below this, steps are dispatch-bound: never
                              # compact (it costs more than it saves)
 
 
+def _multisort_state(st: PathState, key: jnp.ndarray, skip=()):
+    """Stable-sort every PathState row by ``key`` in ONE multi-operand
+    ``lax.sort`` (the measured-cheap way to permute the whole state —
+    see _compact_core's cost note).  Returns (sorted key, {field:
+    [sorted rows]}); ``skip`` omits fields the caller reconstructs
+    itself.  Shared by the compactor and the bin sort so the
+    operand-order bookkeeping exists exactly once."""
+    ops = [key]
+    row_fields = []  # (field, n_rows) in operand order
+    for f in PathState._fields:
+        if f in skip:
+            continue
+        arr = getattr(st, f)
+        row_fields.append((f, arr.shape[0]))
+        ops.extend(arr[i] for i in range(arr.shape[0]))
+    out = jax.lax.sort(tuple(ops), dimension=0, num_keys=1, is_stable=True)
+    rest = list(out[1:])
+    cols = {}
+    for f, rows_n in row_fields:
+        cols[f] = rest[:rows_n]
+        rest = rest[rows_n:]
+    return out[0], cols
+
+
+# Pixel-id ceiling for the composite (dead, pixel) compaction sort key:
+# the dead bit rides at this weight inside one int32, so the
+# argsort-free tail flush (tail_sorted) is only enabled when every
+# pixel-lane id fits below it (h_virt * w * kpp < 2^30 — true for any
+# realistic render; a 16K frame at kpp=8 would be the first to exceed).
+_SORT_PIX_LIM = np.int32(1 << 30)
+
+
 def _grid_size(n_alive: int, min_lanes: int) -> int:
     if n_alive >= _COMPACT_FLOOR:
         q = _COMPACT_QUANTUM
@@ -375,10 +407,17 @@ def _compact_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
     segment-summed out.
 
     ``tail_sorted``: promise that ``st.pixel`` is ascending (true above
-    the compaction floor: chunks start pixel-identity and the stable sort
-    preserves survivor order; _split's clone concat and receiver
-    redistribution break it).  Then the dropped tail is ascending too and
-    the flush needs no argsort.
+    the compaction floor: chunks start pixel-identity; _split's clone
+    concat, ray binning, and receiver redistribution break it).  The
+    sort key then becomes the composite (dead, pixel) — same one-int32
+    sort cost, pixel ids stay below ``_SORT_PIX_LIM`` by the driver's
+    guard — so the compacted head is [alive asc][retained-dead asc] and
+    the INVARIANT SURVIVES the compaction itself: both this call's
+    dropped tail and every later compaction's tail stay ascending, and
+    the flushes need no argsort.  (A dead-bit-only key broke this from
+    the second compaction on: newly-dead and retained-dead lanes
+    interleave, and segment_sum(indices_are_sorted=True) on a
+    non-ascending tail is XLA-undefined.)
 
     ``n_receivers`` > 0 enables WORK REDISTRIBUTION (the above-floor
     analogue of _split, docs/perf_roadmap.md lever 1): the LAST
@@ -390,23 +429,14 @@ def _compact_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
     exact (donor keeps quota - give, receiver gets give at
     s_base + kept).  All static shapes: strided slices, no gathers."""
     key = (~st.path_alive[0]).astype(jnp.int32)
-    ops = [key]
-    row_fields = []  # (field, n_rows) in operand order
-    for f in PathState._fields:
-        if f == "path_alive":
-            continue  # recovered from the sorted key
-        arr = getattr(st, f)
-        row_fields.append((f, arr.shape[0]))
-        ops.extend(arr[i] for i in range(arr.shape[0]))
-    out = jax.lax.sort(tuple(ops), dimension=0, num_keys=1, is_stable=True)
-    key_s, rest = out[0], list(out[1:])
-
-    cols = {}
-    for f, rows_n in row_fields:
-        cols[f] = rest[:rows_n]
-        rest = rest[rows_n:]
+    if tail_sorted:
+        key = key * _SORT_PIX_LIM + st.pixel[0]
+    # path_alive is recovered from the sorted key.
+    key_s, cols = _multisort_state(st, key, skip=("path_alive",))
+    alive_s = (key_s[:k_new] < _SORT_PIX_LIM if tail_sorted
+               else key_s[:k_new] == 0)
     new = PathState(*(
-        (key_s[:k_new] == 0)[None] if f == "path_alive"
+        alive_s[None] if f == "path_alive"
         else jnp.stack([r[:k_new] for r in cols[f]])
         for f in PathState._fields))
 
@@ -568,20 +598,8 @@ def _bin_sort_core(st: PathState, *, box, key_variant=None) -> PathState:
     st = st._replace(origin=jnp.where(alive, o, park_o),
                      direction=jnp.where(alive, d, park_d))
 
-    ops = [key]
-    row_fields = []
-    for f in PathState._fields:
-        arr = getattr(st, f)
-        row_fields.append((f, arr.shape[0]))
-        ops.extend(arr[i] for i in range(arr.shape[0]))
-    out = jax.lax.sort(tuple(ops), dimension=0, num_keys=1, is_stable=True)
-    rest = list(out[1:])
-    cols = {}
-    for f, rows_n in row_fields:
-        cols[f] = (jnp.stack(rest[:rows_n]) if rows_n > 1
-                   else rest[0][None])
-        rest = rest[rows_n:]
-    return PathState(**cols)
+    _, cols = _multisort_state(st, key)
+    return PathState(**{f: jnp.stack(rows) for f, rows in cols.items()})
 
 
 _bin_sort = functools.partial(
@@ -1071,7 +1089,8 @@ def render_image_persistent(
                 st, accum, make_steps(salt2, 1), kpp_s=1,
                 first_check=spp_rest // min(cfg.kpp_max, spp_rest) + 2,
                 max_steps=(spp_rest + 1) * (cfg.max_depth + 2),
-                state_sorted=bin_box is None,
+                state_sorted=(bin_box is None
+                              and h_virt * w * kpp < _SORT_PIX_LIM),
                 finish=(make_finish(salt2, 1)
                         if one_shot == "on" else None))
             flush_div = 1
@@ -1104,7 +1123,8 @@ def render_image_persistent(
                 st, accum = run_loop(
                     st, accum, make_steps(salt, kpp), kpp_s=kpp,
                     first_check=first_check, max_steps=max_steps,
-                    state_sorted=bin_box is None,
+                    state_sorted=(bin_box is None
+                                  and h_virt * w * kpp < _SORT_PIX_LIM),
                     finish=(make_finish(salt, kpp)
                             if one_shot == "on" else None))
             flush_div = kpp

@@ -277,11 +277,8 @@ def render(
     cfg = cfg or RenderConfig()
     if cam is None:
         cam = default_camera(cfg.width, cfg.height)
-    scheduler = cfg.scheduler
-    if scheduler == "auto":
-        scheduler = ("persistent"
-                     if cfg.samples >= 8 and not cfg.deterministic
-                     else "wavefront")
+    from .config import resolve_scheduler
+    scheduler = resolve_scheduler(cfg)
     if scheduler == "persistent":
         # The persistent scheduler runs lane-major (ops/rows.py); an
         # explicitly-passed column hit_fn is adapted, otherwise the rows

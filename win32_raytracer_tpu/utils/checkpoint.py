@@ -36,7 +36,10 @@ from ..render import render_image, tonemap
 from ..scene.camera import Camera, default_camera
 from ..scene.spheres import SphereScene
 
-_FORMAT = 2
+# 3: + rays_per_chunk / lanes_per_pixel (chunk boundaries and lane
+# encoding feed the per-chunk draw salts, so the documented bit-exact
+# resume guarantee depends on them matching across invocations).
+_FORMAT = 3
 
 
 class _Budget(Exception):
@@ -53,7 +56,7 @@ def load_checkpoint(path: str):
     if not os.path.exists(path):
         return None
     with np.load(path, allow_pickle=False) as z:
-        if int(z["format"]) not in (1, _FORMAT):
+        if int(z["format"]) not in (1, 2, _FORMAT):
             raise ValueError(f"unsupported checkpoint format {z['format']}")
         meta = dict(width=int(z["width"]), height=int(z["height"]),
                     samples=int(z["samples"]), seed=int(z["seed"]),
@@ -62,6 +65,9 @@ def load_checkpoint(path: str):
         if int(z["format"]) >= 2 and z["chunk_accum"].size:
             meta["chunk_accum"] = np.asarray(z["chunk_accum"], np.float32)
             meta["chunk_y0"] = int(z["chunk_y0"])
+        if int(z["format"]) >= 3:
+            meta["rays_per_chunk"] = int(z["rays_per_chunk"])
+            meta["lanes_per_pixel"] = int(z["lanes_per_pixel"])
         return np.asarray(z["accum"], np.float64), int(z["passes_done"]), meta
 
 
@@ -73,6 +79,8 @@ def _save(path: str, accum: np.ndarray, passes_done: int,
     np.savez(tmp, format=_FORMAT, accum=accum, passes_done=passes_done,
              width=cfg.width, height=cfg.height, samples=cfg.samples,
              seed=cfg.seed, passes=passes,
+             rays_per_chunk=cfg.rays_per_chunk,
+             lanes_per_pixel=cfg.lanes_per_pixel,
              chunk_accum=(np.zeros(0, np.float32) if chunk_accum is None
                           else chunk_accum),
              chunk_y0=chunk_y0)
@@ -80,11 +88,9 @@ def _save(path: str, accum: np.ndarray, passes_done: int,
 
 
 def _resolve_scheduler(cfg: RenderConfig, spp_pass: int) -> str:
-    """Mirror render.render's auto rule, on the PER-PASS spp."""
-    if cfg.scheduler != "auto":
-        return cfg.scheduler
-    return ("persistent"
-            if spp_pass >= 8 and not cfg.deterministic else "wavefront")
+    """render.render's auto rule, on the PER-PASS spp."""
+    from ..config import resolve_scheduler
+    return resolve_scheduler(cfg, spp_pass)
 
 
 def render_with_checkpoints(
@@ -140,10 +146,26 @@ def render_with_checkpoints(
                 "chunk_checkpoints is single-chip only (the sharded "
                 "driver has no row-chunk cut points); mesh renders "
                 "checkpoint at pass granularity")
+    elif chunk_checkpoints and scheduler != "persistent":
+        # Same contract as the mesh branch: refuse instead of silently
+        # running unbounded (the wavefront path has no chunk callback,
+        # so a caller's chunk budget would never decrement).
+        raise ValueError(
+            "chunk_checkpoints/max_chunks_per_run need the persistent "
+            f"scheduler; per-pass spp {spp_pass} resolves "
+            f"{scheduler!r} — use more samples, fewer passes, or "
+            "scheduler='persistent'")
 
     if hit_fn is None and scheduler == "wavefront":
         from ..kernels.dispatch import get_hit_fn
         hit_fn = get_hit_fn(cfg)
+    elif hit_fn is not None and scheduler == "persistent":
+        # The persistent drivers (single-chip and sharded) run lane-major
+        # (ops/rows.py): adapt an explicitly-passed column hit_fn the
+        # same way render.render does (render.py:292), or it would
+        # receive transposed [3, N] args.
+        from ..ops.rows import hit_rows_adapter
+        hit_fn = hit_rows_adapter(hit_fn)
 
     state = load_checkpoint(checkpoint_path)
     if state is not None:
@@ -152,6 +174,19 @@ def render_with_checkpoints(
                 meta["passes"]) != (cfg.width, cfg.height, cfg.samples,
                                     cfg.seed, passes):
             raise ValueError("checkpoint does not match this render config")
+        if "rays_per_chunk" in meta and (
+                (meta["rays_per_chunk"], meta["lanes_per_pixel"])
+                != (cfg.rays_per_chunk, cfg.lanes_per_pixel)):
+            # Chunk boundaries and lane encoding feed the per-chunk draw
+            # salts: resuming with different values still completes a
+            # correct render but silently breaks the documented
+            # bit-exact-resume guarantee — refuse instead.
+            raise ValueError(
+                "checkpoint was written with rays_per_chunk="
+                f"{meta['rays_per_chunk']}, lanes_per_pixel="
+                f"{meta['lanes_per_pixel']}; resuming with "
+                f"({cfg.rays_per_chunk}, {cfg.lanes_per_pixel}) would "
+                "not be bit-exact")
         chunk_accum, chunk_y0 = meta["chunk_accum"], meta["chunk_y0"]
     else:
         accum = np.zeros((cfg.height, cfg.width, 3), np.float64)
