@@ -66,15 +66,10 @@ def dda_pairs(scene_box, o, d, t_cap, g_cells=8, k_max=4, min_t=0.001):
                        np.float32(1e-6)) / g_cells for ax in range(3)]
     dn = [jnp.where(jnp.abs(d[ax]) < eps,
                     jnp.where(d[ax] < 0, -eps, eps), d[ax])
-          for ax in range(3)]
-    lo_t = jnp.full_like(o[0], np.float32(min_t))
-    hi_t = jnp.full_like(o[0], np.float32(1e8))
-    for ax in range(3):
-        ta = (scene_box[2 * ax] - o[ax]) / dn[ax]
-        tb = (scene_box[2 * ax + 1] - o[ax]) / dn[ax]
-        lo_t = jnp.maximum(lo_t, jnp.minimum(ta, tb))
-        hi_t = jnp.minimum(hi_t, jnp.maximum(ta, tb))
-    hi_c = jnp.minimum(hi_t, t_cap)
+          for ax in range(3)]  # kept for the DDA boundary stepping
+    from ..tri_accel import clip_segment_to_box
+    lo_t, hi_c = clip_segment_to_box(scene_box, o, d, t_cap=t_cap,
+                                     min_t=min_t)
     touch = hi_c >= lo_t
 
     keys, los, his = [], [], []

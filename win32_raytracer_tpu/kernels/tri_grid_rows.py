@@ -216,8 +216,11 @@ def _tri_grid_raw(rays7, tile_attrs, tile_coeffs, mask, tlo, *, n_tiles, st,
                      memory_space=pltpu.VMEM),
     ]
     if use_mxu:
+        # n_terms must match the limb stacking baked into the grid's
+        # tile_coeffs (tri_accel.build_tri_grid uses _N_TERMS_TRI).
+        from .tri_pallas_mxu import _N_TERMS_TRI
         kernel = functools.partial(_tri_grid_kernel_mxu, st=st,
-                                   min_t=min_t, n_terms=6,
+                                   min_t=min_t, n_terms=_N_TERMS_TRI,
                                    early_exit=early_exit)
         k = tile_coeffs.shape[1]
         in_specs.append(
@@ -314,23 +317,8 @@ def hit_triangles_grid_rows(
     t_out = jnp.concatenate(outs_t, axis=1) if len(outs_t) > 1 else outs_t[0]
     g = jnp.concatenate(outs_g, axis=1) if len(outs_g) > 1 else outs_g[0]
 
-    hit = t_out < F32_MAX
-    t_safe = jnp.where(hit, t_out, 0.0)
-    point = o + t_safe * d
-    e1 = g[_T_E1X:_T_E1X + 3]
-    e2 = g[_T_E2X:_T_E2X + 3]
-    gx = e1[1:2] * e2[2:3] - e1[2:3] * e2[1:2]
-    gy = e1[2:3] * e2[0:1] - e1[0:1] * e2[2:3]
-    gz = e1[0:1] * e2[1:2] - e1[1:2] * e2[0:1]
-    norm = jnp.sqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
-    normal = jnp.concatenate([gx, gy, gz], axis=0) / norm
-    rec = HitRecordRows(
-        hit=hit, t=t_out, point=point, normal=normal,
-        idx=g[_T_IDX:_T_IDX + 1].astype(jnp.int32),
-        mat_id=g[_T_MAT:_T_MAT + 1].astype(jnp.int32),
-        albedo=g[_T_ALR:_T_ALB + 1],
-        fuzz=g[_T_FUZZ:_T_FUZZ + 1], ior=g[_T_IOR:_T_IOR + 1],
-    )
+    from ..ops.hit_tri import tri_record_rows_from_gather
+    rec = tri_record_rows_from_gather(o, d, t_out, g)
     if pad:
         rec = HitRecordRows(*(x[:, :n] for x in rec))
     return rec

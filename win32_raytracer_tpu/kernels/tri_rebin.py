@@ -53,20 +53,12 @@ def capped_chord_keys(scene_box, o, d, t_cap, min_t=0.001):
     grid AABB.  ``scene_box`` = TriGridScene.scene_box, the [6] array
     (lo_x, hi_x, lo_y, hi_y, lo_z, hi_z) — traced, so the hit fn stays
     scene-generic under jit."""
-    eps = np.float32(1e-12)
+    from ..tri_accel import clip_segment_to_box
     lo3 = [scene_box[0], scene_box[2], scene_box[4]]
     inv_ext = [1.0 / jnp.maximum(scene_box[2 * ax + 1] - scene_box[2 * ax],
                                  np.float32(1e-6)) for ax in range(3)]
-    lo_t = jnp.full_like(o[0], np.float32(min_t))
-    hi_t = jnp.full_like(o[0], np.float32(1e8))
-    for ax in range(3):
-        dn = jnp.where(jnp.abs(d[ax]) < eps,
-                       jnp.where(d[ax] < 0, -eps, eps), d[ax])
-        ta = (scene_box[2 * ax] - o[ax]) / dn
-        tb = (scene_box[2 * ax + 1] - o[ax]) / dn
-        lo_t = jnp.maximum(lo_t, jnp.minimum(ta, tb))
-        hi_t = jnp.minimum(hi_t, jnp.maximum(ta, tb))
-    hi_t = jnp.minimum(hi_t, t_cap)
+    lo_t, hi_t = clip_segment_to_box(scene_box, o, d, t_cap=t_cap,
+                                     min_t=min_t)
     no_touch = hi_t < lo_t
 
     def cells4(p):
@@ -116,9 +108,15 @@ def sorted_tri_pass(tri_fn, grid, o, d, time, t_cap, min_t=0.001):
                    jnp.stack([dx, dy, dz]), tm_s[None],
                    min_t=min_t, t_cap=cap_s[None])
     # Inverse permutation via a second sort keyed by the lane index.
+    # ``point`` is NOT carried through the sort: it is o + t*d, so after
+    # unsorting t it reconstructs bitwise-identically from the ORIGINAL
+    # o/d — three FMAs instead of 3 of 16 operand rows of sort
+    # bandwidth on every triangle pass.
     flat = [sidx]
     layout = []  # (field, rows, dtype) to rebuild
     for f, arr in zip(rec_t._fields, rec_t):
+        if f == "point":
+            continue
         layout.append((f, arr.shape[0], arr.dtype))
         for r in range(arr.shape[0]):
             # sort operands must share the key's shape; cast bools to
@@ -136,4 +134,7 @@ def sorted_tri_pass(tri_fn, grid, o, d, time, t_cap, min_t=0.001):
         rest = rest[rows_n:]
         stacked = jnp.stack(rows) if rows_n > 1 else rows[0][None]
         cols[f] = stacked.astype(dt) if dt == jnp.bool_ else stacked
+    # Same miss convention as the kernel epilogue (t_safe = 0 -> origin).
+    t_safe = jnp.where(cols["hit"], cols["t"], 0.0)
+    cols["point"] = o + t_safe * d
     return HitRecordRows(**cols)

@@ -156,3 +156,33 @@ def combine_hits(a: HitRecord, b: HitRecord, idx_offset_b: int = 0) -> HitRecord
         fuzz=jnp.where(take_b, b.fuzz, a.fuzz),
         ior=jnp.where(take_b, b.ior, a.ior),
     )
+
+
+def tri_record_rows_from_gather(o, d, t_out, g):
+    """HitRecordRows assembly from a rows winner-gather: ``t_out``
+    [1, N] nearest t (F32_MAX miss), ``g`` the winner's attr rows
+    ([TRI_ATTR_COLS+, N], _T_* layout).  The SHARED epilogue of the
+    Pallas grid kernel (kernels/tri_grid_rows.hit_triangles_grid_rows)
+    and its jnp oracle (tri_accel.hit_triangles_grid_rows_jnp): the two
+    paths must stay numerically identical for their parity tests to
+    validate the kernel, so the hit flag, point, cross-product normal,
+    and attribute slicing exist exactly once."""
+    from .rows import HitRecordRows
+
+    hit = t_out < F32_MAX
+    t_safe = jnp.where(hit, t_out, 0.0)
+    point = o + t_safe * d
+    e1 = g[_T_E1X:_T_E1X + 3]
+    e2 = g[_T_E2X:_T_E2X + 3]
+    gx = e1[1:2] * e2[2:3] - e1[2:3] * e2[1:2]
+    gy = e1[2:3] * e2[0:1] - e1[0:1] * e2[2:3]
+    gz = e1[0:1] * e2[1:2] - e1[1:2] * e2[0:1]
+    norm = jnp.sqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
+    normal = jnp.concatenate([gx, gy, gz], axis=0) / norm
+    return HitRecordRows(
+        hit=hit, t=t_out, point=point, normal=normal,
+        idx=g[_T_IDX:_T_IDX + 1].astype(jnp.int32),
+        mat_id=g[_T_MAT:_T_MAT + 1].astype(jnp.int32),
+        albedo=g[_T_ALR:_T_ALB + 1],
+        fuzz=g[_T_FUZZ:_T_FUZZ + 1], ior=g[_T_IOR:_T_IOR + 1],
+    )

@@ -84,9 +84,10 @@ class TriGridScene(NamedTuple):
         return self.tile_attrs.shape[0] // self.tile_boxes.shape[0]
 
 
-def _morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray,
-             bits: int = 10) -> np.ndarray:
-    """Interleave three integer grids into Morton codes (u32-safe)."""
+def _morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Interleave three integer grids into Morton codes (u32-safe).
+    Quantization granularity is the caller's clamp (1023 at the call
+    site); the spread handles up to 21 bits per axis."""
     def spread(v):
         v = v.astype(np.uint64)
         v = (v | (v << 32)) & np.uint64(0x1F00000000FFFF)
@@ -246,6 +247,32 @@ def build_tri_grid(
     return grid
 
 
+def clip_segment_to_box(scene_box, origin, direction, t_cap=None,
+                        min_t=0.001):
+    """(lo_t, hi_t) [N] of each ray's [min_t, t_cap]-clipped chord
+    through the [6] scene AABB (eps-guarded slab test; hi_t < lo_t =
+    no touch).  THE touch classification — shared by the block schedule
+    below, the rebin sort keys (kernels/tri_rebin.capped_chord_keys),
+    and the DDA pair expansion (kernels/tri_dda.dda_pairs): the rebin
+    packing argument needs the key's no-touch set to agree with the
+    schedule's empty set, so the slab logic must exist exactly once."""
+    n = origin.shape[1]
+    eps = np.float32(1e-12)
+    lo_t = jnp.full((n,), np.float32(min_t))
+    hi_t = jnp.full((n,), _BIG)
+    if t_cap is not None:
+        hi_t = jnp.minimum(hi_t, t_cap)
+    for ax in range(3):
+        o, d = origin[ax], direction[ax]
+        d_safe = jnp.where(jnp.abs(d) < eps,
+                           jnp.where(d < 0, -eps, eps), d)
+        ta = (scene_box[2 * ax] - o) / d_safe
+        tb = (scene_box[2 * ax + 1] - o) / d_safe
+        lo_t = jnp.maximum(lo_t, jnp.minimum(ta, tb))
+        hi_t = jnp.minimum(hi_t, jnp.maximum(ta, tb))
+    return lo_t, hi_t
+
+
 def tri_block_schedule_rows(
     grid: TriGridScene,
     origin: jnp.ndarray,      # [3, Np] (padded to a ray_block multiple)
@@ -277,19 +304,9 @@ def tri_block_schedule_rows(
     n = origin.shape[1]
     nb = n // ray_block
     eps = np.float32(1e-12)
-
-    lo_t = jnp.full((n,), np.float32(min_t))
-    hi_t = jnp.full((n,), _BIG)
-    if t_cap is not None:
-        hi_t = jnp.minimum(hi_t, t_cap[0])
-    for ax in range(3):
-        o, d = origin[ax], direction[ax]
-        d_safe = jnp.where(jnp.abs(d) < eps,
-                           jnp.where(d < 0, -eps, eps), d)
-        ta = (grid.scene_box[2 * ax] - o) / d_safe
-        tb = (grid.scene_box[2 * ax + 1] - o) / d_safe
-        lo_t = jnp.maximum(lo_t, jnp.minimum(ta, tb))
-        hi_t = jnp.minimum(hi_t, jnp.maximum(ta, tb))
+    lo_t, hi_t = clip_segment_to_box(
+        grid.scene_box, origin, direction,
+        t_cap=None if t_cap is None else t_cap[0], min_t=min_t)
     empty = lo_t > hi_t
 
     mins, maxs = [], []
@@ -347,9 +364,10 @@ def tri_block_mask_rows(
 
 
 def _sweep_tile_rows(tl, ox, oy, oz, dx, dy, dz, min_t):
-    """Möller-Trumbore of [R]-rows rays against one [St, C] tile; returns
-    (t [1, R] with F32_MAX misses, onehot-able valid t matrix [St, R]).
-    Shared math of the jnp oracle below and the Pallas kernel."""
+    """Möller-Trumbore of [R]-rows rays against one [St, C] tile;
+    returns the valid-hit t matrix [St, R] (F32_MAX where invalid — the
+    caller reduces/argmins it).  Shared math of the jnp oracle below
+    and the Pallas kernel."""
     def col(c):
         return tl[:, c:c + 1]                             # [St, 1]
 
@@ -437,25 +455,8 @@ def hit_triangles_grid_rows_jnp(
     HitRecordRows contract; the mask computes then discards without a
     Mosaic schedule, so this path verifies the grid + ray-binning
     drivers on jnp hosts rather than speeding them up)."""
-    from .ops.rows import HitRecordRows
+    from .ops.hit_tri import tri_record_rows_from_gather
     t_out, g = hit_triangles_grid_jnp(
         grid, origin, direction, time, min_t=min_t,
         ray_block=ray_block, t_cap=t_cap)
-    o, d = origin, direction
-    hit = t_out < F32_MAX
-    t_safe = jnp.where(hit, t_out, 0.0)
-    point = o + t_safe * d
-    e1 = g[_T_E1X:_T_E1X + 3]
-    e2 = g[_T_E2X:_T_E2X + 3]
-    gx = e1[1:2] * e2[2:3] - e1[2:3] * e2[1:2]
-    gy = e1[2:3] * e2[0:1] - e1[0:1] * e2[2:3]
-    gz = e1[0:1] * e2[1:2] - e1[1:2] * e2[0:1]
-    norm = jnp.sqrt(jnp.maximum(gx * gx + gy * gy + gz * gz, 1e-30))
-    normal = jnp.concatenate([gx, gy, gz], axis=0) / norm
-    return HitRecordRows(
-        hit=hit, t=t_out, point=point, normal=normal,
-        idx=g[_T_IDX:_T_IDX + 1].astype(jnp.int32),
-        mat_id=g[_T_MAT:_T_MAT + 1].astype(jnp.int32),
-        albedo=g[_T_ALR:_T_ALB + 1],
-        fuzz=g[_T_FUZZ:_T_FUZZ + 1], ior=g[_T_IOR:_T_IOR + 1],
-    )
+    return tri_record_rows_from_gather(origin, direction, t_out, g)
