@@ -2,9 +2,10 @@
 std::thread row scheduler (RayTracer.cpp:962-1010): interleaved row-
 blocks per device, one ICI reduction at the end.
 
-On a multi-chip host this uses the real chips.  With --cpu (or on any
-single-chip host) it demonstrates the same code on a VIRTUAL 8-device
-CPU mesh — the multi-chip path is identical."""
+On a multi-chip host this uses the real chips.  With --cpu it
+demonstrates the same code on a VIRTUAL 8-device CPU mesh (a
+single-TPU-chip host WITHOUT --cpu gets a 1-device TPU mesh — the
+device-count override only affects the CPU platform)."""
 
 import os
 
@@ -31,7 +32,10 @@ print(f"mesh: {n} x {mesh.devices.flat[0].platform}")
 scene = wrt.random_scene()
 cfg = wrt.RenderConfig(width=320, height=240, samples=16, seed=3,
                        backend="auto")
-res = render_sharded(scene, None, cfg, mesh)  # persistent row sharding
+res = render_sharded(scene, None, cfg, mesh, mode="persistent")
+# mode="persistent" = the production scheduler sharded over interleaved
+# row-blocks (the CLI's default shard mode); "rows"/"spp" shard the
+# fixed-depth wavefront instead.
 img = np.asarray(res)
 wrt.write_image("sharded.png", img)
 print(f"wrote sharded.png {img.shape}")

@@ -162,6 +162,14 @@ def main(argv=None) -> int:
         mesh = make_mesh(args.devices)
         log(f"mesh: {mesh.devices.size} device(s)")
 
+    if args.animate and args.checkpoint:
+        # Refuse instead of silently rendering the flythrough without
+        # any checkpointing (frame-level --resume is the flythrough's
+        # resume mechanism; --checkpoint covers single renders).
+        log("--animate and --checkpoint are mutually exclusive; use "
+            "--resume to resume a flythrough at frame granularity")
+        return 2
+
     if args.animate:
         # Flythrough (BASELINE config 5; the interactive-shell analogue of
         # Game.cpp:140-270's Tick loop, batched the TPU way).
@@ -221,7 +229,10 @@ def main(argv=None) -> int:
         # Resumable render (SURVEY §5 checkpoint gap: the reference only
         # ever persists out.bmp, Game.cpp:104).
         from .scene.builders import get_scene
-        from .utils.checkpoint import render_with_checkpoints
+        from .utils.checkpoint import (load_checkpoint,
+                                       render_with_checkpoints)
+        prior = load_checkpoint(args.checkpoint)
+        passes_before = prior[1] if prior is not None else 0
         t0 = time.perf_counter()
         img = render_with_checkpoints(get_scene(args.scene), None, cfg,
                                       args.checkpoint, passes=args.passes,
@@ -231,7 +242,16 @@ def main(argv=None) -> int:
             log("checkpoint budget exhausted; rerun to resume")
             return 0
         from .api import RenderResult
-        rays = cfg.width * cfg.height * cfg.samples
+        # Throughput counts only the rays THIS run rendered: a resumed
+        # run that finished 2 of 10 passes must not report the full
+        # render's rays over its own wall time (and a fully-resumed run
+        # reports 0 — same contract as --animate's resumed-frame guard).
+        rendered_passes = max(0, args.passes - passes_before)
+        rays = (cfg.width * cfg.height * cfg.samples
+                * rendered_passes / args.passes)
+        if passes_before:
+            log(f"resumed at pass {passes_before}/{args.passes}; "
+                f"throughput counts {rendered_passes} rendered pass(es)")
         result = RenderResult(image=img, duration_ms=dur, config=cfg,
                               mrays_per_sec=rays / (dur / 1e3) / 1e6)
     else:

@@ -88,7 +88,8 @@ def write_image(path: str, image: np.ndarray) -> None:
     data = native.try_encode(ext, img)
     if data is None:
         data = _ENCODERS[ext](img)
-    tmp = f"{path}.tmp{os.getpid()}{ext}"  # unique per writer
+    import threading
+    tmp = f"{path}.tmp{os.getpid()}-{threading.get_ident()}{ext}"
     try:
         with open(tmp, "wb") as f:
             f.write(data)
@@ -98,7 +99,7 @@ def write_image(path: str, image: np.ndarray) -> None:
             os.unlink(tmp)
 
 
-def read_png(path: str) -> np.ndarray:
+def read_png(path: str, data: bytes | None = None) -> np.ndarray:
     """Read an 8-bit RGB (color type 2, non-interlaced) PNG back to u8
     [H, W, 3] — the read-back half of the reference's save-then-reload
     display loop (Game.cpp:164-183 reloads out.bmp via WIC).
@@ -106,9 +107,12 @@ def read_png(path: str) -> np.ndarray:
     Handles all five scanline filters.  This module's own encoder emits
     filter 0 only (fast path); Sub and Up decode vectorized; Average/
     Paeth rows (externally-produced PNGs) fall to a per-byte Python
-    loop — correct but slow, not a production decode path."""
-    with open(path, "rb") as f:
-        buf = f.read()
+    loop — correct but slow, not a production decode path.  ``data``
+    lets read_image pass the already-read bytes instead of re-reading."""
+    if data is None:
+        with open(path, "rb") as f:
+            data = f.read()
+    buf = data
     if buf[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG file")
     pos = 8
@@ -129,6 +133,10 @@ def read_png(path: str) -> np.ndarray:
             idat.append(payload)
         elif tag == b"IEND":
             break
+    if w is None:
+        raise ValueError("malformed PNG: missing IHDR chunk")
+    if not idat:
+        raise ValueError("malformed PNG: no IDAT data")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     stride = 1 + w * 3
     rows = raw.reshape(h, stride)
@@ -165,10 +173,12 @@ def read_png(path: str) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
-def read_ppm(path: str) -> np.ndarray:
+def read_ppm(path: str, data: bytes | None = None) -> np.ndarray:
     """Read a binary P6 PPM (maxval 255) back to u8 [H, W, 3]."""
-    with open(path, "rb") as f:
-        buf = f.read()
+    if data is None:
+        with open(path, "rb") as f:
+            data = f.read()
+    buf = data
     if not buf.startswith(b"P6"):
         raise ValueError("not a P6 PPM file")
     fields, pos = [], 2
@@ -183,30 +193,45 @@ def read_ppm(path: str) -> np.ndarray:
             end += 1
         fields.append(int(buf[pos:end]))
         pos = end
+    sep = buf[pos:pos + 1]
+    if not sep.isspace():
+        raise ValueError("malformed P6 header: no whitespace after maxval")
     pos += 1                                    # single whitespace
+    if sep == b"\r" and buf[pos:pos + 1] == b"\n":
+        pos += 1  # tolerate \r\n from Windows text-mode writers — the
+        # pixel data would otherwise decode one byte shifted, silently
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
-    return np.frombuffer(buf, np.uint8, h * w * 3, pos).reshape(h, w, 3)
+    if len(buf) - pos < h * w * 3:
+        raise ValueError("truncated P6 pixel data")
+    # .copy(): frombuffer over bytes is read-only; every reader returns
+    # a writable array (read_png already does).
+    return np.frombuffer(buf, np.uint8, h * w * 3, pos).reshape(
+        h, w, 3).copy()
 
 
 def read_image(path: str) -> np.ndarray:
-    """Read any image this module writes (BMP/PNG/PPM, by magic bytes)."""
+    """Read any image this module writes (BMP/PNG/PPM, by magic bytes).
+    Reads the file once and hands the bytes to the dispatched reader
+    (the resume path calls this per animation frame)."""
     with open(path, "rb") as f:
-        magic = f.read(8)
-    if magic[:2] == b"BM":
-        return read_bmp(path)
-    if magic == b"\x89PNG\r\n\x1a\n":
-        return read_png(path)
-    if magic[:2] == b"P6":
-        return read_ppm(path)
+        buf = f.read()
+    if buf[:2] == b"BM":
+        return read_bmp(path, data=buf)
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return read_png(path, data=buf)
+    if buf[:2] == b"P6":
+        return read_ppm(path, data=buf)
     raise ValueError(f"unrecognized image format in {path!r}")
 
 
-def read_bmp(path: str) -> np.ndarray:
+def read_bmp(path: str, data: bytes | None = None) -> np.ndarray:
     """Read a 24bpp uncompressed BMP back to u8 [H, W, 3] RGB (for tests)."""
-    with open(path, "rb") as f:
-        buf = f.read()
+    if data is None:
+        with open(path, "rb") as f:
+            data = f.read()
+    buf = data
     if buf[:2] != b"BM":
         raise ValueError("not a BMP file")
     data_offset = struct.unpack_from("<I", buf, 10)[0]
@@ -219,4 +244,5 @@ def read_bmp(path: str) -> np.ndarray:
     h = abs(h)
     rows = np.frombuffer(buf, np.uint8, row_size * h, data_offset)
     img = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
-    return img[::-1] if flip else img
+    # .copy(): views over bytes are read-only; readers return writable.
+    return (img[::-1] if flip else img).copy()
