@@ -142,6 +142,24 @@ def synth_lanes_adaptive(npz_path: str, spp: int, mean_kpp: int, seed: int,
         cols = rng.integers(0, lens.shape[1], size=(n_pix, k))  # cap steps
         est_p = np.minimum(lens[np.arange(n_pix)[:, None], cols],
                            cap).mean(axis=1)
+    elif predictor.startswith("smooth"):  # "smooth<k>": k fresh draws,
+        # then a 3x3 spatial box filter over the collection grid.
+        # Pixel difficulty is spatially correlated (object edges,
+        # glass), so neighbor pooling cuts the prepass estimator's
+        # variance ~9x at a small blur-bias cost — the allocator only
+        # needs RELATIVE difficulty, not sharp boundaries.
+        k = int(predictor[6:])
+        cols = rng.integers(0, lens.shape[1], size=(n_pix, k))
+        raw = lens[np.arange(n_pix)[:, None], cols].mean(axis=1)
+        ys, xs = d["ys"], d["xs"]
+        H, W = int(ys.max()) + 1, int(xs.max()) + 1
+        img = np.zeros((H, W)); img[ys, xs] = raw
+        pad = np.pad(img, 1, mode="edge")
+        sm = np.zeros_like(img)
+        for dy in range(3):
+            for dx in range(3):
+                sm += pad[dy:dy + H, dx:dx + W]
+        est_p = (sm / 9.0)[ys, xs]
     else:
         raise ValueError(predictor)
     est = est_p[pix]                      # prepass estimate per pixel
