@@ -152,3 +152,34 @@ def test_adaptive_sharded_matches():
     assert img.shape == base.shape == (40, 48, 3)
     d = np.abs(np.sqrt(np.clip(img, 0, 1)) - np.sqrt(np.clip(base, 0, 1)))
     assert d.mean() < 0.04, d.mean()
+
+
+def test_adaptive_pool_render_statistics():
+    """adaptive_pool='on' (max(raw, 3x3 box)^1.2 estimate transform)
+    changes lane ALLOCATION only: the render must match the uniform
+    wavefront image statistically, and the knob must be rejected on the
+    sharded driver (single-chip only)."""
+    from win32_raytracer_tpu.config import RenderConfig
+    from win32_raytracer_tpu.persistent import render_image_persistent
+    from win32_raytracer_tpu.render import render_image
+    from win32_raytracer_tpu.scene.builders import test_scene
+
+    scene = test_scene()
+    cfg = RenderConfig(width=48, height=24, samples=32, seed=4,
+                       backend="jnp", adaptive_alloc="on",
+                       adaptive_pool="on")
+    lin = np.asarray(render_image_persistent(scene, None, cfg))
+    lin_w = np.asarray(render_image(scene, None, cfg.replace(
+        adaptive_alloc="off", adaptive_pool="auto")))
+    assert np.isfinite(lin).all()
+    assert np.abs(lin - lin_w).mean() < 0.03
+
+    from win32_raytracer_tpu.parallel.persistent_shard import (
+        render_image_persistent_sharded)
+    from win32_raytracer_tpu.parallel.shard import make_mesh
+    with pytest.raises(ValueError, match="adaptive_pool"):
+        render_image_persistent_sharded(scene, None, cfg, make_mesh(8))
+
+    bad = cfg.replace(adaptive_pool="ON")
+    with pytest.raises(ValueError, match="adaptive_pool"):
+        render_image_persistent(scene, None, bad)

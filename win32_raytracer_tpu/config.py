@@ -209,6 +209,15 @@ class RenderConfig:
     # replay: bench/policy_sim.py --alloc).  Requires a single-frame
     # unbinned render with samples > lanes_per_pixel.
     adaptive_alloc: str = "off"   # "off" | "on"
+    # Transform the prepass difficulty estimate before allocation:
+    # max(raw, 3x3 box mean)^1.2 — the box term hedges single-pixel
+    # underestimates, the max keeps hard pixels hard, and the mild
+    # super-proportional exponent counters regression-to-mean under
+    # predictor noise.  Offline replay models -2.6% wall vs the raw
+    # estimate (flat in the exponent over ~1.15-1.3; collapses by 1.45
+    # when the kpp clamp saturates — docs/perf_roadmap.md item 4).
+    # Single-chip driver only; "auto" = off until the chip A/B decides.
+    adaptive_pool: str = "auto"   # "auto" | "on" | "off"
     # Soft cap on adaptive lanes per pixel (hard cap: remaining samples).
     kpp_max: int = 32
 

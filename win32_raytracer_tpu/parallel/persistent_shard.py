@@ -390,6 +390,12 @@ def render_image_persistent_sharded(
             "lanes_per_pixel > 1 and samples > lanes_per_pixel "
             f"(got kpp={kpp}, samples={spp}, "
             f"ray_binning={'active' if bin_box else 'off'})")
+    if cfg.adaptive_pool == "on":
+        # The pooled-estimate transform needs the chunk's contiguous
+        # (rows, width) layout; a shard's interleaved row-block pixel
+        # set would pool across rows 8 apart.  Refuse rather than
+        # silently measuring the raw estimate.
+        raise ValueError("adaptive_pool='on' is single-chip only")
     seed = cfg.seed
     cfg = cfg.replace(seed=0)
     check_period = cfg.check_period or 8

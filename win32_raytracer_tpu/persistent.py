@@ -318,6 +318,21 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1)).bit_length()
 
 
+def _pool_est(est: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """cfg.adaptive_pool transform of the prepass difficulty estimate:
+    max(raw, 3x3 box mean)^1.2 over the chunk's (rows, width) layout.
+    Replay-modeled -2.6% wall vs the raw estimate (bench/policy_sim.py
+    inline variants; docs/perf_roadmap.md item 4): plain box smoothing
+    LOSES (blur dilutes the hard pixels the serial tail is made of), so
+    the box only ever raises an estimate, and the mild exponent
+    over-allocates against the predictor's regression-to-mean."""
+    img = est.reshape(h, w).astype(jnp.float32)
+    pad = jnp.pad(img, 1, mode="edge")
+    box = sum(pad[dy:dy + h, dx:dx + w]
+              for dy in range(3) for dx in range(3)) / 9.0
+    return jnp.power(jnp.maximum(img, box), np.float32(1.2)).reshape(-1)
+
+
 def _resolve_kpp(cfg: RenderConfig, spp: int) -> int:
     """cfg.lanes_per_pixel, or the auto choice (largest of 8/4/2 dividing
     spp with quota >= 4) — shared by the single- and multi-chip drivers."""
@@ -829,6 +844,9 @@ def render_image_persistent(
             "lanes_per_pixel > 1 and samples > lanes_per_pixel "
             f"(got kpp={kpp}, samples={spp}, "
             f"ray_binning={'active' if bin_box else 'off'})")
+    if cfg.adaptive_pool not in ("auto", "on", "off"):
+        raise ValueError(
+            f"adaptive_pool must be auto|on|off, got {cfg.adaptive_pool!r}")
     if adaptive:
         from .adaptive import alloc_lanes
 
@@ -1070,6 +1088,8 @@ def render_image_persistent(
             do_steps = make_steps(salt, kpp)
             st, _ = do_steps(st, cfg.max_depth + 1, 0)
             est = jnp.sum(st.depth[0].reshape(take * w, kpp), axis=1)
+            if cfg.adaptive_pool == "on":
+                est = _pool_est(est, take, w)
             accum = accum.at[:, st.pixel[0] // kpp].add(st.radiance_sum)
 
             # Phase 2: remaining samples on difficulty-proportional
