@@ -57,6 +57,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# The axon sitecustomize preimports jax before this file runs, so the
+# JAX_COMPILATION_CACHE_DIR setdefault above was read-too-late and the
+# disk cache silently stayed OFF; config.update works after preimport.
+os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+
 t0 = time.perf_counter()
 np.asarray(jnp.ones((8,)) + 1)
 print(f"sync flip: {time.perf_counter() - t0:.1f}s", flush=True)
