@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -126,9 +127,17 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     perf_mode = args.perf_test or args.perf == "perfTest"
 
+    import jax
     if args.platform:
-        import jax
         jax.config.update("jax_platforms", args.platform)
+    # Enable the persistent compile cache at runtime: jax reads the env
+    # var once at import, and the TPU environment's sitecustomize imports
+    # jax at interpreter startup, so setting JAX_COMPILATION_CACHE_DIR
+    # inside a process is read-too-late (docs/axon_runtime_notes.md #21).
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache_dir and not jax.config.jax_compilation_cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
 
     cfg = RenderConfig(
         width=args.width, height=args.height, samples=args.samples,
