@@ -13,11 +13,14 @@ conservative convention.
 Protocol (docs/axon_runtime_notes.md): flip the axon runtime into honest
 sync mode with a tiny fetch BEFORE anything else, warm all programs with a
 first render, then time interleaved renders end-to-end (dispatch ->
-fetched u8 image).  Two arms run interleaved (rule 12 — the only
-trustworthy in-process A/B): the uniform-lane scheduler and
-difficulty-adaptive lane allocation (adaptive.py; the offline policy
-replay predicts ~13% net for adaptive).  The headline is the better
-arm's best rep; per-arm timings go to stderr as the A/B record.
+fetched u8 image).  The headline runs ONE arm — the uniform-lane
+persistent scheduler, the measured winner.  Round 2 ran a second
+difficulty-adaptive arm here; it LOST every interleaved rep on chip
+(BENCH_r02: 2.56/2.91/2.70s vs uniform 2.14/2.42/2.12s; confirmed with
+the pooled-estimate variant in tpu_jobs 500) while doubling the warm-up
+compile surface, so it is demoted to an opt-in side arm: set
+BENCH_ARMS=uniform,adaptive[,adaptive_pool,oneshot_on] to re-run the
+A/B (arms still interleave per rule 12).
 """
 
 import json
@@ -109,7 +112,15 @@ def main():
     scene = random_scene()
     cfg = RenderConfig(width=WIDTH, height=HEIGHT, samples=SPP, seed=3,
                        rays_per_chunk=1 << 22)
-    arms = {"uniform": cfg, "adaptive": cfg.replace(adaptive_alloc="on")}
+    all_arms = {
+        "uniform": cfg,
+        "adaptive": cfg.replace(adaptive_alloc="on"),
+        "adaptive_pool": cfg.replace(adaptive_alloc="on",
+                                     adaptive_pool="on"),
+        "oneshot_on": cfg.replace(one_shot="on"),
+    }
+    arm_names = os.environ.get("BENCH_ARMS", "uniform").split(",")
+    arms = {n: all_arms[n] for n in arm_names}
 
     # Warm-up: compiles every step program (and populates the persistent
     # compilation cache for future runs).  Distinct seed from the timed

@@ -188,12 +188,15 @@ class RenderConfig:
     # as a TAIL FINISHER: the host loop compacts normally, and at its
     # first below-floor check it splits once and hands the remaining
     # work to the while_loop program (no further host round trips).
-    # "auto" = on when no feature that needs the host loop BETWEEN
-    # steps is active (ray binning / tri rebin, an explicit pallas
-    # scatter_backend); adaptive_alloc is compatible (its phase 2
-    # takes the tail finisher; only the whole-chunk form is skipped).
-    # "on" is the same policy but raises on a conflict instead of
-    # silently falling back; "off" always uses the host loop (A/B arm).
+    # "auto" = WHOLE-CHUNK while_loops only, when no feature that needs
+    # the host loop BETWEEN steps is active (ray binning / tri rebin,
+    # an explicit pallas scatter_backend).  The above-floor tail
+    # finisher is NOT part of auto: on chip it measured a ~10% loss at
+    # the 1200x800@100 headline (tpu_jobs 500, median 2.28s vs 2.08s)
+    # while the whole-chunk form measured 1.6x at 400x200@16 (tpu_jobs
+    # 510).  "on" = whole-chunk AND tail finisher, raising on a
+    # conflict instead of silently falling back (A/B arm for
+    # tail-heavy shapes); "off" always uses the host loop.
     one_shot: str = "auto"  # "auto" | "on" | "off"
     # Persistent scheduler: replica lanes per pixel (samples split across
     # K lanes with quota spp/K each — more parallelism for hard pixels,
@@ -207,7 +210,12 @@ class RenderConfig:
     # more lanes with smaller quotas, which shortens the mostly-dead
     # serial tail that uniform replica counts leave behind (offline
     # replay: bench/policy_sim.py --alloc).  Requires a single-frame
-    # unbinned render with samples > lanes_per_pixel.
+    # unbinned render with samples > lanes_per_pixel.  MEASURED A LOSS
+    # on chip at the headline (tpu_jobs 500: best 2.68s vs uniform
+    # 1.97s; BENCH_r02 concurs) and at the flythrough shape (tpu_jobs
+    # 520: 1.28 vs 2.50 fps) — the prepass + allocator overhead the
+    # policy replay priced at ~8% is several times larger in practice.
+    # Kept as an opt-in research arm; "off" is the production default.
     adaptive_alloc: str = "off"   # "off" | "on"
     # Transform the prepass difficulty estimate before allocation:
     # max(raw, 3x3 box mean)^1.2 — the box term hedges single-pixel
@@ -216,7 +224,9 @@ class RenderConfig:
     # predictor noise.  Offline replay models -2.6% wall vs the raw
     # estimate (flat in the exponent over ~1.15-1.3; collapses by 1.45
     # when the kpp clamp saturates — docs/perf_roadmap.md item 4).
-    # Single-chip driver only; "auto" = off until the chip A/B decides.
+    # Single-chip driver only.  The chip A/B ran (tpu_jobs 500): pool
+    # recovers part of adaptive's loss (2.51s vs 2.68s) but both lose
+    # to uniform (1.97s); "auto" therefore stays off.
     adaptive_pool: str = "auto"   # "auto" | "on" | "off"
     # Soft cap on adaptive lanes per pixel (hard cap: remaining samples).
     kpp_max: int = 32

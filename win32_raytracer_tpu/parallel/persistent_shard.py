@@ -422,7 +422,10 @@ def render_image_persistent_sharded(
         raise ValueError("one_shot='on' conflicts with "
                          + ", ".join(_os_conflicts))
     if one_shot == "auto":
-        one_shot = "off" if _os_conflicts else "on"
+        # "chunk": whole-batch while_loops only; the above-floor tail
+        # finisher needs explicit "on" (headline loss, tpu_jobs 500 —
+        # see persistent.py).
+        one_shot = "off" if _os_conflicts else "chunk"
 
     lanes = _interleaved_pixel_lanes(h_virt, w, kpp, d)  # [D, n_local]
     n_local = lanes.shape[1]
@@ -527,7 +530,7 @@ def render_image_persistent_sharded(
             # Whole-batch one-shot: a batch that STARTS at/below the
             # per-shard floor never compacts, so skip the host loop
             # entirely (the single-chip chunk-level shortcut, sharded).
-            if one_shot == "on" and st.pixel.shape[1] // d <= floor:
+            if one_shot in ("on", "chunk") and st.pixel.shape[1] // d <= floor:
                 st = finish_sm(scene, camt, st, dev_keys_s, jnp.int32(0),
                                jnp.int32(max_steps_s))
                 return st, accum

@@ -870,7 +870,13 @@ def render_image_persistent(
         raise ValueError("one_shot='on' conflicts with "
                          + ", ".join(_os_conflicts))
     if one_shot == "auto":
-        one_shot = "off" if _os_conflicts else "on"
+        # Resolved "chunk": whole-chunk while_loops only (chunks that
+        # START at/below the floor — measured 1.6x at 400x200@16, tpu_jobs
+        # 510).  The above-floor TAIL finisher is explicit-"on" only: at
+        # the 1200x800@100 headline it measured a ~10% LOSS vs the
+        # multi-bounce host-loop tail (tpu_jobs 500: median 2.28s vs
+        # 2.08s interleaved).
+        one_shot = "off" if _os_conflicts else "chunk"
 
     def make_steps(salt, kpp_s):
         """Bind the bounce-step closures to a draw salt and lane
@@ -1130,7 +1136,7 @@ def render_image_persistent(
             # runs as one device-side while_loop.  Above the floor the
             # host loop runs with the one-shot TAIL finisher instead
             # (compaction still happens where it pays).
-            if one_shot == "on" and n <= _COMPACT_FLOOR:
+            if one_shot in ("on", "chunk") and n <= _COMPACT_FLOOR:
                 st = p_render_oneshot(
                     scene, cam_x, st, salt, jnp.int32(0), cfg=cfg,
                     hit_fn=hit_fn, width=w, height=h, spp=spp,
