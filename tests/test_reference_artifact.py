@@ -55,18 +55,19 @@ def test_final_scene_matches_published_artifact():
     t_ours = _thumb(ours, tw, th)
 
     diff = np.abs(t_ours - t_ref)
-    # Bounds documented loose (JPEG + RNG streams + 8 spp noise): the mean
-    # thumbnail error of a correct render measures ~4.9 u8 (corr 0.991,
-    # channel means within 1.6); a wrong scene, camera, or tonemap lands
-    # far outside these bounds.
-    assert diff.mean() < 20.0, f"mean thumbnail diff {diff.mean():.2f}"
+    # Bounds at ~2x measured behavior (round-2 VERDICT item 8 tightening):
+    # a correct render measures mean thumbnail error ~4.9 u8, corr 0.991,
+    # channel means within 1.6 — JPEG artifacts + different RNG streams +
+    # 8 spp noise fit comfortably, while a single-material regression that
+    # shifts the image subtly now trips the bound.
+    assert diff.mean() < 10.0, f"mean thumbnail diff {diff.mean():.2f}"
 
     a = t_ours.reshape(-1) - t_ours.mean()
     b = t_ref.reshape(-1) - t_ref.mean()
     r = float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
-    assert r > 0.93, f"structural correlation {r:.4f}"
+    assert r > 0.97, f"structural correlation {r:.4f}"
 
     # Per-channel means: global color balance must match closely.
     for c in range(3):
         dm = abs(float(t_ours[..., c].mean()) - float(t_ref[..., c].mean()))
-        assert dm < 12.0, f"channel {c} mean off by {dm:.2f}"
+        assert dm < 6.0, f"channel {c} mean off by {dm:.2f}"

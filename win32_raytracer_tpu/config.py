@@ -236,6 +236,13 @@ class RenderConfig:
     # BASELINE.json config 3).
     stratify: bool = False
 
+    # CI-only: run the persistent scheduler's Mosaic kernels (v7 hit +
+    # fused bounce) in Pallas INTERPRET mode so the production headline
+    # path — not just the jnp fallback — is pinned to the native oracle
+    # on the CPU test runner (tests/test_golden.py).  Tail/one-shot XLA
+    # bounces keep the resolved-backend hit fn (jnp on CPU).
+    pallas_interpret: bool = False
+
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 

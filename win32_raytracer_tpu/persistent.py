@@ -745,7 +745,7 @@ def render_image_persistent(
         from .scene.spheres import SphereScene
         scene, hit_fn = get_hit_fn_rows_accel(
             cfg, scene, cams[0] if cams else cam)
-        if (_resolve_backend(cfg) == "pallas"
+        if ((_resolve_backend(cfg) == "pallas" or cfg.pallas_interpret)
                 and isinstance(scene, SphereScene)
                 and cfg.hit_kernel in ("auto", "v7")):
             # v7: the whole hit+sky phase as ONE pallas program (no XLA
@@ -934,7 +934,8 @@ def render_image_persistent(
                     st = fused_bounce(
                         hit_coeffs_v7, cam_m, st, salt, jnp.int32(step),
                         cfg=cfg, width=w, height=h, spp=spp,
-                        lanes_per_pixel=kpp_s)
+                        lanes_per_pixel=kpp_s,
+                        interpret=cfg.pallas_interpret)
                 else:
                     # Two dispatches per bounce: the Pallas hit alone
                     # (fusing it with the epilogue generates ~2.5x slower
@@ -942,8 +943,9 @@ def render_image_persistent(
                     # fused.
                     if hit_coeffs_v7 is not None:
                         from .kernels.hit_pallas_v7 import p_hit_sky_step
-                        rec, st = p_hit_sky_step(hit_coeffs_v7, st,
-                                                 min_t=cfg.min_hit_t)
+                        rec, st = p_hit_sky_step(
+                            hit_coeffs_v7, st, min_t=cfg.min_hit_t,
+                            interpret=cfg.pallas_interpret)
                     else:
                         rec, st = p_hit_step(scene, st, cfg=cfg,
                                              hit_fn=hit_fn)
