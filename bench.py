@@ -76,21 +76,12 @@ def _require_axon_relay(window_s: float = 1800.0) -> None:
 
 
 def _enable_compile_cache():
-    """Turn the persistent compilation cache ON at runtime.
+    """Turn the persistent compilation cache ON at runtime (the env var
+    alone is read-too-late under the axon sitecustomize — see the shared
+    helper's docstring)."""
+    from win32_raytracer_tpu._cache import enable_compile_cache
 
-    The axon sitecustomize preimports jax at interpreter start, so jax's
-    import-time read of JAX_COMPILATION_CACHE_DIR happens BEFORE any
-    user-code ``os.environ`` write — the setdefault above is read-too-late
-    and the disk cache silently stays off (verified: the config value is
-    None).  ``jax.config.update`` is the mechanism that works after
-    preimport, same reason the CPU pin uses it (docs/axon_runtime_notes.md
-    #20a)."""
-    import jax
-
-    d = os.environ["JAX_COMPILATION_CACHE_DIR"]
-    os.makedirs(d, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", d)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    enable_compile_cache(os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 
 def main():

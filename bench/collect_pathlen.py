@@ -26,6 +26,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), "..",
                                    ".jax_cache"))
+from win32_raytracer_tpu._cache import enable_compile_cache
+
+enable_compile_cache()  # env var alone is read-too-late (runtime notes #21)
 
 import jax  # noqa: E402
 

@@ -17,6 +17,9 @@ _ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, _ROOT)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(_ROOT, ".jax_cache"))
+from win32_raytracer_tpu._cache import enable_compile_cache
+
+enable_compile_cache()  # env var alone is read-too-late (runtime notes #21)
 
 import numpy as np
 import jax

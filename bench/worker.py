@@ -59,11 +59,11 @@ import jax.numpy as jnp
 
 # The axon sitecustomize preimports jax before this file runs, so the
 # JAX_COMPILATION_CACHE_DIR setdefault above was read-too-late and the
-# disk cache silently stayed OFF; config.update works after preimport.
-os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+# disk cache silently stayed OFF; the shared helper's config.update
+# works after preimport.
+from win32_raytracer_tpu._cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 t0 = time.perf_counter()
 np.asarray(jnp.ones((8,)) + 1)

@@ -32,12 +32,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # The sitecustomize preimports jax, so the env var above was read-too-late
-# for jax's import-time config scan; config.update is what actually turns
-# the disk cache on (same reason the CPU pin uses it).
-_cache_dir = os.path.abspath(os.environ["JAX_COMPILATION_CACHE_DIR"])
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# for jax's import-time config scan; the shared helper does the
+# config.update that actually turns the disk cache on.  min 0.0: CI
+# shapes are tiny but recur every run.
+from win32_raytracer_tpu._cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(os.path.abspath(os.environ["JAX_COMPILATION_CACHE_DIR"]),
+                     min_compile_secs=0.0)
 assert jax.device_count() >= 8, (
     "expected the 8-device virtual CPU mesh; got "
     f"{jax.devices()} — XLA_FLAGS was set too late?")

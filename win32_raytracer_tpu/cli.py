@@ -130,14 +130,10 @@ def main(argv=None) -> int:
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    # Enable the persistent compile cache at runtime: jax reads the env
-    # var once at import, and the TPU environment's sitecustomize imports
-    # jax at interpreter startup, so setting JAX_COMPILATION_CACHE_DIR
-    # inside a process is read-too-late (docs/axon_runtime_notes.md #21).
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
-    if cache_dir and not jax.config.jax_compilation_cache_dir:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Enable the persistent compile cache at runtime (the env var alone
+    # is read-too-late under the TPU sitecustomize — shared helper).
+    from ._cache import enable_compile_cache
+    enable_compile_cache()
 
     cfg = RenderConfig(
         width=args.width, height=args.height, samples=args.samples,
