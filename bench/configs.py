@@ -25,7 +25,8 @@ import sys
 import time
 
 
-def run_config(idx: int, scale: float, platform: str, obj: str = ""):
+def run_config(idx: int, scale: float, platform: str, obj: str = "",
+               reps: int = 1):
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
@@ -92,10 +93,12 @@ def run_config(idx: int, scale: float, platform: str, obj: str = ""):
         # over devices) — strictly better than per-frame spp sharding.
         render_animation(scene, cams, cfg.replace(seed=cfg.seed + 7001),
                          mesh=mesh, shard_mode="rows")
-        t0 = time.perf_counter()
-        frames = render_animation(scene, cams, cfg, mesh=mesh,
-                                  shard_mode="rows")
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            frames = render_animation(scene, cams, cfg.replace(
+                seed=cfg.seed + rep), mesh=mesh, shard_mode="rows")
+            dt = min(dt, time.perf_counter() - t0)
         rays = cfg.width * cfg.height * cfg.samples * len(cams)
         return {
             "config": 5, "label": f"flythrough {len(cams)}f over {n_dev} dev",
@@ -106,11 +109,14 @@ def run_config(idx: int, scale: float, platform: str, obj: str = ""):
         raise SystemExit(f"unknown config {idx}")
 
     # Warm on a shifted seed (same shapes, so all programs compile) —
-    # the relay dedupes identical executions, rule 15.
+    # the relay dedupes identical executions, rule 15; timed reps each
+    # use a distinct seed for the same reason.  Best-of-N reported.
     render(scene, cfg=cfg.replace(seed=cfg.seed + 7001))
-    t0 = time.perf_counter()
-    res = render(scene, cfg=cfg)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for rep in range(reps):
+        t0 = time.perf_counter()
+        res = render(scene, cfg=cfg.replace(seed=cfg.seed + rep))
+        dt = min(dt, time.perf_counter() - t0)
     rays = cfg.width * cfg.height * cfg.samples
     return {
         "config": idx, "label": label,
@@ -127,10 +133,12 @@ def main():
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--platform", default="")
     ap.add_argument("--obj", default="", help="OBJ mesh for config 4")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="timed reps per config (best-of-N, distinct seeds)")
     args = ap.parse_args()
     for idx in (args.configs or [1, 2, 4, 5]):
         print(json.dumps(run_config(idx, args.scale, args.platform,
-                                    args.obj)), flush=True)
+                                    args.obj, reps=args.reps)), flush=True)
     return 0
 
 
