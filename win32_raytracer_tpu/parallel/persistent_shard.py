@@ -259,8 +259,9 @@ def _bin_sort_sm(mesh: Mesh, box, key_variant: str):
     """Per-shard ray binning (persistent._bin_sort sharded): each shard
     multisorts its OWN lanes by chord bucket — no cross-shard traffic.
     Shard-local order is all the block-schedule mask needs (the tri-grid
-    kernel's ray blocks are per-shard), and the sharded compactor already
-    runs tail_sorted=False, so the permutation costs nothing downstream."""
+    kernel's ray blocks are per-shard), and binned renders run the
+    compactor with tail_sorted=False (state_sorted gates it off), so the
+    permutation costs nothing downstream."""
     sspec = _sspec()
 
     def sort(st):
@@ -271,16 +272,21 @@ def _bin_sort_sm(mesh: Mesh, box, key_variant: str):
 
 
 @functools.lru_cache(maxsize=256)
-def _compact_split_sm(mesh: Mesh, kpp: int, k_new: int, do_split: bool):
+def _compact_split_sm(mesh: Mesh, kpp: int, k_new: int, do_split: bool,
+                      tail_sorted: bool = False):
     sspec = _sspec()
 
     def compact(st, accum):
         # Shared multi-operand-sort compactor (persistent._compact_core).
-        # tail_sorted=False: a shard's lane->pixel map is interleaved
-        # row-blocks with wrap padding, not globally ascending.
+        # tail_sorted: each shard's lane->pixel map starts ASCENDING by
+        # construction (_interleaved_pixel_lanes sorts its lanes — order
+        # within a shard is free, only set membership load-balances), so
+        # above-floor compactions take the argsort-free flush path the
+        # single-chip driver uses (~40% cheaper at 3.84M lanes,
+        # tpu_jobs 140/150); bin sorts and splits disable it.
         new, acc2 = _compact_core(
             st, accum[0], k_new=k_new, lanes_per_pixel=kpp,
-            tail_sorted=False)
+            tail_sorted=tail_sorted)
         accum = acc2[None]
         if do_split:
             new = _split(new)
@@ -312,7 +318,10 @@ def _interleaved_pixel_lanes(h: int, w: int, kpp: int, d: int,
             rows.extend(range(0, max(0, r0 + block_rows - h)))
         lanes = (np.asarray(rows)[:, None] * w * kpp
                  + np.arange(w * kpp)[None, :]).reshape(-1)
-        per_dev.append(lanes)
+        # Ascending within the shard: intra-shard ORDER is free (only set
+        # membership load-balances), and ascending pixel-lane ids let the
+        # sharded compactor run the argsort-free tail_sorted flush path.
+        per_dev.append(np.sort(lanes))
     return np.stack(per_dev).astype(np.int32)
 
 
@@ -525,7 +534,8 @@ def render_image_persistent_sharded(
                 st = bounce(scene, camt, st, dev_keys_s, jnp.int32(step))
             return st, step
 
-        def run_loop(st, accum, first_check_s, max_steps_s):
+        def run_loop(st, accum, first_check_s, max_steps_s,
+                     state_sorted=False):
             step = 0
             # Whole-batch one-shot: a batch that STARTS at/below the
             # per-shard floor never compacts, so skip the host loop
@@ -584,11 +594,13 @@ def render_image_persistent_sharded(
                     if k_new <= cur // 2:
                         st, accum = _compact_split_sm(
                             mesh, kpp_s, k_new, True)(st, accum)
+                        state_sorted = False  # split clones break order
                     continue
                 k_new = _grid_size(worst, min_lanes)
                 if k_new <= int(cur * _COMPACT_SHRINK):
                     st, accum = _compact_split_sm(
-                        mesh, kpp_s, k_new, False)(st, accum)
+                        mesh, kpp_s, k_new, False,
+                        tail_sorted=state_sorted)(st, accum)
             return st, accum
 
         return do_steps, run_loop, flush_sm, respawn_sm
@@ -669,7 +681,13 @@ def render_image_persistent_sharded(
         accum = flush2_sm(st, accum)
     else:
         st = respawn_sm(camt, st, dev_keys)  # start sample 0 on all lanes
-        st, accum = run_loop(st, accum, first_check, max_steps)
+        # tail_sorted flushes: per-shard pixel-lane ids start ascending
+        # by construction; ray binning re-permutes every period, and the
+        # composite sort key needs every id below the pixel ceiling.
+        st, accum = run_loop(
+            st, accum, first_check, max_steps,
+            state_sorted=(bin_box is None
+                          and h_virt * w * kpp < int(_P._SORT_PIX_LIM)))
         accum = flush_sm(st, accum)
 
     total = jnp.sum(accum, axis=0)                       # [3, HW] (one ICI
