@@ -75,9 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--one-shot", default="auto",
                    choices=["auto", "on", "off"],
                    help="device-side while_loop render loops for "
-                        "dispatch-bound chunks/tails (persistent "
-                        "scheduler; auto = on unless binning or an "
-                        "explicit pallas scatter needs the host loop)")
+                        "dispatch-bound work (persistent scheduler; "
+                        "auto = whole-chunk loops only, unless binning "
+                        "or an explicit pallas scatter needs the host "
+                        "loop; on = also the above-floor tail finisher, "
+                        "a measured loss at large renders)")
     p.add_argument("--adaptive", default="off", choices=["off", "on"],
                    help="difficulty-adaptive lane allocation: a quota-1 "
                         "prepass measures per-pixel path length, the "
