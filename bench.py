@@ -120,14 +120,24 @@ def main():
     # (the device-side while-loop finisher is the newest compile surface
     # — a Mosaic-in-while failure on the real chip must degrade the arm,
     # not forfeit the benchmark), then drops it.
+    def _cache_entries():
+        try:
+            return len(os.listdir(os.environ["JAX_COMPILATION_CACHE_DIR"]))
+        except OSError:
+            return 0
+
     def _warm(name):
+        c0 = _cache_entries()
         t0 = time.perf_counter()
         img = render(scene, cfg=arms[name].replace(seed=99))
         m = float(img.mean())
         if not (1.0 <= m <= 254.0):
             raise RuntimeError(f"suspicious warm image mean {m:.2f}")
+        c1 = _cache_entries()
         print(f"# warm-up {name} (incl. compiles): "
-              f"{time.perf_counter() - t0:.1f}s, mean {m:.2f}",
+              f"{time.perf_counter() - t0:.1f}s, mean {m:.2f}; "
+              f"disk compile cache {c0} -> {c1} entries "
+              f"({'mostly hits' if c1 - c0 <= 3 else f'{c1 - c0} misses'})",
               file=sys.stderr)
 
     for name in list(arms):
