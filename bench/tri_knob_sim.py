@@ -700,6 +700,117 @@ def ideal_sweep(scene, snaps, st_rows=32, rb=512):
           f"{tot_block/max(tot_ideal,1):.2f}x at St={st_rows} RB={rb}")
 
 
+def anyskip_sweep(scene, snaps, st_rows=64, rb=2048):
+    """Price the IN-KERNEL exact any-touch skip at production knobs.
+
+    The shipped schedule is doubly conservative (per-ray segment box ->
+    block union box -> tile AABB overlap, tri_accel.py:284-348).  The
+    candidate kernel change keeps the schedule and block count UNCHANGED
+    (so this sim may rank it — the job-540 hazard only bites knobs that
+    multiply block count) and, per visited tile, slab-tests every lane's
+    capped segment against the tile box on the VPU (~25 slots/lane vs
+    the 4*St*K-MAC contraction) and pl.when-skips the contraction+merge
+    when NO lane touches.  Two variants:
+
+    * static   — per-lane cap = cap_eff (scene exit ∧ sphere t_cap),
+                 exactly what rays7 row 6 holds: a safe lower bound on
+                 the win.
+    * progressive — cap further tightened by the lane's FINAL best t,
+                 modeling `min(cap, t_ref)` inside the sweep (optimistic:
+                 t_ref at visit time is >= the final best)."""
+    grid = build_tri_grid(scene.triangles, tile_rows=st_rows)
+    boxes = np.asarray(grid.tile_boxes, np.float64)        # [T, 6]
+    sb = np.asarray(grid.scene_box, np.float64)
+    lo3 = sb[0::2].astype(np.float32)
+    inv_ext = (1.0 / np.maximum(sb[1::2] - sb[0::2], 1e-6)).astype(
+        np.float32)
+    eps = 1e-12
+    tot_vis, tot_stat, tot_prog = 0.0, 0.0, 0.0
+    for depth, o, d, tm, alive in snaps:
+        sel = np.flatnonzero(alive)
+        if len(sel) < rb:
+            continue
+        o_a, d_a, tm_a = o[:, sel], d[:, sel], tm[:, sel]
+        t_sph, best_a = oracle_ts(scene, depth, o_a, d_a, tm_a)
+        # production lane order: the pre-hit chord key (no occlusion cap
+        # — prod bin-sorts BEFORE the sphere pass)
+        hi_t = np.full(o_a.shape[1], 1e8, np.float32)
+        for ax in range(3):
+            dn = np.where(np.abs(d_a[ax]) < eps,
+                          np.where(d_a[ax] < 0, -eps, eps), d_a[ax])
+            ta = (sb[2 * ax] - o_a[ax]) / dn
+            tb = (sb[2 * ax + 1] - o_a[ax]) / dn
+            hi_t = np.minimum(hi_t, np.maximum(ta, tb).astype(np.float32))
+        hi_t = np.maximum(hi_t, 0.0)
+        keys = _sort_keys(o_a, d_a, lo3, inv_ext, hi_t, "pos4+exit4+oct")
+        order_l = np.argsort(keys, kind="stable")
+        o_a, d_a, tm_a = o_a[:, order_l], d_a[:, order_l], tm_a[:, order_l]
+        t_sph, best_a = t_sph[order_l], best_a[order_l]
+
+        n = o_a.shape[1]
+        pad = (-n) % rb
+        if pad:
+            o_a = np.pad(o_a, ((0, 0), (0, pad)))
+            o_a[1, n:] = -1e9
+            d_a = np.pad(d_a, ((0, 0), (0, pad)))
+            d_a[2, n:] = 1.0
+            t_sph = np.pad(t_sph, (0, pad))
+            best_a = np.pad(best_a, (0, pad))
+        mask, tlo, cap_eff = (np.asarray(x) for x in tri_block_schedule_rows(
+            grid, jnp.asarray(o_a), jnp.asarray(d_a),
+            jnp.asarray(t_sph[None]), 0.001, rb))
+        nb = mask.shape[0]
+        key = np.where(mask > 0, np.minimum(tlo, 1e6), 1.5e6)
+        order = np.argsort(key, axis=1, kind="stable")
+        tlo_sorted = np.take_along_axis(key, order, axis=1)
+        counts = (mask > 0).sum(axis=1)
+        bound = np.minimum(best_a, cap_eff[0]).reshape(nb, rb).max(axis=1)
+        nxt = np.concatenate([tlo_sorted[:, 1:],
+                              np.full((nb, 1), 1.5e6, np.float32)], axis=1)
+        first_stop = (nxt > bound[:, None]).argmax(axis=1) + 1
+        visited = np.where(counts == 0, 0,
+                           np.minimum(first_stop, counts))
+
+        cap_s = cap_eff[0]
+        cap_p = np.minimum(cap_s, best_a)
+        vis_tot, stat_tot, prog_tot = 0, 0, 0
+        for b in range(nb):
+            v = int(visited[b])
+            if v == 0:
+                continue
+            tiles = order[b, :v]
+            bx = boxes[tiles]                              # [V, 6]
+            s = slice(b * rb, (b + 1) * rb)
+            oc = o_a[:, s].astype(np.float64)
+            dc = d_a[:, s].astype(np.float64)
+            dn = np.where(np.abs(dc) < eps,
+                          np.where(dc < 0, -eps, eps), dc)
+            t_lo = np.full((v, rb), 0.001)
+            hi_st = np.tile(cap_s[s], (v, 1))
+            hi_pr = np.tile(cap_p[s], (v, 1))
+            for ax in range(3):
+                ta = (bx[:, 2 * ax, None] - oc[ax]) / dn[ax]
+                tb = (bx[:, 2 * ax + 1, None] - oc[ax]) / dn[ax]
+                t_lo = np.maximum(t_lo, np.minimum(ta, tb))
+                mx = np.maximum(ta, tb)
+                hi_st = np.minimum(hi_st, mx)
+                hi_pr = np.minimum(hi_pr, mx)
+            vis_tot += v
+            stat_tot += int((t_lo <= hi_st).any(axis=1).sum())
+            prog_tot += int((t_lo <= hi_pr).any(axis=1).sum())
+        tot_vis += vis_tot * st_rows * rb
+        tot_stat += stat_tot * st_rows * rb
+        tot_prog += prog_tot * st_rows * rb
+        print(f"depth {depth}: visited {vis_tot:6d} tiles/{nb} blocks -> "
+              f"static-touch {stat_tot:6d} ({vis_tot/max(stat_tot,1):.2f}x), "
+              f"progressive {prog_tot:6d} "
+              f"({vis_tot/max(prog_tot,1):.2f}x)", flush=True)
+    print(f"\n## any-touch skip at St={st_rows} RB={rb}: "
+          f"contraction work /{tot_vis/max(tot_stat,1):.2f} static, "
+          f"/{tot_vis/max(tot_prog,1):.2f} progressive "
+          f"(lane-weighted, prod schedule unchanged)")
+
+
 def main():
     t0 = time.perf_counter()
     scene, snaps = collect_snapshots_cached()
@@ -715,6 +826,11 @@ def main():
         return
     if "--ideal" in sys.argv:
         ideal_sweep(scene, snaps)
+        return
+    if "--anyskip" in sys.argv:
+        anyskip_sweep(scene, snaps,
+                      st_rows=int(os.environ.get("TKS_ST", 64)),
+                      rb=int(os.environ.get("TKS_RB", 2048)))
         return
     if "--dda" in sys.argv:
         dda_expansion_sweep(

@@ -295,6 +295,53 @@ def test_early_exit_with_t_cap_matches_full_sweep():
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
+def test_any_skip_matches_unconditional_sweep_exactly():
+    """The in-kernel any-touch contraction gate (tri_any_skip): within
+    each lane's effective segment (scene exit ∧ t_cap) results are
+    bit-identical to the unconditional sweep — a skipped tile is one no
+    lane's capped-to-current-best segment touches, so it could never
+    have updated a valid winner.  BEYOND the cap records are unspecified
+    (the unconditional sweep reports junk winners from tiles swept for
+    other lanes' sake — the composite combine discards them), but the
+    gate may only lose candidates, so t is monotonically >=.  Scattered
+    incoherent rays maximize union degeneracy (the case where the gate
+    actually fires)."""
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    o, d, tm = _rays(512, seed=31)
+    for cap in (None, jnp.full((1, 512), 2.5, jnp.float32)):
+        a = hit_triangles_grid_rows(grid, o, d, tm, ray_block=128,
+                                    interpret=True, use_mxu=False,
+                                    t_cap=cap, any_skip=True)
+        b = hit_triangles_grid_rows(grid, o, d, tm, ray_block=128,
+                                    interpret=True, use_mxu=False,
+                                    t_cap=cap, any_skip=False)
+        ta, tb = np.asarray(a.t)[0], np.asarray(b.t)[0]
+        cap_v = np.inf if cap is None else np.asarray(cap)[0]
+        valid = tb <= cap_v
+        assert valid.any()
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(fa)[:, valid],
+                                          np.asarray(fb)[:, valid])
+        assert np.all(ta >= tb)  # losing candidates can only push t up
+
+
+def test_any_skip_matches_without_early_exit():
+    """any_skip composed with early_exit=False (the fori_loop sweep
+    path) — both sweep-loop variants carry the gate."""
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    o, d, tm = _rays(384, seed=37)
+    a = hit_triangles_grid_rows(grid, o, d, tm, ray_block=128,
+                                interpret=True, use_mxu=False,
+                                early_exit=False, any_skip=True)
+    b = hit_triangles_grid_rows(grid, o, d, tm, ray_block=128,
+                                interpret=True, use_mxu=False,
+                                early_exit=False, any_skip=False)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 def test_median_partition_exact_and_tighter():
     """The median-split partition (cfg.tri_partition='median') returns
     the same nearest hits as the Morton partition (tile membership only

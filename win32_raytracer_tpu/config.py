@@ -128,6 +128,17 @@ class RenderConfig:
     # next tile's bound (kernels/tri_grid_rows._sweep_scheduled) — exact
     # by construction.  "off" sweeps the full masked schedule (A/B arm).
     tri_early_exit: str = "auto"  # "auto" | "on" | "off"
+    # Triangle-grid in-kernel any-touch skip: each scheduled tile's MXU
+    # contraction is gated by an exact per-lane slab test of the capped
+    # segment [min_t, min(cap, current best t)] against the tile AABB
+    # (pl.when, kernels/tri_grid_rows._any_touch).  The host-side block
+    # mask is doubly conservative (per-ray segment box -> block union
+    # box), so most visited tiles are exactly-untouched: the offline
+    # model (tri_knob_sim --anyskip) prices the skip at 1.77x static /
+    # 3.16x progressive fewer contractions at prod knobs, block count
+    # UNCHANGED.  Exact: a tile no lane's segment-to-current-best
+    # touches cannot improve any winner.  "off" = the A/B arm.
+    tri_any_skip: str = "auto"  # "auto" | "on" | "off"
     # Triangle-grid tile partition: how contiguous tile membership is
     # chosen from the centroid cloud.  "morton" cuts a space-filling
     # curve; "median" recursively median-splits the widest axis (tighter

@@ -118,21 +118,22 @@ def _make_composite(sphere_fn, tri_pass):
 
 @functools.lru_cache(maxsize=16)
 def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True, rebin=False,
-                 dda_k=0):
+                 dda_k=0, any_skip=True):
     """Rows hit fn for scenes whose triangle side carries a TriGridScene.
 
     ``ray_block`` 0 = the kernel default; ``early_exit`` = the
     front-to-back in-kernel stop (cfg.tri_early_exit); ``rebin`` = the
     two-phase occlusion-capped working-set sort (cfg.tri_rebin,
-    kernels/tri_rebin.py).  Cached: hit fns are static jit args
-    downstream."""
+    kernels/tri_rebin.py); ``any_skip`` = the in-kernel exact any-touch
+    contraction gate (cfg.tri_any_skip).  Cached: hit fns are static
+    jit args downstream."""
     from .tri_grid_rows import (
         DEFAULT_TRI_GRID_RAY_BLOCK, hit_triangles_grid_rows,
     )
 
     rb = ray_block or DEFAULT_TRI_GRID_RAY_BLOCK
     tri_pass = _make_tri_pass(hit_triangles_grid_rows, rb, rebin, dda_k,
-                              early_exit=early_exit)
+                              early_exit=early_exit, any_skip=any_skip)
     return _make_composite(sphere_fn, tri_pass)
 
 
@@ -177,6 +178,9 @@ def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
     if cfg.tri_rebin not in ("auto", "on", "dda", "off"):
         raise ValueError(
             f"tri_rebin must be auto|on|dda|off, got {cfg.tri_rebin!r}")
+    if cfg.tri_any_skip not in ("auto", "on", "off"):
+        raise ValueError(
+            f"tri_any_skip must be auto|on|off, got {cfg.tri_any_skip!r}")
     if cfg.tri_dda_k < 0:
         raise ValueError(
             f"tri_dda_k must be >= 0 (0 = kernel default), got "
@@ -219,7 +223,8 @@ def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
                         sphere_fn, cfg.tri_ray_block,
                         early_exit=cfg.tri_early_exit in ("auto", "on"),
                         rebin="off" if cfg.tri_rebin == "auto"
-                        else cfg.tri_rebin, dda_k=cfg.tri_dda_k)
+                        else cfg.tri_rebin, dda_k=cfg.tri_dda_k,
+                        any_skip=cfg.tri_any_skip in ("auto", "on"))
                 # jnp backend, explicit accel="grid": the pure-jnp grid
                 # sweep (tri_accel.hit_triangles_grid_rows_jnp).  No mask
                 # savings without Mosaic — this is the CI/verification

@@ -53,6 +53,51 @@ _TLO_INV = np.float32(1.0 / 1024.0)
 _TLO_CAP = np.float32(1.0e6)
 _TLO_PAD = np.float32(1.5e6)
 
+# Tile AABBs for the in-kernel any-touch skip ride SMEM i32-quantized at
+# the same scale, CONSERVATIVELY expanded (floor-1 on lo, ceil+1 on hi:
+# a full quantization step of margin even where a coordinate quantizes
+# exactly — e.g. an axis-planar floor tile at y == 0) so quantization
+# can only pass extra tiles, never skip a touched one.
+_BX_CLIP = np.float32(1.0e6)
+_EPS_DIR = np.float32(1e-12)
+# Slop on the slab-interval comparison: the winner t the progressive
+# bound carries comes from the split-bf16 MXU contraction (~2^-17
+# relative error) and the slab t itself rounds in f32 — a true hit
+# exactly on a tile face must never be excluded by round-off.  Costs
+# only near-tangent extra sweeps.
+_SKIP_SLOP_REL = np.float32(1e-4)
+_SKIP_SLOP_ABS = np.float32(1e-5)
+
+
+def _any_touch(bxq_ref, tid, o3, inv3, t_lo0, t_hi0):
+    """Scalar predicate: does ANY lane's capped segment [t_lo0, t_hi0]
+    slab-intersect tile ``tid``'s (conservatively quantized) AABB?
+
+    The schedule mask (tri_accel.tri_block_schedule_rows) is doubly
+    conservative — per-ray segment box -> block union box -> tile
+    overlap — so union degeneracy (left-goers + right-goers schedule
+    the middle) makes most visited tiles exactly-untouched (sim:
+    bench/tri_knob_sim.py --anyskip, 1.77x static / 3.16x with the
+    progressive t_ref bound at St=64 RB=2048).  ~25 VPU slots per lane
+    per tile vs the 4*St*K-MAC contraction this gates (~2% overhead)."""
+    t_lo, t_hi = t_lo0, t_hi0
+    for ax in range(3):
+        lo = bxq_ref[tid, 2 * ax].astype(jnp.float32) * _TLO_INV
+        hi = bxq_ref[tid, 2 * ax + 1].astype(jnp.float32) * _TLO_INV
+        ta = (lo - o3[ax]) * inv3[ax]
+        tb = (hi - o3[ax]) * inv3[ax]
+        t_lo = jnp.maximum(t_lo, jnp.minimum(ta, tb))
+        t_hi = jnp.minimum(t_hi, jnp.maximum(ta, tb))
+    return jnp.any(t_lo <= t_hi * (1 + _SKIP_SLOP_REL) + _SKIP_SLOP_ABS)
+
+
+def _safe_inv(d):
+    """1/d with +-eps substituted for near-zero components (the host
+    mask's convention, tri_accel.clip_segment_to_box)."""
+    dn = jnp.where(jnp.abs(d) < _EPS_DIR,
+                   jnp.where(d < 0, -_EPS_DIR, _EPS_DIR), d)
+    return 1.0 / dn
+
 
 def _merge_tile(t, tl, t_ref, g_ref, st):
     """Merge one tile's per-pair t matrix [St, R] (F32_MAX = invalid)
@@ -109,12 +154,13 @@ def _sweep_scheduled(sched_ref, tlo_ref, cap, sweep_tile, t_ref, g_ref,
     jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
 
 
-def _tri_grid_kernel(sched_ref, tlo_ref, rays_ref, attrs_ref, t_ref, g_ref,
-                     *, st, min_t, early_exit):
+def _tri_grid_kernel(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
+                     t_ref, g_ref, *, st, min_t, early_exit, any_skip):
     """Exact-f32 VPU Möller-Trumbore per scheduled tile (the oracle-grade
     variant; ~50 VPU slots per pair).  sched [NB, 1+T] i32 (SMEM): col 0
     = active count, cols 1.. = active tile ids front-to-back; tlo
-    [NB, T+1] i32 quantized entry bounds in schedule order; rays [7, R]
+    [NB, T+1] i32 quantized entry bounds in schedule order; bxq [T, 8]
+    i32 quantized tile AABBs (the any-touch skip); rays [7, R]
     (o rows 0-2, d rows 3-5, per-lane segment-end cap row 6); attrs
     [T*St, 17] VMEM-resident; outputs t [1, R], winner rows [17, R]."""
     t_ref[:, :] = jnp.full_like(t_ref[:, :], F32_MAX)
@@ -127,18 +173,36 @@ def _tri_grid_kernel(sched_ref, tlo_ref, rays_ref, attrs_ref, t_ref, g_ref,
     dy = rays_ref[4:5, :]
     dz = rays_ref[5:6, :]
     cap = rays_ref[6:7, :]
+    if any_skip:
+        o3 = (ox, oy, oz)
+        inv3 = (_safe_inv(dx), _safe_inv(dy), _safe_inv(dz))
+        seg_lo = jnp.full_like(cap, jnp.float32(min_t))
 
-    def sweep_tile(tid):
+    def do_tile(tid):
         tl = attrs_ref[pl.ds(tid * st, st), :]            # [St, 17]
         t = _sweep_tile_rows(tl, ox, oy, oz, dx, dy, dz, min_t)
         _merge_tile(t, tl, t_ref, g_ref, st)
+
+    def sweep_tile(tid):
+        if not any_skip:
+            do_tile(tid)
+            return
+        # Progressive bound: a tile no lane's segment-up-to-current-best
+        # touches cannot improve any winner — skip its contraction.
+        hi = jnp.minimum(cap, t_ref[:, :])
+        pred = _any_touch(bxq_ref, tid, o3, inv3, seg_lo, hi)
+
+        @pl.when(pred)
+        def _():
+            do_tile(tid)
 
     _sweep_scheduled(sched_ref, tlo_ref, cap, sweep_tile, t_ref, g_ref,
                      early_exit)
 
 
-def _tri_grid_kernel_mxu(sched_ref, tlo_ref, rays_ref, attrs_ref, coef_ref,
-                         t_ref, g_ref, *, st, min_t, n_terms, early_exit):
+def _tri_grid_kernel_mxu(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
+                         coef_ref, t_ref, g_ref, *, st, min_t, n_terms,
+                         early_exit, any_skip):
     """Production variant: each scheduled tile's four MT quantities
     (det/u_num/v_num/t_num) come from ONE [4*St, K] x [K, R] split-bf16
     MXU contraction against the shared 16-feature ray stack
@@ -163,8 +227,12 @@ def _tri_grid_kernel_mxu(sched_ref, tlo_ref, rays_ref, attrs_ref, coef_ref,
     f_limbs = [l.astype(jnp.float32) for l in _split_limbs(feats, n_limbs)]
     f_stack = jnp.concatenate(
         [f_limbs[j] for _, j in pairs], axis=0).astype(jnp.bfloat16)
+    if any_skip:
+        o3 = (o[0:1], o[1:2], o[2:3])
+        inv3 = (_safe_inv(d[0:1]), _safe_inv(d[1:2]), _safe_inv(d[2:3]))
+        seg_lo = jnp.full_like(cap, jnp.float32(min_t))
 
-    def sweep_tile(tid):
+    def do_tile(tid):
         tl = attrs_ref[pl.ds(tid * st, st), :]            # [St, 17]
         cf = coef_ref[pl.ds(tid * 4 * st, 4 * st), :]     # [4St, K]
         mm = jax.lax.dot_general(
@@ -184,16 +252,28 @@ def _tri_grid_kernel_mxu(sched_ref, tlo_ref, rays_ref, attrs_ref, coef_ref,
         t = jnp.where(valid, t, F32_MAX)
         _merge_tile(t, tl, t_ref, g_ref, st)
 
+    def sweep_tile(tid):
+        if not any_skip:
+            do_tile(tid)
+            return
+        hi = jnp.minimum(cap, t_ref[:, :])
+        pred = _any_touch(bxq_ref, tid, o3, inv3, seg_lo, hi)
+
+        @pl.when(pred)
+        def _():
+            do_tile(tid)
+
     _sweep_scheduled(sched_ref, tlo_ref, cap, sweep_tile, t_ref, g_ref,
                      early_exit)
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "st", "min_t", "ray_block",
-                              "use_mxu", "interpret", "early_exit"))
-def _tri_grid_raw(rays7, tile_attrs, tile_coeffs, mask, tlo, *, n_tiles, st,
-                  min_t, ray_block, use_mxu=True, interpret=False,
-                  early_exit=True):
+                              "use_mxu", "interpret", "early_exit",
+                              "any_skip"))
+def _tri_grid_raw(rays7, tile_attrs, tile_coeffs, mask, tlo, tile_boxes,
+                  *, n_tiles, st, min_t, ray_block, use_mxu=True,
+                  interpret=False, early_exit=True, any_skip=True):
     n = rays7.shape[1]
     nb = n // ray_block
     # Front-to-back schedule: active tiles first, ordered by their entry
@@ -208,11 +288,20 @@ def _tri_grid_raw(rays7, tile_attrs, tile_coeffs, mask, tlo, *, n_tiles, st,
         [jnp.floor(tlo_sorted * _TLO_SCALE).astype(jnp.int32),
          jnp.full((nb, 1), np.int32(_TLO_PAD * _TLO_SCALE), jnp.int32)],
         axis=1)                                           # [NB, T+1]
+    # Tile AABBs, conservatively quantized (floor lo / ceil hi only
+    # EXPANDS a box — the any-touch skip can pass extra tiles, never
+    # drop a touched one), padded 6 -> 8 cols for SMEM row alignment.
+    bclip = jnp.clip(tile_boxes, -_BX_CLIP, _BX_CLIP) * _TLO_SCALE
+    lo_q = jnp.floor(bclip[:, 0::2]).astype(jnp.int32) - 1  # [T, 3]
+    hi_q = jnp.ceil(bclip[:, 1::2]).astype(jnp.int32) + 1
+    bxq = jnp.zeros((n_tiles, 8), jnp.int32)
+    bxq = bxq.at[:, 0:6:2].set(lo_q).at[:, 1:6:2].set(hi_q)
 
     in_specs = [
-        pl.BlockSpec((7, ray_block), lambda i, m, q: (0, i),
+        pl.BlockSpec((7, ray_block), lambda i, m, q, b: (0, i),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_tiles * st, TRI_GRID_COLS), lambda i, m, q: (0, 0),
+        pl.BlockSpec((n_tiles * st, TRI_GRID_COLS),
+                     lambda i, m, q, b: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
     if use_mxu:
@@ -221,25 +310,28 @@ def _tri_grid_raw(rays7, tile_attrs, tile_coeffs, mask, tlo, *, n_tiles, st,
         from .tri_pallas_mxu import _N_TERMS_TRI
         kernel = functools.partial(_tri_grid_kernel_mxu, st=st,
                                    min_t=min_t, n_terms=_N_TERMS_TRI,
-                                   early_exit=early_exit)
+                                   early_exit=early_exit,
+                                   any_skip=any_skip)
         k = tile_coeffs.shape[1]
         in_specs.append(
-            pl.BlockSpec((n_tiles * 4 * st, k), lambda i, m, q: (0, 0),
+            pl.BlockSpec((n_tiles * 4 * st, k), lambda i, m, q, b: (0, 0),
                          memory_space=pltpu.VMEM))
-        args = (sched, tlo_q, rays7, tile_attrs, tile_coeffs)
+        args = (sched, tlo_q, bxq, rays7, tile_attrs, tile_coeffs)
     else:
         kernel = functools.partial(_tri_grid_kernel, st=st, min_t=min_t,
-                                   early_exit=early_exit)
-        args = (sched, tlo_q, rays7, tile_attrs)
+                                   early_exit=early_exit,
+                                   any_skip=any_skip)
+        args = (sched, tlo_q, bxq, rays7, tile_attrs)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nb,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, ray_block), lambda i, m, q: (0, i),
+            pl.BlockSpec((1, ray_block), lambda i, m, q, b: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TRI_GRID_COLS, ray_block), lambda i, m, q: (0, i),
+            pl.BlockSpec((TRI_GRID_COLS, ray_block),
+                         lambda i, m, q, b: (0, i),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -275,13 +367,25 @@ def hit_triangles_grid_rows(
     t_cap: Optional[jnp.ndarray] = None,
     use_mxu: bool = True,
     early_exit: bool = True,
+    any_skip: bool = True,
 ) -> HitRecordRows:
     """Drop-in rows hit function for TriGridScene.  ``t_cap`` [1, N] (a
     nearer hit from another pass) tightens the block mask.  ``use_mxu``
     selects the production split-bf16 MXU tile sweep (False = the exact
     f32 VPU variant, the oracle-grade path).  ``early_exit`` sweeps each
     block's tiles front-to-back and stops at the first tile no lane can
-    still beat (exact; False = full masked sweep, the A/B arm)."""
+    still beat (exact; False = full masked sweep, the A/B arm).
+    ``any_skip`` gates each scheduled tile's contraction on an exact
+    per-lane slab test against the tile AABB (pl.when — exact, since a
+    tile no lane's capped-to-current-best segment touches cannot improve
+    any winner; False = the unconditional sweep A/B arm).
+
+    Contract: a lane's record BEYOND its effective segment end (scene
+    exit ∧ ``t_cap``) is unspecified — the unconditional sweep may
+    report a junk winner there (a tile swept for other lanes' sake)
+    where the gated sweep reports a farther one or a miss.  Harmless by
+    construction: ``t_cap`` is a nearer hit from another pass, so the
+    composite combine discards anything beyond it."""
     del time
     n = origin.shape[1]
     pad = (-n) % ray_block
@@ -301,17 +405,20 @@ def hit_triangles_grid_rows(
     # doc); segments pipeline like any other dispatches.
     np_ = o.shape[1]
     nb = np_ // ray_block
-    per_seg = max(1, _SMEM_BUDGET // ((2 * grid.n_tiles + 2) * 4 * 2))
+    # The per-call-constant quantized box table ([T, 8] i32) eats into
+    # the SMEM the double-buffered per-block schedule rows may use.
+    budget = _SMEM_BUDGET - grid.n_tiles * 8 * 4
+    per_seg = max(1, budget // ((2 * grid.n_tiles + 2) * 4 * 2))
     outs_t, outs_g = [], []
     for b0 in range(0, nb, per_seg):
         b1 = min(nb, b0 + per_seg)
         sl = slice(b0 * ray_block, b1 * ray_block)
         t_o, g_o = _tri_grid_raw(
             rays7[:, sl], grid.tile_attrs, grid.tile_coeffs, mask[b0:b1],
-            tlo[b0:b1],
+            tlo[b0:b1], grid.tile_boxes,
             n_tiles=grid.n_tiles, st=grid.tile_rows, min_t=float(min_t),
             ray_block=ray_block, use_mxu=use_mxu, interpret=interpret,
-            early_exit=early_exit)
+            early_exit=early_exit, any_skip=any_skip)
         outs_t.append(t_o)
         outs_g.append(g_o)
     t_out = jnp.concatenate(outs_t, axis=1) if len(outs_t) > 1 else outs_t[0]

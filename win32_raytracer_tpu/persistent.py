@@ -349,12 +349,16 @@ def _resolve_kpp(cfg: RenderConfig, spp: int) -> int:
     return kpp
 
 
-# Compaction size grid: multiples of 256k above the dispatch floor, powers
+# Compaction size grid: multiples of 64k above the dispatch floor, powers
 # of two below.  Shapes are few (each compiles its own step programs, cached
 # persistently) yet fine enough that a compaction captures most of the
 # alive-fraction drop — pow2 halving left the headline render grinding 70
 # full-size steps on a ~50%-dead batch (~1.9 s of dead-lane sweeps).
-_COMPACT_QUANTUM = 1 << 18   # 256k lanes
+# Quantum sweep at the headline (tpu_jobs 550, interleaved, 3 reps each):
+# 64k 2.08/2.10/2.15 s, 128k 2.09/2.09/2.17, 256k 2.16/2.16/2.19 — the
+# finer grid beats 256k in every rep (~4%); the extra program shapes are
+# one-time disk-cached compiles.
+_COMPACT_QUANTUM = 1 << 16   # 64k lanes
 # Compact when the quantized live-lane batch would shrink below this
 # fraction of the current batch (larger = compact more eagerly).  Round 1
 # measured 0.55 best when a compaction cost ~0.5 s (perm + 11 gathers);
