@@ -326,6 +326,29 @@ def test_any_skip_matches_unconditional_sweep_exactly():
         assert np.all(ta >= tb)  # losing candidates can only push t up
 
 
+def test_any_skip_matches_on_mxu_path():
+    """Same gate contract on the production split-bf16 MXU sweep: the
+    gate compares its f32 slab interval against the bf16-limb winner t,
+    so this also exercises the _SKIP_SLOP guard band."""
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    o, d, tm = _rays(512, seed=41)
+    cap = jnp.full((1, 512), 3.0, jnp.float32)
+    a = hit_triangles_grid_rows(grid, o, d, tm, ray_block=128,
+                                interpret=True, use_mxu=True,
+                                t_cap=cap, any_skip=True)
+    b = hit_triangles_grid_rows(grid, o, d, tm, ray_block=128,
+                                interpret=True, use_mxu=True,
+                                t_cap=cap, any_skip=False)
+    ta, tb = np.asarray(a.t)[0], np.asarray(b.t)[0]
+    valid = tb <= np.asarray(cap)[0]
+    assert valid.any()
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa)[:, valid],
+                                      np.asarray(fb)[:, valid])
+    assert np.all(ta >= tb)
+
+
 def test_any_skip_matches_without_early_exit():
     """any_skip composed with early_exit=False (the fori_loop sweep
     path) — both sweep-loop variants carry the gate."""
