@@ -30,6 +30,10 @@ def run_config(idx: int, scale: float, platform: str, obj: str = "",
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
+    # Runtime config.update, never the env var (read-too-late under the
+    # TPU sitecustomize preimport — docs/axon_runtime_notes.md #21).
+    from win32_raytracer_tpu._cache import enable_compile_cache
+    enable_compile_cache()
     import numpy as np
     import jax.numpy as jnp
     np.asarray(jnp.ones((8,)) + 1)  # sync-mode flip (honest timings)

@@ -36,6 +36,10 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     import jax
 
+    from win32_raytracer_tpu._cache import enable_compile_cache
+
+    enable_compile_cache()  # env var is read-too-late (runtime notes #21)
+
     from win32_raytracer_tpu.api import render
     from win32_raytracer_tpu.config import RenderConfig
     from win32_raytracer_tpu.parallel.shard import make_mesh
