@@ -136,7 +136,9 @@ class RenderConfig:
     # box), so most visited tiles are exactly-untouched: the offline
     # model (tri_knob_sim --anyskip) prices the skip at 1.77x static /
     # 3.16x progressive fewer contractions at prod knobs, block count
-    # UNCHANGED.  Exact: a tile no lane's segment-to-current-best
+    # UNCHANGED.  On chip: +21% end-to-end at the config-4 shape
+    # (mesh20k 800x450@50: 1.82 vs 2.21 s every interleaved rep,
+    # tpu_jobs 547).  Exact: a tile no lane's segment-to-current-best
     # touches cannot improve any winner.  "off" = the A/B arm.
     tri_any_skip: str = "auto"  # "auto" | "on" | "off"
     # Triangle-grid tile partition: how contiguous tile membership is
