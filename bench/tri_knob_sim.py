@@ -700,7 +700,7 @@ def ideal_sweep(scene, snaps, st_rows=32, rb=512):
           f"{tot_block/max(tot_ideal,1):.2f}x at St={st_rows} RB={rb}")
 
 
-def anyskip_sweep(scene, snaps, st_rows=64, rb=2048):
+def anyskip_sweep(scene, snaps, st_rows=64, rb=2048, subs=(2, 4, 8, 16)):
     """Price the IN-KERNEL exact any-touch skip at production knobs.
 
     The shipped schedule is doubly conservative (per-ray segment box ->
@@ -717,7 +717,15 @@ def anyskip_sweep(scene, snaps, st_rows=64, rb=2048):
                  the win.
     * progressive — cap further tightened by the lane's FINAL best t,
                  modeling `min(cap, t_ref)` inside the sweep (optimistic:
-                 t_ref at visit time is >= the final best)."""
+                 t_ref at visit time is >= the final best).
+
+    ``subs``: also price SUB-BLOCK gating — the gate applied per
+    RB/q-lane sub-group (contraction sliced to the sub-group's columns).
+    Lanes are chord-key sorted, so sub-groups are spatially coherent and
+    a tile touched by one corner of the block skips the other quarters'
+    MACs.  Block count (and the schedule) stay UNCHANGED, so this sim
+    may rank it; what it cannot price is the extra pl.when branch per
+    (tile, sub-group) — the chip decides that term."""
     grid = build_tri_grid(scene.triangles, tile_rows=st_rows)
     boxes = np.asarray(grid.tile_boxes, np.float64)        # [T, 6]
     sb = np.asarray(grid.scene_box, np.float64)
@@ -726,6 +734,8 @@ def anyskip_sweep(scene, snaps, st_rows=64, rb=2048):
         np.float32)
     eps = 1e-12
     tot_vis, tot_stat, tot_prog = 0.0, 0.0, 0.0
+    tot_sub = {q: 0.0 for q in subs}   # MAC-equivalents at sub-gate q
+    tot_subp = {q: 0.0 for q in subs}  # gate-predicate count (branches)
     for depth, o, d, tm, alive in snaps:
         sel = np.flatnonzero(alive)
         if len(sel) < rb:
@@ -774,6 +784,8 @@ def anyskip_sweep(scene, snaps, st_rows=64, rb=2048):
         cap_s = cap_eff[0]
         cap_p = np.minimum(cap_s, best_a)
         vis_tot, stat_tot, prog_tot = 0, 0, 0
+        sub_tot = {q: 0 for q in subs}   # touched (tile, sub-group) pairs
+        subp_tot = {q: 0 for q in subs}  # predicates evaluated
         for b in range(nb):
             v = int(visited[b])
             if v == 0:
@@ -797,18 +809,36 @@ def anyskip_sweep(scene, snaps, st_rows=64, rb=2048):
                 hi_pr = np.minimum(hi_pr, mx)
             vis_tot += v
             stat_tot += int((t_lo <= hi_st).any(axis=1).sum())
-            prog_tot += int((t_lo <= hi_pr).any(axis=1).sum())
+            touch_pr = t_lo <= hi_pr                       # [V, RB]
+            prog_tot += int(touch_pr.any(axis=1).sum())
+            for q in subs:
+                # Sub-group gate nests under the whole-block gate: only
+                # block-touched tiles evaluate the q sub-predicates.
+                tq = touch_pr.reshape(v, q, rb // q).any(axis=2)  # [V, q]
+                blk = tq.any(axis=1)
+                sub_tot[q] += int(tq.sum())
+                subp_tot[q] += int(blk.sum()) * q
         tot_vis += vis_tot * st_rows * rb
         tot_stat += stat_tot * st_rows * rb
         tot_prog += prog_tot * st_rows * rb
+        for q in subs:
+            tot_sub[q] += sub_tot[q] * st_rows * (rb // q)
+            tot_subp[q] += subp_tot[q]
+        sub_str = " ".join(
+            f"q{q}:{vis_tot*q/max(sub_tot[q],1):.2f}x" for q in subs)
         print(f"depth {depth}: visited {vis_tot:6d} tiles/{nb} blocks -> "
               f"static-touch {stat_tot:6d} ({vis_tot/max(stat_tot,1):.2f}x), "
               f"progressive {prog_tot:6d} "
-              f"({vis_tot/max(prog_tot,1):.2f}x)", flush=True)
+              f"({vis_tot/max(prog_tot,1):.2f}x), sub-gate {sub_str}",
+              flush=True)
     print(f"\n## any-touch skip at St={st_rows} RB={rb}: "
           f"contraction work /{tot_vis/max(tot_stat,1):.2f} static, "
           f"/{tot_vis/max(tot_prog,1):.2f} progressive "
           f"(lane-weighted, prod schedule unchanged)")
+    for q in subs:
+        print(f"##   sub-gate q={q:2d}: MACs /{tot_vis/max(tot_sub[q],1):.2f}"
+              f" vs ungated (/{tot_prog/max(tot_sub[q],1):.2f} vs whole-"
+              f"block gate); {tot_subp[q]/1e3:.1f}k sub-predicates/branches")
 
 
 def main():

@@ -365,6 +365,48 @@ def test_any_skip_matches_without_early_exit():
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
 
 
+def test_sub_gate_matches_unconditional_sweep_exactly():
+    """The sub-block any-touch gate (cfg.tri_sub_gate, n_sub > 1): the
+    gate contract holds per sub-group — within each lane's effective
+    segment, results are bit-identical to the unconditional sweep on
+    BOTH sweep variants; beyond the cap the gate may only lose (junk)
+    candidates, so t is monotonically >=.  Also: more gate granularity
+    can only skip MORE, so t(n_sub=2) >= t(whole-block gate) too."""
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    o, d, tm = _rays(512, seed=43)
+    cap = jnp.full((1, 512), 2.5, jnp.float32)
+    for use_mxu in (False, True):
+        sub = hit_triangles_grid_rows(grid, o, d, tm, ray_block=256,
+                                      interpret=True, use_mxu=use_mxu,
+                                      t_cap=cap, any_skip=True, n_sub=2)
+        whole = hit_triangles_grid_rows(grid, o, d, tm, ray_block=256,
+                                        interpret=True, use_mxu=use_mxu,
+                                        t_cap=cap, any_skip=True, n_sub=1)
+        none = hit_triangles_grid_rows(grid, o, d, tm, ray_block=256,
+                                       interpret=True, use_mxu=use_mxu,
+                                       t_cap=cap, any_skip=False)
+        ts = np.asarray(sub.t)[0]
+        tw = np.asarray(whole.t)[0]
+        tn = np.asarray(none.t)[0]
+        valid = tn <= np.asarray(cap)[0]
+        assert valid.any()
+        for fs, fn in zip(sub, none):
+            np.testing.assert_array_equal(np.asarray(fs)[:, valid],
+                                          np.asarray(fn)[:, valid])
+        assert np.all(ts >= tw)
+        assert np.all(tw >= tn)
+
+
+def test_sub_gate_rejects_bad_block_split():
+    scene = _mesh(2)
+    grid = build_tri_grid(scene, tile_rows=64)
+    o, d, tm = _rays(256, seed=43)
+    with np.testing.assert_raises(ValueError):
+        hit_triangles_grid_rows(grid, o, d, tm, ray_block=256,
+                                interpret=True, any_skip=True, n_sub=4)
+
+
 def test_median_partition_exact_and_tighter():
     """The median-split partition (cfg.tri_partition='median') returns
     the same nearest hits as the Morton partition (tile membership only

@@ -141,6 +141,18 @@ class RenderConfig:
     # tpu_jobs 547).  Exact: a tile no lane's segment-to-current-best
     # touches cannot improve any winner.  "off" = the A/B arm.
     tri_any_skip: str = "auto"  # "auto" | "on" | "off"
+    # Sub-block granularity of the any-touch gate: the slab test (and
+    # the gated contraction+merge) runs per RB/q-lane sub-group instead
+    # of per whole ray block.  Lanes are chord-key sorted, so sub-groups
+    # are spatially coherent and a tile touched only by one corner of
+    # the block skips the other sub-groups' MACs — the offline model
+    # (tri_knob_sim --anyskip) prices q=2/4/8/16 at 1.63/2.67/4.22/6.44x
+    # fewer MACs than the whole-block gate at prod knobs, block count
+    # and schedule UNCHANGED.  What the model cannot price is the extra
+    # pl.when branch per (tile, sub-group); the chip decides the
+    # default.  0 = auto (currently 1 = whole-block gate); needs
+    # tri_any_skip active and ray_block % (128*q) == 0.
+    tri_sub_gate: int = 0
     # Triangle-grid tile partition: how contiguous tile membership is
     # chosen from the centroid cloud.  "morton" cuts a space-filling
     # curve; "median" recursively median-splits the widest axis (tighter

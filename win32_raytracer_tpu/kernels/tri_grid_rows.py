@@ -99,11 +99,13 @@ def _safe_inv(d):
     return 1.0 / dn
 
 
-def _merge_tile(t, tl, t_ref, g_ref, st):
-    """Merge one tile's per-pair t matrix [St, R] (F32_MAX = invalid)
-    into the carried (t_ref, g_ref) winner state."""
-    tile_t = jnp.min(t, axis=0, keepdims=True)            # [1, R]
-    better = tile_t < t_ref[:, :]
+def _merge_tile(t, tl, t_ref, g_ref, st, cols=slice(None)):
+    """Merge one tile's per-pair t matrix [St, Rc] (F32_MAX = invalid)
+    into the carried (t_ref, g_ref) winner state, restricted to the
+    static column slice ``cols`` (the sub-gate's lane sub-group; the
+    default merges the whole block)."""
+    tile_t = jnp.min(t, axis=0, keepdims=True)            # [1, Rc]
+    better = tile_t < t_ref[:, cols]
     eq = t == tile_t
     sub = jax.lax.broadcasted_iota(
         jnp.int32, t.shape, 0).astype(jnp.float32)
@@ -114,10 +116,39 @@ def _merge_tile(t, tl, t_ref, g_ref, st):
     delta = jax.lax.dot_general(
         tl, onehot,
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [17, R]
+        preferred_element_type=jnp.float32)               # [17, Rc]
     flag = delta[TRI_ATTR_COLS:TRI_ATTR_COLS + 1, :]
-    g_ref[:, :] = g_ref[:, :] * (1.0 - flag) + delta
-    t_ref[:, :] = jnp.where(better, tile_t, t_ref[:, :])
+    g_ref[:, cols] = g_ref[:, cols] * (1.0 - flag) + delta
+    t_ref[:, cols] = jnp.where(better, tile_t, t_ref[:, cols])
+
+
+def _gated_sweep(do_tile_cols, any_skip, n_sub, bxq_ref, o3, inv3,
+                 seg_lo, cap, t_ref):
+    """Build ``sweep_tile(tid)``: the exact any-touch gate applied per
+    RB/n_sub-lane sub-group, each passing sub-group paying only ITS
+    columns' contraction+merge (``do_tile_cols(tid, col_slice)``).
+    Lanes are chord-key sorted, so sub-groups are spatially coherent —
+    a tile touched only by one corner of the block skips the other
+    sub-groups' MACs (cfg.tri_sub_gate; n_sub=1 = whole-block gate)."""
+    def sweep_tile(tid):
+        if not any_skip:
+            do_tile_cols(tid, slice(None))
+            return
+        r = cap.shape[1]
+        w = r // n_sub
+        for s in range(n_sub):
+            sl = slice(s * w, (s + 1) * w) if n_sub > 1 else slice(None)
+            hi = jnp.minimum(cap[:, sl], t_ref[:, sl])
+            pred = _any_touch(bxq_ref, tid,
+                              tuple(x[:, sl] for x in o3),
+                              tuple(x[:, sl] for x in inv3),
+                              seg_lo[:, sl], hi)
+
+            @pl.when(pred)
+            def _(sl=sl):
+                do_tile_cols(tid, sl)
+
+    return sweep_tile
 
 
 def _sweep_scheduled(sched_ref, tlo_ref, cap, sweep_tile, t_ref, g_ref,
@@ -155,7 +186,8 @@ def _sweep_scheduled(sched_ref, tlo_ref, cap, sweep_tile, t_ref, g_ref,
 
 
 def _tri_grid_kernel(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
-                     t_ref, g_ref, *, st, min_t, early_exit, any_skip):
+                     t_ref, g_ref, *, st, min_t, early_exit, any_skip,
+                     n_sub=1):
     """Exact-f32 VPU Möller-Trumbore per scheduled tile (the oracle-grade
     variant; ~50 VPU slots per pair).  sched [NB, 1+T] i32 (SMEM): col 0
     = active count, cols 1.. = active tile ids front-to-back; tlo
@@ -173,36 +205,25 @@ def _tri_grid_kernel(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
     dy = rays_ref[4:5, :]
     dz = rays_ref[5:6, :]
     cap = rays_ref[6:7, :]
-    if any_skip:
-        o3 = (ox, oy, oz)
-        inv3 = (_safe_inv(dx), _safe_inv(dy), _safe_inv(dz))
-        seg_lo = jnp.full_like(cap, jnp.float32(min_t))
+    o3 = (ox, oy, oz)
+    inv3 = (_safe_inv(dx), _safe_inv(dy), _safe_inv(dz))
+    seg_lo = jnp.full_like(cap, jnp.float32(min_t))
 
-    def do_tile(tid):
+    def do_tile_cols(tid, sl):
         tl = attrs_ref[pl.ds(tid * st, st), :]            # [St, 17]
-        t = _sweep_tile_rows(tl, ox, oy, oz, dx, dy, dz, min_t)
-        _merge_tile(t, tl, t_ref, g_ref, st)
+        t = _sweep_tile_rows(tl, ox[:, sl], oy[:, sl], oz[:, sl],
+                             dx[:, sl], dy[:, sl], dz[:, sl], min_t)
+        _merge_tile(t, tl, t_ref, g_ref, st, cols=sl)
 
-    def sweep_tile(tid):
-        if not any_skip:
-            do_tile(tid)
-            return
-        # Progressive bound: a tile no lane's segment-up-to-current-best
-        # touches cannot improve any winner — skip its contraction.
-        hi = jnp.minimum(cap, t_ref[:, :])
-        pred = _any_touch(bxq_ref, tid, o3, inv3, seg_lo, hi)
-
-        @pl.when(pred)
-        def _():
-            do_tile(tid)
-
+    sweep_tile = _gated_sweep(do_tile_cols, any_skip, n_sub, bxq_ref,
+                              o3, inv3, seg_lo, cap, t_ref)
     _sweep_scheduled(sched_ref, tlo_ref, cap, sweep_tile, t_ref, g_ref,
                      early_exit)
 
 
 def _tri_grid_kernel_mxu(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
                          coef_ref, t_ref, g_ref, *, st, min_t, n_terms,
-                         early_exit, any_skip):
+                         early_exit, any_skip, n_sub=1):
     """Production variant: each scheduled tile's four MT quantities
     (det/u_num/v_num/t_num) come from ONE [4*St, K] x [K, R] split-bf16
     MXU contraction against the shared 16-feature ray stack
@@ -227,17 +248,17 @@ def _tri_grid_kernel_mxu(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
     f_limbs = [l.astype(jnp.float32) for l in _split_limbs(feats, n_limbs)]
     f_stack = jnp.concatenate(
         [f_limbs[j] for _, j in pairs], axis=0).astype(jnp.bfloat16)
-    if any_skip:
-        o3 = (o[0:1], o[1:2], o[2:3])
-        inv3 = (_safe_inv(d[0:1]), _safe_inv(d[1:2]), _safe_inv(d[2:3]))
-        seg_lo = jnp.full_like(cap, jnp.float32(min_t))
+    o3 = (o[0:1], o[1:2], o[2:3])
+    inv3 = (_safe_inv(d[0:1]), _safe_inv(d[1:2]), _safe_inv(d[2:3]))
+    seg_lo = jnp.full_like(cap, jnp.float32(min_t))
 
-    def do_tile(tid):
+    def do_tile_cols(tid, sl):
         tl = attrs_ref[pl.ds(tid * st, st), :]            # [St, 17]
         cf = coef_ref[pl.ds(tid * 4 * st, 4 * st), :]     # [4St, K]
         mm = jax.lax.dot_general(
-            cf, f_stack, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [4St, R]
+            cf, f_stack[:, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [4St, Rc]
         det = mm[0 * st:1 * st]
         u_num = mm[1 * st:2 * st]
         v_num = mm[2 * st:3 * st]
@@ -250,19 +271,10 @@ def _tri_grid_kernel_mxu(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
         valid = (ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                  & (t > min_t))
         t = jnp.where(valid, t, F32_MAX)
-        _merge_tile(t, tl, t_ref, g_ref, st)
+        _merge_tile(t, tl, t_ref, g_ref, st, cols=sl)
 
-    def sweep_tile(tid):
-        if not any_skip:
-            do_tile(tid)
-            return
-        hi = jnp.minimum(cap, t_ref[:, :])
-        pred = _any_touch(bxq_ref, tid, o3, inv3, seg_lo, hi)
-
-        @pl.when(pred)
-        def _():
-            do_tile(tid)
-
+    sweep_tile = _gated_sweep(do_tile_cols, any_skip, n_sub, bxq_ref,
+                              o3, inv3, seg_lo, cap, t_ref)
     _sweep_scheduled(sched_ref, tlo_ref, cap, sweep_tile, t_ref, g_ref,
                      early_exit)
 
@@ -270,10 +282,11 @@ def _tri_grid_kernel_mxu(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "st", "min_t", "ray_block",
                               "use_mxu", "interpret", "early_exit",
-                              "any_skip"))
+                              "any_skip", "n_sub"))
 def _tri_grid_raw(rays7, tile_attrs, tile_coeffs, mask, tlo, tile_boxes,
                   *, n_tiles, st, min_t, ray_block, use_mxu=True,
-                  interpret=False, early_exit=True, any_skip=True):
+                  interpret=False, early_exit=True, any_skip=True,
+                  n_sub=1):
     n = rays7.shape[1]
     nb = n // ray_block
     # Front-to-back schedule: active tiles first, ordered by their entry
@@ -311,7 +324,7 @@ def _tri_grid_raw(rays7, tile_attrs, tile_coeffs, mask, tlo, tile_boxes,
         kernel = functools.partial(_tri_grid_kernel_mxu, st=st,
                                    min_t=min_t, n_terms=_N_TERMS_TRI,
                                    early_exit=early_exit,
-                                   any_skip=any_skip)
+                                   any_skip=any_skip, n_sub=n_sub)
         k = tile_coeffs.shape[1]
         in_specs.append(
             pl.BlockSpec((n_tiles * 4 * st, k), lambda i, m, q, b: (0, 0),
@@ -320,7 +333,7 @@ def _tri_grid_raw(rays7, tile_attrs, tile_coeffs, mask, tlo, tile_boxes,
     else:
         kernel = functools.partial(_tri_grid_kernel, st=st, min_t=min_t,
                                    early_exit=early_exit,
-                                   any_skip=any_skip)
+                                   any_skip=any_skip, n_sub=n_sub)
         args = (sched, tlo_q, bxq, rays7, tile_attrs)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -368,6 +381,7 @@ def hit_triangles_grid_rows(
     use_mxu: bool = True,
     early_exit: bool = True,
     any_skip: bool = True,
+    n_sub: int = 1,
 ) -> HitRecordRows:
     """Drop-in rows hit function for TriGridScene.  ``t_cap`` [1, N] (a
     nearer hit from another pass) tightens the block mask.  ``use_mxu``
@@ -378,7 +392,11 @@ def hit_triangles_grid_rows(
     ``any_skip`` gates each scheduled tile's contraction on an exact
     per-lane slab test against the tile AABB (pl.when — exact, since a
     tile no lane's capped-to-current-best segment touches cannot improve
-    any winner; False = the unconditional sweep A/B arm).
+    any winner; False = the unconditional sweep A/B arm).  ``n_sub`` > 1
+    applies that gate per ray_block/n_sub-lane sub-group, each passing
+    sub-group contracting only its own columns (cfg.tri_sub_gate; must
+    divide ray_block into 128-lane multiples; ignored without
+    ``any_skip``).
 
     Contract: a lane's record BEYOND its effective segment end (scene
     exit ∧ ``t_cap``) is unspecified — the unconditional sweep may
@@ -387,6 +405,13 @@ def hit_triangles_grid_rows(
     construction: ``t_cap`` is a nearer hit from another pass, so the
     composite combine discards anything beyond it."""
     del time
+    if n_sub > 1:
+        if not any_skip:
+            n_sub = 1
+        elif ray_block % (128 * n_sub):
+            raise ValueError(
+                f"n_sub={n_sub} must divide ray_block={ray_block} into "
+                f"128-lane multiples")
     n = origin.shape[1]
     pad = (-n) % ray_block
     o, d = origin, direction
@@ -418,7 +443,7 @@ def hit_triangles_grid_rows(
             tlo[b0:b1], grid.tile_boxes,
             n_tiles=grid.n_tiles, st=grid.tile_rows, min_t=float(min_t),
             ray_block=ray_block, use_mxu=use_mxu, interpret=interpret,
-            early_exit=early_exit, any_skip=any_skip)
+            early_exit=early_exit, any_skip=any_skip, n_sub=n_sub)
         outs_t.append(t_o)
         outs_g.append(g_o)
     t_out = jnp.concatenate(outs_t, axis=1) if len(outs_t) > 1 else outs_t[0]
