@@ -69,9 +69,17 @@ _SKIP_SLOP_REL = np.float32(1e-4)
 _SKIP_SLOP_ABS = np.float32(1e-5)
 
 
-def _any_touch(bxq_ref, tid, o3, inv3, t_lo0, t_hi0):
+def _load_box(bxq_ref, tid):
+    """Dequantize tile ``tid``'s AABB from SMEM once (6 scalar reads —
+    shared by every sub-group's slab test)."""
+    return tuple(bxq_ref[tid, k].astype(jnp.float32) * _TLO_INV
+                 for k in range(6))
+
+
+def _any_touch(box, o3, inv3, t_lo0, t_hi0):
     """Scalar predicate: does ANY lane's capped segment [t_lo0, t_hi0]
-    slab-intersect tile ``tid``'s (conservatively quantized) AABB?
+    slab-intersect the (conservatively quantized) AABB ``box``
+    (a ``_load_box`` 6-tuple)?
 
     The schedule mask (tri_accel.tri_block_schedule_rows) is doubly
     conservative — per-ray segment box -> block union box -> tile
@@ -82,10 +90,8 @@ def _any_touch(bxq_ref, tid, o3, inv3, t_lo0, t_hi0):
     per tile vs the 4*St*K-MAC contraction this gates (~2% overhead)."""
     t_lo, t_hi = t_lo0, t_hi0
     for ax in range(3):
-        lo = bxq_ref[tid, 2 * ax].astype(jnp.float32) * _TLO_INV
-        hi = bxq_ref[tid, 2 * ax + 1].astype(jnp.float32) * _TLO_INV
-        ta = (lo - o3[ax]) * inv3[ax]
-        tb = (hi - o3[ax]) * inv3[ax]
+        ta = (box[2 * ax] - o3[ax]) * inv3[ax]
+        tb = (box[2 * ax + 1] - o3[ax]) * inv3[ax]
         t_lo = jnp.maximum(t_lo, jnp.minimum(ta, tb))
         t_hi = jnp.minimum(t_hi, jnp.maximum(ta, tb))
     return jnp.any(t_lo <= t_hi * (1 + _SKIP_SLOP_REL) + _SKIP_SLOP_ABS)
@@ -134,12 +140,13 @@ def _gated_sweep(do_tile_cols, any_skip, n_sub, bxq_ref, o3, inv3,
         if not any_skip:
             do_tile_cols(tid, slice(None))
             return
+        box = _load_box(bxq_ref, tid)
         r = cap.shape[1]
         w = r // n_sub
         for s in range(n_sub):
             sl = slice(s * w, (s + 1) * w) if n_sub > 1 else slice(None)
             hi = jnp.minimum(cap[:, sl], t_ref[:, sl])
-            pred = _any_touch(bxq_ref, tid,
+            pred = _any_touch(box,
                               tuple(x[:, sl] for x in o3),
                               tuple(x[:, sl] for x in inv3),
                               seg_lo[:, sl], hi)
