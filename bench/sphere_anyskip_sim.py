@@ -158,8 +158,10 @@ def main():
           f"y slab [{y_lo:.2f}, {y_hi:.2f}]", flush=True)
 
     eps = 1e-12
+    subs = (2, 4, 8, 16)  # sub-group gate granularity (tri_sub_gate twin)
     tw = {"sched": 0.0, "stat": 0.0, "prog": 0.0, "brute": 0.0,
           "glob": 0.0}
+    tw.update({f"sub{q}": 0.0 for q in subs})
     for depth, o, d, tm, alive in snaps:
         sel = np.flatnonzero(alive)
         if len(sel) < RB:
@@ -215,11 +217,18 @@ def main():
                     tb = (bx[:, cidx + 1, None] - oc[ax]) / dn[ax]
                     t_lo = np.maximum(t_lo, np.minimum(ta, tb))
                     t_hi = np.minimum(t_hi, np.maximum(ta, tb))
-                cnt = int((t_lo <= t_hi).any(axis=1).sum())
+                touch = t_lo <= t_hi                       # [V, RB]
+                cnt = int(touch.any(axis=1).sum())
                 if key == "stat":
                     stat_tot += cnt
                 else:
                     prog_tot += cnt
+                    v = touch.shape[0]
+                    for q in subs:
+                        # touched (tile, sub-group) pairs x rows x RB/q
+                        # MACs each -> tile-row equivalents = sum / q
+                        tq = touch.reshape(v, q, RB // q).any(axis=2)
+                        tw[f"sub{q}"] += int(tq.sum()) * st_rows / q
         lanes = nb * RB
         tw["sched"] += sched * st_rows * lanes / nb / RB    # rows * blocks
         tw["stat"] += stat_tot * st_rows
@@ -235,7 +244,7 @@ def main():
 
     b = tw["brute"]
     print(f"\n## block-weighted pair-rows vs brute {brute_rows}/lane:")
-    for k in ("sched", "stat", "prog"):
+    for k in ("sched", "stat", "prog") + tuple(f"sub{q}" for q in subs):
         rows = tw[k] / max(tw['brute'] / brute_rows, 1)
         print(f"  {k:5s}: {rows:7.1f} rows/blk + {tw['glob']*brute_rows/b:.0f}"
               f" globals = {(tw[k]+tw['glob'])/b:.3f}x of brute")
