@@ -323,6 +323,22 @@ def test_one_shot_bitwise_equals_sequential_steps():
                                       err_msg=name)
 
 
+def test_multi_k_is_bitwise_invariant():
+    """cfg.multi_k only regroups tail bounces into fewer dispatched
+    programs (p_bounce_multi_step's k); draws key on (salt, step, lane)
+    so the rendered image is identical bit for bit."""
+    scene = make_test_scene()
+    cfg = RenderConfig(width=64, height=32, samples=16, seed=11,
+                       backend="jnp", one_shot="off")
+    base = np.asarray(render_image_persistent(scene, None, cfg))
+    k8 = np.asarray(render_image_persistent(
+        scene, None, cfg.replace(multi_k=8)))
+    k1 = np.asarray(render_image_persistent(
+        scene, None, cfg.replace(multi_k=1)))
+    np.testing.assert_array_equal(base, k8)
+    np.testing.assert_array_equal(base, k1)
+
+
 def test_one_shot_render_matches_host_loop_statistically():
     """Full renders, one_shot on vs off: the host loop's split events
     re-key lane draws so parity is statistical, like any scheduler

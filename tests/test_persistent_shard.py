@@ -39,6 +39,21 @@ def test_sharded_matches_single_device():
     assert diff.mean() < 4.0, diff.mean()
 
 
+def test_sharded_multi_k_is_bitwise_invariant():
+    """cfg.multi_k regroups the sharded tail's bounces into fewer
+    shard_map dispatches (the fori_loop width in _steps.bounce_multi);
+    draws key on (salt, step, lane), so the render is bit-identical."""
+    scene = make_test_scene()
+    cfg = RenderConfig(width=64, height=32, samples=16, seed=5,
+                       backend="jnp", one_shot="off")
+    mesh = make_mesh(8)
+    base = np.asarray(render_image_persistent_sharded(
+        scene, None, cfg, mesh))
+    k8 = np.asarray(render_image_persistent_sharded(
+        scene, None, cfg.replace(multi_k=8), mesh))
+    np.testing.assert_array_equal(base, k8)
+
+
 def test_sharded_sample_accounting_sky():
     """Sky-only view: every pixel must average exactly its spp sky draws
     (values inside the gradient range; no double/missing samples from the

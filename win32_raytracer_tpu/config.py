@@ -149,8 +149,10 @@ class RenderConfig:
     # (tri_knob_sim --anyskip) prices q=2/4/8/16 at 1.63/2.67/4.22/6.44x
     # fewer MACs than the whole-block gate at prod knobs, block count
     # and schedule UNCHANGED.  What the model cannot price is the extra
-    # pl.when branch per (tile, sub-group); the chip decides the
-    # default.  0 = auto (currently 1 = whole-block gate); needs
+    # pl.when branch per (tile, sub-group) — and the chip priced it a
+    # monotone LOSS (tpu_jobs 578: q2 wash, q4 -14%, q16 -2.1x): the
+    # branch costs ~what one gated sub-contraction saves.  0 = auto
+    # (= 1, whole-block gate — the measured winner); needs
     # tri_any_skip active and ray_block % (128*q) == 0.
     tri_sub_gate: int = 0
     # Triangle-grid tile partition: how contiguous tile membership is
@@ -223,6 +225,16 @@ class RenderConfig:
     # conflict instead of silently falling back (A/B arm for
     # tail-heavy shapes); "off" always uses the host loop.
     one_shot: str = "auto"  # "auto" | "on" | "off"
+    # Tail multi-bounce width: bounces per dispatched program once a
+    # chunk is at/below the compaction floor (dispatch-bound regime —
+    # persistent.p_bounce_multi_step, and the shard_mapped twin in
+    # parallel/persistent_shard._steps).  Bigger K = proportionally
+    # fewer host dispatches through the ~3 ms relay floor, at the cost
+    # of a super-linearly larger one-time compile (runtime notes rule
+    # 5) and up to K-1 wasted bounces after the last lane dies.  The
+    # sharded driver's +38% small-batch-tail residual (tpu_jobs 575)
+    # is the motivating regime.  0 = auto (currently 4).
+    multi_k: int = 0
     # Persistent scheduler: replica lanes per pixel (samples split across
     # K lanes with quota spp/K each — more parallelism for hard pixels,
     # shorter sequential tails, bigger batches).  0 = auto (largest of

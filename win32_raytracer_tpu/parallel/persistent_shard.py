@@ -173,8 +173,10 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
 
     # Tail multi-bounce program (persistent.p_bounce_multi_step sharded):
     # below the per-shard dispatch floor the render is dispatch-bound, so
-    # _MULTI_K full bounces ride ONE shard_map dispatch.  Draws are
-    # bit-identical to _MULTI_K successive bounce_sm calls.
+    # cfg.multi_k (auto 4) full bounces ride ONE shard_map dispatch.
+    # Draws are bit-identical to that many successive bounce_sm calls.
+    mk = cfg.multi_k or _MULTI_K
+
     def bounce_multi(scene, cam, st, salts, step0):
         salt = salts[0]
 
@@ -186,7 +188,7 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
                                  width=width, height=height, spp=spp,
                                  lanes_per_pixel=kpp, n_frames=n_frames)
 
-        return jax.lax.fori_loop(0, _MULTI_K, body, st)
+        return jax.lax.fori_loop(0, mk, body, st)
 
     multi_sm = jax.jit(jax.shard_map(
         bounce_multi, mesh=mesh, in_specs=(P(), P(), sspec, kspec, P()),
@@ -519,12 +521,13 @@ def render_image_persistent_sharded(
             # would run bounces 2..K on bins gone stale after one scatter.
             cur = st.pixel.shape[1] // d
             bounce = bounce_for(cur)
+            mk = cfg.multi_k or _MULTI_K
             if cur <= floor and bin_box is None:
-                while k >= _MULTI_K:
+                while k >= mk:
                     st = multi_sm(scene, camt, st, dev_keys_s,
                                   jnp.int32(step + 1))
-                    step += _MULTI_K
-                    k -= _MULTI_K
+                    step += mk
+                    k -= mk
             for _ in range(k):
                 step += 1
                 if bin_box is not None and (step - 1) % _P._BIN_PERIOD == 0:

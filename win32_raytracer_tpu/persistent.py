@@ -910,15 +910,16 @@ def render_image_persistent(
             # Binned scenes take single steps everywhere: a multi-bounce
             # program would run bounces 2..K on bins gone stale after one
             # scatter, re-degenerating the block mask.
-            if fuse and k >= _MULTI_K and bin_box is None:
-                while k >= _MULTI_K:
+            mk = cfg.multi_k or _MULTI_K
+            if fuse and k >= mk and bin_box is None:
+                while k >= mk:
                     st = p_bounce_multi_step(
                         scene, cam_x, st, salt, jnp.int32(step + 1),
                         cfg=cfg, hit_fn=hit_fn, width=w, height=h,
                         spp=spp, lanes_per_pixel=kpp_s, n_frames=n_frames,
-                        k=_MULTI_K)
-                    step += _MULTI_K
-                    k -= _MULTI_K
+                        k=mk)
+                    step += mk
+                    k -= mk
             for _ in range(k):
                 step += 1
                 if bin_box is not None and (step - 1) % _BIN_PERIOD == 0:
