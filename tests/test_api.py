@@ -60,7 +60,8 @@ def test_render_async_error_surfaces_on_join():
 def test_cli_render_writes_image(tmp_path):
     out = tmp_path / "img.png"
     rc = cli_main(["48", "32", "2", "--scene", "test", "--seed", "4",
-                   "--backend", "jnp", "--out", str(out), "--quiet"])
+                   "--backend", "jnp", "--multi-k", "2",
+                   "--out", str(out), "--quiet"])
     assert rc == 0
     assert out.exists() and out.stat().st_size > 100
 

@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "or an explicit pallas scatter needs the host "
                         "loop; on = also the above-floor tail finisher, "
                         "a measured loss at large renders)")
+    p.add_argument("--multi-k", type=int, default=0,
+                   help="bounces per dispatched tail program "
+                        "(persistent scheduler, dispatch-bound regime; "
+                        "0 = auto, RenderConfig.multi_k)")
     p.add_argument("--adaptive", default="off", choices=["off", "on"],
                    help="difficulty-adaptive lane allocation: a quota-1 "
                         "prepass measures per-pixel path length, the "
@@ -148,6 +152,7 @@ def main(argv=None) -> int:
         lanes_per_pixel=args.lanes_per_pixel, stratify=args.stratify,
         adaptive_alloc=args.adaptive,
         one_shot=args.one_shot,
+        multi_k=args.multi_k,
         russian_roulette=args.russian_roulette,
     )
     if args.textbook:
