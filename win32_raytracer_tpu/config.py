@@ -198,7 +198,10 @@ class RenderConfig:
     # the RTIOW scene); "auto" picks persistent when samples >= 8.
     scheduler: str = "auto"
     # Persistent scheduler: steps between host-side all-done checks (each
-    # check costs one device sync).
+    # check costs one device sync).  The loop backs off to a 32-step
+    # cadence when the alive count plateaus or the batch is below the
+    # compaction floor; an explicit value above 32 raises that back-off
+    # cap too (rarer-checks A/B knob for the dispatch-bound tail).
     check_period: int = 0  # 0 = auto
     # One-shot chunk rendering (persistent scheduler): run a whole lane
     # chunk to completion inside ONE jitted program — a lax.while_loop

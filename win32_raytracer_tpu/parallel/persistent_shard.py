@@ -572,10 +572,12 @@ def render_image_persistent_sharded(
                 worst = int(counts.max())
                 if counts.sum() == 0:
                     break
+                # (an explicit cfg.check_period above 32 raises the
+                # tail back-off cap too — the rarer-checks A/B knob)
                 if cur < floor:
-                    period = 32
+                    period = max(32, check_period)
                 elif worst > 0.9 * last_alive:
-                    period = min(period * 2, 32)
+                    period = min(period * 2, max(32, check_period))
                 else:
                     period = check_period
                 last_alive = worst

@@ -1005,10 +1005,12 @@ def render_image_persistent(
             # Adaptive cadence: back off while the alive count plateaus,
             # re-engage when it starts dropping.  Below the compaction
             # floor the only decision left is termination.
+            # (an explicit cfg.check_period above 32 raises the tail
+            # back-off cap too — the rarer-checks A/B knob)
             if cur < _COMPACT_FLOOR:
-                period = 32
+                period = max(32, check_period)
             elif n_alive > 0.9 * last_alive:
-                period = min(period * 2, 32)
+                period = min(period * 2, max(32, check_period))
             else:
                 period = check_period
             last_alive = n_alive
