@@ -323,6 +323,83 @@ def test_one_shot_bitwise_equals_sequential_steps():
                                       err_msg=name)
 
 
+def test_render_until_bitwise_matches_sequential_and_target_exit():
+    """p_render_until is successive p_bounce_step dispatches that stop
+    at the FIRST step whose post-step alive count is <= alive_target
+    (do-while: >= 1 step always runs): identical state, bit for bit,
+    and the returned step/count match the manual loop's exit point."""
+    import jax.numpy as jnp
+    from win32_raytracer_tpu.persistent import (
+        PathState, p_bounce_step, p_render_until, p_respawn_step,
+        _resolve_kpp)
+    from win32_raytracer_tpu.kernels.dispatch import get_hit_fn_rows_accel
+    from win32_raytracer_tpu.scene.camera import default_camera
+
+    scene = make_test_scene()
+    w, h, spp = 32, 16, 8
+    cfg = RenderConfig(width=w, height=h, samples=spp, seed=4,
+                       backend="jnp")
+    scene, hit_fn = get_hit_fn_rows_accel(cfg, scene, None)
+    cam = default_camera(w, h)
+    kpp = _resolve_kpp(cfg, spp)
+    quota = spp // kpp
+    n = w * h * kpp
+    st0 = PathState(
+        origin=jnp.zeros((3, n), jnp.float32),
+        direction=jnp.zeros((3, n), jnp.float32).at[2, :].set(1.0),
+        time=jnp.zeros((1, n), jnp.float32),
+        throughput=jnp.ones((3, n), jnp.float32),
+        radiance_sum=jnp.zeros((3, n), jnp.float32),
+        depth=jnp.zeros((1, n), jnp.int32),
+        sample=jnp.full((1, n), -1, jnp.int32),
+        pixel=jnp.arange(n, dtype=jnp.int32)[None],
+        path_alive=jnp.zeros((1, n), bool),
+        s_base=(jnp.arange(n, dtype=jnp.int32) % kpp * quota)[None],
+        s_quota=jnp.full((1, n), quota, jnp.int32),
+    )
+    salt = np.uint32(0xBEEF)
+    kw = dict(cfg=cfg.replace(seed=0), hit_fn=hit_fn, width=w, height=h,
+              spp=spp, lanes_per_pixel=kpp)
+    st0 = p_respawn_step(cam, st0, salt, jnp.int32(0),
+                         cfg=cfg.replace(seed=0), width=w, height=h,
+                         spp=spp, lanes_per_pixel=kpp)
+    max_steps = (quota + 1) * (cfg.max_depth + 2)
+    target = n // 2
+
+    until_st, until_step, until_cnt = p_render_until(
+        scene, cam, st0, salt, jnp.int32(0), jnp.int32(target),
+        max_steps=max_steps, **kw)
+
+    seq = st0
+    for step in range(1, max_steps + 1):
+        seq = p_bounce_step(scene, cam, seq, salt, jnp.int32(step), **kw)
+        if int(jnp.sum(seq.path_alive)) <= target:
+            break
+
+    assert int(until_step) == step
+    assert int(until_cnt) == int(jnp.sum(seq.path_alive))
+    assert int(until_cnt) <= target
+    for name, a, b in zip(PathState._fields, until_st, seq):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+def test_staged_render_matches_host_loop_statistically():
+    """Full renders, one_shot staged vs off: stage exits re-key lane
+    draws at compaction events like any scheduler cadence change, so
+    parity is statistical."""
+    scene = make_test_scene()
+    cfg = RenderConfig(width=64, height=32, samples=16, seed=11,
+                       backend="jnp")
+    stg = np.asarray(render_image_persistent(
+        scene, None, cfg.replace(one_shot="staged")))
+    off = np.asarray(render_image_persistent(
+        scene, None, cfg.replace(one_shot="off")))
+    assert stg.shape == off.shape == (32, 64, 3)
+    d = np.abs(np.sqrt(np.clip(stg, 0, 1)) - np.sqrt(np.clip(off, 0, 1)))
+    assert d.mean() < 0.03, d.mean()
+
+
 def test_multi_k_is_bitwise_invariant():
     """cfg.multi_k only regroups tail bounces into fewer dispatched
     programs (p_bounce_multi_step's k); draws key on (salt, step, lane)
@@ -414,6 +491,30 @@ def test_one_shot_tail_finisher_above_floor(monkeypatch):
     # And against the wavefront oracle: no sample lost to the handoff.
     ref = np.asarray(render_image(scene, None, cfg))
     d2 = np.abs(np.sqrt(np.clip(fin, 0, 1)) - np.sqrt(np.clip(ref, 0, 1)))
+    assert d2.mean() < 0.03, d2.mean()
+
+
+def test_staged_tail_above_floor(monkeypatch):
+    """Above-floor chunks keep the host loop and hand the below-floor
+    tail to the STAGED device loops (run_loop's staged_fn hook) —
+    shrink the floor so a CPU-sized chunk crosses it, and check every
+    sample still lands (vs host loop and vs the wavefront oracle)."""
+    import win32_raytracer_tpu.persistent as P
+
+    monkeypatch.setattr(P, "_COMPACT_FLOOR", 4096)
+    monkeypatch.setattr(P, "_COMPACT_QUANTUM", 2048)
+    scene = make_test_scene()
+    cfg = RenderConfig(width=64, height=32, samples=16, seed=6,
+                       backend="jnp")
+    stg = np.asarray(P.render_image_persistent(
+        scene, None, cfg.replace(one_shot="staged")))
+    host = np.asarray(P.render_image_persistent(
+        scene, None, cfg.replace(one_shot="off")))
+    assert stg.shape == host.shape == (32, 64, 3)
+    d = np.abs(np.sqrt(np.clip(stg, 0, 1)) - np.sqrt(np.clip(host, 0, 1)))
+    assert d.mean() < 0.03, d.mean()
+    ref = np.asarray(render_image(scene, None, cfg))
+    d2 = np.abs(np.sqrt(np.clip(stg, 0, 1)) - np.sqrt(np.clip(ref, 0, 1)))
     assert d2.mean() < 0.03, d2.mean()
 
 

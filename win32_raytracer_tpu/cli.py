@@ -73,13 +73,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="persistent scheduler: replica lanes per pixel "
                         "(0 = auto; must divide samples)")
     p.add_argument("--one-shot", default="auto",
-                   choices=["auto", "on", "off"],
+                   choices=["auto", "on", "off", "staged"],
                    help="device-side while_loop render loops for "
                         "dispatch-bound work (persistent scheduler; "
                         "auto = whole-chunk loops only, unless binning "
                         "or an explicit pallas scatter needs the host "
                         "loop; on = also the above-floor tail finisher, "
-                        "a measured loss at large renders)")
+                        "a measured loss at large renders; staged = "
+                        "device-side tail loops between exact "
+                        "compact+split events)")
     p.add_argument("--multi-k", type=int, default=0,
                    help="bounces per dispatched tail program "
                         "(persistent scheduler, dispatch-bound regime; "

@@ -227,7 +227,16 @@ class RenderConfig:
     # 510).  "on" = whole-chunk AND tail finisher, raising on a
     # conflict instead of silently falling back (A/B arm for
     # tail-heavy shapes); "off" always uses the host loop.
-    one_shot: str = "auto"  # "auto" | "on" | "off"
+    # "staged" = STAGED device-side tail (persistent.p_render_until):
+    # below the compaction floor, each stage is one while_loop that
+    # exits when the alive count reaches the floor-pow2 of half the
+    # width — the exact point the host loop's compact+split condition
+    # first holds — then the host performs that one compact+split and
+    # re-enters.  Keeps the finisher's zero-round-trip property between
+    # events while fixing its measured loss (fixed-width dead-lane
+    # sweeps, tpu_jobs 500/577); chunks that START below the floor
+    # stage from step 0.  Same conflicts as "on".
+    one_shot: str = "auto"  # "auto" | "on" | "off" | "staged"
     # Tail multi-bounce width: bounces per dispatched program once a
     # chunk is at/below the compaction floor (dispatch-bound regime —
     # persistent.p_bounce_multi_step, and the shard_mapped twin in

@@ -314,6 +314,58 @@ def p_render_oneshot(scene: SphereScene, cam: Camera, st: PathState,
     return st
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "hit_fn", "width", "height", "spp",
+                              "lanes_per_pixel", "n_frames", "max_steps"))
+def p_render_until(scene: SphereScene, cam: Camera, st: PathState,
+                   salt: jnp.ndarray, step0: jnp.ndarray,
+                   alive_target: jnp.ndarray, *,
+                   cfg: RenderConfig, hit_fn,
+                   width: int, height: int, spp: int,
+                   lanes_per_pixel: int = 1, n_frames: int = 1,
+                   max_steps: int = 1):
+    """One STAGE of the staged device-side tail (``one_shot='staged'``):
+    bounce in a ``lax.while_loop`` until the alive count drops to
+    ``alive_target`` (a TRACED operand — one compiled program per lane
+    width serves every stage) or ``max_steps``, then hand back to the
+    host for the one compact+split decision the host loop would have
+    made.  Returns ``(st, step, alive_count)``.
+
+    This keeps the tail finisher's zero-round-trips-between-events
+    property (p_render_oneshot) while fixing why the finisher measured
+    a LOSS at large tails (tpu_jobs 500/577): the finisher sweeps a
+    FIXED lane width to completion, paying full-width bounces long
+    after most lanes die, whereas staged exits the moment one more
+    compaction pays — with an exact device-side condition instead of
+    the host loop's periodic stale-count checks.
+
+    Do-while structure: the first bounce runs unconditionally because a
+    just-split batch's clone lanes sit dead until the respawn inside the
+    next bounce revives them — testing alive before stepping would exit
+    immediately on entry.  Caller guarantees ``step0 < max_steps`` and
+    at least one lane alive or respawnable.  Draws are bit-identical to
+    successive ``p_bounce_step`` dispatches at steps step0+1.."""
+    def bounce(carry):
+        st_, step_ = carry
+        step_ = step_ + 1
+        rec, st_ = _hit_core(scene, st_, cfg=cfg, hit_fn=hit_fn)
+        st_ = _scatter_core(scene, st_, rec, salt, step_, cfg=cfg)
+        st_ = _respawn_core(cam, st_, salt, step_, cfg=cfg, width=width,
+                            height=height, spp=spp,
+                            lanes_per_pixel=lanes_per_pixel,
+                            n_frames=n_frames)
+        return st_, step_
+
+    def cond(carry):
+        st_, step_ = carry
+        alive = jnp.sum(st_.path_alive, dtype=jnp.int32)
+        return (step_ < max_steps) & (alive > alive_target)
+
+    st, step = jax.lax.while_loop(cond, bounce,
+                                  bounce((st, jnp.int32(step0))))
+    return st, step, jnp.sum(st.path_alive, dtype=jnp.int32)
+
+
 def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1)).bit_length()
 
@@ -863,15 +915,16 @@ def render_image_persistent(
     # conflict — its phase 2 is an ordinary run_loop and takes the tail
     # finisher; only the whole-chunk form is skipped under adaptive.
     one_shot = cfg.one_shot
-    if one_shot not in ("auto", "on", "off"):
-        raise ValueError(f"one_shot must be auto|on|off, got {one_shot!r}")
+    if one_shot not in ("auto", "on", "off", "staged"):
+        raise ValueError(
+            f"one_shot must be auto|on|off|staged, got {one_shot!r}")
     _os_conflicts = [name for cond, name in (
         (bin_box is not None, "ray binning"),
         (_tri_rebin_active(cfg, scene), "tri_rebin working-set sorts"),
         (use_pallas_scatter, "scatter_backend='pallas'"),
     ) if cond]
-    if one_shot == "on" and _os_conflicts:
-        raise ValueError("one_shot='on' conflicts with "
+    if one_shot in ("on", "staged") and _os_conflicts:
+        raise ValueError(f"one_shot={one_shot!r} conflicts with "
                          + ", ".join(_os_conflicts))
     if one_shot == "auto":
         # Resolved "chunk": whole-chunk while_loops only (chunks that
@@ -975,8 +1028,48 @@ def render_image_persistent(
                 max_steps=max_steps_)
         return finish
 
+    def make_staged(salt, kpp_s):
+        """Staged device-side tail (one_shot='staged'): each stage is
+        one p_render_until while_loop that exits when the alive count
+        reaches the floor-pow2 of half the width (the exact point at
+        which the host loop's below-floor compact+split condition
+        k_new <= cur//2 first holds), then the host does that one
+        compact+split and re-enters.  No periodic host checks, no
+        stale-count overshoot, no fixed-width dead-lane sweeps."""
+        def staged(st, accum, step, max_steps_):
+            while step < max_steps_:
+                cur = st.pixel.shape[1]
+                if cur <= 2 * min_lanes:
+                    # Can't usefully halve further: finish the chunk in
+                    # one while_loop (the plain one-shot form).
+                    st = p_render_oneshot(
+                        scene, cam_x, st, salt, jnp.int32(step), cfg=cfg,
+                        hit_fn=hit_fn, width=w, height=h, spp=spp,
+                        lanes_per_pixel=kpp_s, n_frames=n_frames,
+                        max_steps=max_steps_)
+                    break
+                # Floor-pow2 of cur//2: guarantees _next_pow2(alive) <=
+                # cur//2 at exit, i.e. the same halving the host loop
+                # waits for (non-pow2 chunk widths included).
+                target = 1 << (max(cur // 2, 1).bit_length() - 1)
+                st, stp, cnt = p_render_until(
+                    scene, cam_x, st, salt, jnp.int32(step),
+                    jnp.int32(target), cfg=cfg, hit_fn=hit_fn, width=w,
+                    height=h, spp=spp, lanes_per_pixel=kpp_s,
+                    n_frames=n_frames, max_steps=max_steps_)
+                step = int(stp)
+                n_alive = int(cnt)
+                if n_alive == 0 or step >= max_steps_:
+                    break
+                k_new = max(min_lanes, _next_pow2(n_alive))
+                st, accum = _compact(st, accum, k_new=k_new,
+                                     lanes_per_pixel=kpp_s)
+                st = _split(st)
+            return st, accum
+        return staged
+
     def run_loop(st, accum, do_steps, *, kpp_s, first_check, max_steps,
-                 state_sorted, finish=None):
+                 state_sorted, finish=None, staged_fn=None):
         """The check/compact/split driver loop for one lane batch."""
         step = 0
         period = check_period
@@ -1015,6 +1108,12 @@ def render_image_persistent(
                 period = check_period
             last_alive = n_alive
             if cur <= _COMPACT_FLOOR:
+                if staged_fn is not None:
+                    # Staged tail: device-side while_loops between
+                    # compact+split events (exact alive-halving exit
+                    # condition) — see make_staged.
+                    st, accum = staged_fn(st, accum, step, max_steps)
+                    break
                 if finish is not None:
                     # One-shot tail: compact+split once if it would fire
                     # anyway (drops the dead tail and halves hard-pixel
@@ -1127,7 +1226,9 @@ def render_image_persistent(
                 state_sorted=(bin_box is None
                               and h_virt * w * kpp < _SORT_PIX_LIM),
                 finish=(make_finish(salt2, 1)
-                        if one_shot == "on" else None))
+                        if one_shot == "on" else None),
+                staged_fn=(make_staged(salt2, 1)
+                           if one_shot == "staged" else None))
             flush_div = 1
         else:
             st = fresh_state(
@@ -1145,7 +1246,9 @@ def render_image_persistent(
             # runs as one device-side while_loop.  Above the floor the
             # host loop runs with the one-shot TAIL finisher instead
             # (compaction still happens where it pays).
-            if one_shot in ("on", "chunk") and n <= _COMPACT_FLOOR:
+            if one_shot == "staged" and n <= _COMPACT_FLOOR:
+                st, accum = make_staged(salt, kpp)(st, accum, 0, max_steps)
+            elif one_shot in ("on", "chunk") and n <= _COMPACT_FLOOR:
                 st = p_render_oneshot(
                     scene, cam_x, st, salt, jnp.int32(0), cfg=cfg,
                     hit_fn=hit_fn, width=w, height=h, spp=spp,
@@ -1161,7 +1264,9 @@ def render_image_persistent(
                     state_sorted=(bin_box is None
                                   and h_virt * w * kpp < _SORT_PIX_LIM),
                     finish=(make_finish(salt, kpp)
-                            if one_shot == "on" else None))
+                            if one_shot == "on" else None),
+                    staged_fn=(make_staged(salt, kpp)
+                               if one_shot == "staged" else None))
             flush_div = kpp
         # Flush this chunk's remaining radiance into the accumulator.
         accum = accum.at[:, st.pixel[0] // flush_div].add(st.radiance_sum)
