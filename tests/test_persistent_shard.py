@@ -39,6 +39,25 @@ def test_sharded_matches_single_device():
     assert diff.mean() < 4.0, diff.mean()
 
 
+def test_sharded_staged_matches_host_loop():
+    """one_shot='staged' on the mesh: per-shard device-side until-loops
+    with lockstep compact+split between stages must statistically match
+    the host-loop driver (same estimator, different event cadence)."""
+    scene = make_test_scene()
+    # 96x64 kpp8 = 6144 lanes/shard on 8 devices: above 2*min_lanes
+    # (2048), so the until-loop stages + lockstep compact+split run
+    # (64x32 would fall straight through to the finish_sm fallback).
+    cfg = RenderConfig(width=96, height=64, samples=16, seed=5,
+                       backend="jnp")
+    mesh = make_mesh(8)
+    stg = np.asarray(tonemap(render_image_persistent_sharded(
+        scene, None, cfg.replace(one_shot="staged"), mesh)))
+    host = np.asarray(tonemap(render_image_persistent_sharded(
+        scene, None, cfg.replace(one_shot="off"), mesh)))
+    diff = np.abs(stg.astype(float) - host.astype(float))
+    assert diff.mean() < 4.0, diff.mean()
+
+
 def test_sharded_multi_k_is_bitwise_invariant():
     """cfg.multi_k regroups the sharded tail's bounces into fewer
     shard_map dispatches (the fori_loop width in _steps.bounce_multi);

@@ -253,7 +253,45 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
         in_specs=(P(), P(), sspec, kspec, P(), P()),
         out_specs=sspec, check_vma=False))
 
-    return bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm, finish_sm
+    # Staged tail stage (persistent.p_render_until, sharded): each
+    # shard bounces in its OWN while_loop until its local alive count
+    # reaches ``target`` (or max_s), then returns (state, exit step,
+    # alive count) per shard — shards desynchronize freely between the
+    # host's lockstep compact+split events, and the only host traffic
+    # per stage is the one (steps, counts) fetch.  Do-while: the first
+    # bounce is unconditional (just-split clone lanes sit dead until a
+    # respawn revives them).  The host re-enters every shard at the MAX
+    # exit step so no shard ever repeats a draw index (skipped indices
+    # are merely unconsumed).
+    def until_stage(scene, cam, st, salts, step0, target, max_s):
+        salt = salts[0]
+
+        def body(carry):
+            st_, s_ = carry
+            s_ = s_ + 1
+            rec, st_ = _hit_core(scene, st_, cfg=cfg, hit_fn=hit_fn)
+            st_ = _scatter_core(scene, st_, rec, salt, s_, cfg=cfg)
+            st_ = _respawn_core(cam[0], st_, salt, s_, cfg=cfg,
+                                width=width, height=height, spp=spp,
+                                lanes_per_pixel=kpp, n_frames=n_frames)
+            return st_, s_
+
+        def cond(carry):
+            st_, s_ = carry
+            alive = jnp.sum(st_.path_alive, dtype=jnp.int32)
+            return (s_ < max_s) & (alive > target)
+
+        st, s = jax.lax.while_loop(cond, body, body((st, jnp.int32(step0))))
+        return (st, s.reshape(1),
+                jnp.sum(st.path_alive, dtype=jnp.int32).reshape(1))
+
+    until_sm = jax.jit(jax.shard_map(
+        until_stage, mesh=mesh,
+        in_specs=(P(), P(), sspec, kspec, P(), P(), P()),
+        out_specs=(sspec, P("tiles"), P("tiles")), check_vma=False))
+
+    return (bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm,
+            finish_sm, until_sm)
 
 
 @functools.lru_cache(maxsize=64)
@@ -421,16 +459,17 @@ def render_image_persistent_sharded(
     # single-chip driver: per-period bin sorts and an honored pallas
     # scatter need the host loop between steps.
     one_shot = cfg.one_shot
-    if one_shot not in ("auto", "on", "off"):
-        raise ValueError(f"one_shot must be auto|on|off, got {one_shot!r}")
+    if one_shot not in ("auto", "on", "off", "staged"):
+        raise ValueError(
+            f"one_shot must be auto|on|off|staged, got {one_shot!r}")
     _os_conflicts = [name for hit, name in (
         (bin_box is not None, "ray binning"),
         (_tri_rebin_active(cfg, scene), "tri_rebin working-set sorts"),
         (backend == "pallas" and cfg.scatter_backend == "pallas",
          "scatter_backend='pallas'"),
     ) if hit]
-    if one_shot == "on" and _os_conflicts:
-        raise ValueError("one_shot='on' conflicts with "
+    if one_shot in ("on", "staged") and _os_conflicts:
+        raise ValueError(f"one_shot={one_shot!r} conflicts with "
                          + ", ".join(_os_conflicts))
     if one_shot == "auto":
         # "chunk": whole-batch while_loops only; the above-floor tail
@@ -494,10 +533,10 @@ def render_image_persistent_sharded(
     def make_driver(kpp_s, dev_keys_s):
         """do_steps + the check/compact/split loop bound to one lane
         encoding (kpp_s) and per-device salt set."""
-        steps6 = _steps(mesh, cfg, w, h, spp, kpp_s, hit_fn,
+        steps7 = _steps(mesh, cfg, w, h, spp, kpp_s, hit_fn,
                         n_frames=n_frames)
         (bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm,
-         finish_sm) = steps6
+         finish_sm, until_sm) = steps7
 
         def bounce_for(n_local: int):
             """Per-shard-size bounce: the v7/fused Mosaic path when the
@@ -537,12 +576,40 @@ def render_image_persistent_sharded(
                 st = bounce(scene, camt, st, dev_keys_s, jnp.int32(step))
             return st, step
 
+        def staged_tail(st, accum, step, max_steps_s):
+            """Staged device-side tail, sharded (one_shot='staged'):
+            per-shard while_loops that exit at the exact alive-halving
+            point (persistent.make_staged semantics), lockstep
+            compact+split between stages sized by the worst shard.
+            Shards desync inside a stage; the host re-enters at the MAX
+            exit step so no shard repeats a draw index."""
+            while step < max_steps_s:
+                cur = st.pixel.shape[1] // d
+                if cur <= 2 * min_lanes:
+                    st = finish_sm(scene, camt, st, dev_keys_s,
+                                   jnp.int32(step), jnp.int32(max_steps_s))
+                    break
+                target = 1 << (max(cur // 2, 1).bit_length() - 1)
+                st, stp, cnt = until_sm(
+                    scene, camt, st, dev_keys_s, jnp.int32(step),
+                    jnp.int32(target), jnp.int32(max_steps_s))
+                step = int(np.asarray(stp).max())
+                worst = int(np.asarray(cnt).max())
+                if worst == 0 or step >= max_steps_s:
+                    break
+                k_new = max(min_lanes, _next_pow2(worst))
+                st, accum = _compact_split_sm(
+                    mesh, kpp_s, k_new, True)(st, accum)
+            return st, accum
+
         def run_loop(st, accum, first_check_s, max_steps_s,
                      state_sorted=False):
             step = 0
             # Whole-batch one-shot: a batch that STARTS at/below the
             # per-shard floor never compacts, so skip the host loop
             # entirely (the single-chip chunk-level shortcut, sharded).
+            if one_shot == "staged" and st.pixel.shape[1] // d <= floor:
+                return staged_tail(st, accum, 0, max_steps_s)
             if one_shot in ("on", "chunk") and st.pixel.shape[1] // d <= floor:
                 st = finish_sm(scene, camt, st, dev_keys_s, jnp.int32(0),
                                jnp.int32(max_steps_s))
@@ -582,6 +649,10 @@ def render_image_persistent_sharded(
                     period = check_period
                 last_alive = worst
                 if cur <= floor:
+                    if one_shot == "staged":
+                        st, accum = staged_tail(st, accum, step,
+                                                max_steps_s)
+                        break
                     if one_shot == "on":
                         # One-shot tail: compact+split once if it would
                         # fire anyway, then finish every shard in one
