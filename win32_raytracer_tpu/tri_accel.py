@@ -141,7 +141,7 @@ def _median_split_order(cen: np.ndarray, st: int) -> np.ndarray:
 
 def build_tri_grid(
     scene: TriangleScene,
-    tile_rows: int = 64,
+    tile_rows: int = 128,
     min_tris: int = 512,
     partition: str = "morton",
 ) -> Optional[TriGridScene]:
@@ -150,7 +150,15 @@ def build_tri_grid(
     the scene object's identity (see _GRID_CACHE).  ``partition``:
     "morton" (centroid space-filling-curve cuts) or "median" (recursive
     widest-axis median splits — tighter tile AABBs; see
-    _median_split_order)."""
+    _median_split_order).
+
+    ``tile_rows`` default 128: the chip sweep at mesh20k 800x450@50
+    (tpu_jobs 593b, interleaved) measured St=128 at 1.74 s vs St=64's
+    2.01 s (+16%) and St=256 at 1.85 — per-tile fixed costs (schedule
+    rows, tlo sort keys, gate branches, merge epilogues) dominate the
+    2x-coarser culling, and 4*128 = 512 contraction rows = 4 full MXU
+    passes with zero padding.  Every smaller-St point (16/32/64) lost
+    on chip (tpu_jobs 540/542/576)."""
     key = (id(scene), tile_rows, min_tris, partition)
     cached = _GRID_CACHE.get(key)
     if cached is not None and cached.base is scene:
