@@ -578,3 +578,43 @@ def test_tri_knob_validation():
                         accel="grid", tri_dda_k=-1)
     with pytest.raises(ValueError, match="tri_dda_k"):
         get_hit_fn_rows_accel(cfg2, scene, None)
+
+
+def test_deferred_gather_bitwise_matches_fused():
+    """cfg.tri_gather='deferred' carries only the winner row INDEX and
+    gathers the 17 attribute rows after the sweep — same winner
+    selection (strict < across tiles, min sub-row on in-tile ties), so
+    every HitRecordRows field must match the fused in-kernel merge
+    BITWISE, with and without t_cap, on both kernel variants and under
+    the sub-group gate."""
+    scene = _mesh(3)
+    grid = build_tri_grid(scene, tile_rows=64)
+    o, d, tm = _rays(512, seed=11)
+    cap = jnp.full((1, 512), 2.5, jnp.float32)
+    for use_mxu in (False, True):
+        for t_cap in (None, cap):
+            for n_sub in (1, 2):
+                a = hit_triangles_grid_rows(
+                    grid, o, d, tm, ray_block=256, interpret=True,
+                    use_mxu=use_mxu, t_cap=t_cap, n_sub=n_sub,
+                    gather="fused")
+                b = hit_triangles_grid_rows(
+                    grid, o, d, tm, ray_block=256, interpret=True,
+                    use_mxu=use_mxu, t_cap=t_cap, n_sub=n_sub,
+                    gather="deferred")
+                for f, x, y in zip(a._fields, a, b):
+                    np.testing.assert_array_equal(
+                        np.asarray(x), np.asarray(y),
+                        err_msg=f"{f} (mxu={use_mxu}, cap="
+                                f"{t_cap is not None}, n_sub={n_sub})")
+
+
+def test_tri_gather_validation():
+    from win32_raytracer_tpu.config import RenderConfig
+    from win32_raytracer_tpu.kernels.dispatch import get_hit_fn_rows_accel
+
+    scene = _mesh(3)
+    cfg = RenderConfig(width=32, height=16, samples=4, backend="jnp",
+                       accel="grid", tri_gather="DEFERRED")
+    with pytest.raises(ValueError, match="tri_gather"):
+        get_hit_fn_rows_accel(cfg, scene, None)

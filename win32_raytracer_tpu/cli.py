@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bounces per dispatched tail program "
                         "(persistent scheduler, dispatch-bound regime; "
                         "0 = auto, RenderConfig.multi_k)")
+    p.add_argument("--tri-gather", default="auto",
+                   choices=["auto", "fused", "deferred"],
+                   help="triangle-grid winner-attribute path: in-kernel "
+                        "one-hot merge per swept tile vs one post-sweep "
+                        "index gather (RenderConfig.tri_gather)")
     p.add_argument("--adaptive", default="off", choices=["off", "on"],
                    help="difficulty-adaptive lane allocation: a quota-1 "
                         "prepass measures per-pixel path length, the "
@@ -155,6 +160,7 @@ def main(argv=None) -> int:
         adaptive_alloc=args.adaptive,
         one_shot=args.one_shot,
         multi_k=args.multi_k,
+        tri_gather=args.tri_gather,
         russian_roulette=args.russian_roulette,
     )
     if args.textbook:

@@ -155,6 +155,16 @@ class RenderConfig:
     # (= 1, whole-block gate — the measured winner); needs
     # tri_any_skip active and ray_block % (128*q) == 0.
     tri_sub_gate: int = 0
+    # Triangle-grid winner-attribute gather.  "fused": each swept tile
+    # merges the winner's 17 attribute rows in-kernel via a [17, St] x
+    # [St, Rc] one-hot MXU contraction plus a 17-row VMEM read-modify-
+    # write (kernels/tri_grid_rows._merge_tile) — per tile, per
+    # sub-group.  "deferred": the kernel carries only (best t, winner
+    # row index) and the 17 attribute rows are fetched AFTER the sweep
+    # by ONE XLA gather from the [T*St, 17] table — identical winners
+    # (same tie-breaks), strictly less per-tile work.  "auto" = fused
+    # until the chip A/B prices the gather.
+    tri_gather: str = "auto"  # "auto" | "fused" | "deferred"
     # Triangle-grid tile partition: how contiguous tile membership is
     # chosen from the centroid cloud.  "morton" cuts a space-filling
     # curve; "median" recursively median-splits the widest axis (tighter

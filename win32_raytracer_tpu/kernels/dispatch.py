@@ -118,7 +118,7 @@ def _make_composite(sphere_fn, tri_pass):
 
 @functools.lru_cache(maxsize=16)
 def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True, rebin=False,
-                 dda_k=0, any_skip=True, n_sub=1):
+                 dda_k=0, any_skip=True, n_sub=1, gather="fused"):
     """Rows hit fn for scenes whose triangle side carries a TriGridScene.
 
     ``ray_block`` 0 = the kernel default; ``early_exit`` = the
@@ -126,8 +126,9 @@ def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True, rebin=False,
     two-phase occlusion-capped working-set sort (cfg.tri_rebin,
     kernels/tri_rebin.py); ``any_skip`` = the in-kernel exact any-touch
     contraction gate (cfg.tri_any_skip); ``n_sub`` = that gate's
-    sub-group granularity (cfg.tri_sub_gate).  Cached: hit fns are
-    static jit args downstream."""
+    sub-group granularity (cfg.tri_sub_gate); ``gather`` = the winner-
+    attribute path, in-kernel one-hot merge vs post-sweep index gather
+    (cfg.tri_gather).  Cached: hit fns are static jit args downstream."""
     from .tri_grid_rows import (
         DEFAULT_TRI_GRID_RAY_BLOCK, hit_triangles_grid_rows,
     )
@@ -135,7 +136,7 @@ def _tri_grid_fn(sphere_fn, ray_block=0, early_exit=True, rebin=False,
     rb = ray_block or DEFAULT_TRI_GRID_RAY_BLOCK
     tri_pass = _make_tri_pass(hit_triangles_grid_rows, rb, rebin, dda_k,
                               early_exit=early_exit, any_skip=any_skip,
-                              n_sub=n_sub)
+                              n_sub=n_sub, gather=gather)
     return _make_composite(sphere_fn, tri_pass)
 
 
@@ -191,6 +192,10 @@ def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
         raise ValueError(
             f"tri_sub_gate must be 0 (auto) or a power of two <= 16, "
             f"got {cfg.tri_sub_gate}")
+    if cfg.tri_gather not in ("auto", "fused", "deferred"):
+        raise ValueError(
+            f"tri_gather must be auto|fused|deferred, got "
+            f"{cfg.tri_gather!r}")
     backend = _resolve_backend(cfg, platform)
     if (cfg.accel == "grid" and backend == "pallas"
             and isinstance(scene, SphereScene)):
@@ -231,7 +236,9 @@ def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
                         rebin="off" if cfg.tri_rebin == "auto"
                         else cfg.tri_rebin, dda_k=cfg.tri_dda_k,
                         any_skip=cfg.tri_any_skip in ("auto", "on"),
-                        n_sub=cfg.tri_sub_gate or 1)
+                        n_sub=cfg.tri_sub_gate or 1,
+                        gather="fused" if cfg.tri_gather == "auto"
+                        else cfg.tri_gather)
                 # jnp backend, explicit accel="grid": the pure-jnp grid
                 # sweep (tri_accel.hit_triangles_grid_rows_jnp).  No mask
                 # savings without Mosaic — this is the CI/verification

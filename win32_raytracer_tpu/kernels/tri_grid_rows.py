@@ -128,6 +128,23 @@ def _merge_tile(t, tl, t_ref, g_ref, st, cols=slice(None)):
     t_ref[:, cols] = jnp.where(better, tile_t, t_ref[:, cols])
 
 
+def _merge_tile_deferred(t, tid, t_ref, w_ref, st, cols=slice(None)):
+    """Deferred-gather twin of ``_merge_tile``: carry only (best t,
+    winner ROW INDEX tid*St+sub) — the 17 attribute rows are fetched
+    after the sweep by one XLA gather (hit_triangles_grid_rows), so the
+    per-tile one-hot contraction and the 17-row VMEM read-modify-write
+    disappear.  Winner selection (strict < across tiles, min sub-row on
+    in-tile ties) matches ``_merge_tile`` exactly."""
+    tile_t = jnp.min(t, axis=0, keepdims=True)            # [1, Rc]
+    better = tile_t < t_ref[:, cols]
+    eq = t == tile_t
+    sub = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    winner = jnp.min(jnp.where(eq, sub, jnp.int32(st)), axis=0,
+                     keepdims=True)
+    w_ref[:, cols] = jnp.where(better, tid * st + winner, w_ref[:, cols])
+    t_ref[:, cols] = jnp.where(better, tile_t, t_ref[:, cols])
+
+
 def _gated_sweep(do_tile_cols, any_skip, n_sub, bxq_ref, o3, inv3,
                  seg_lo, cap, t_ref):
     """Build ``sweep_tile(tid)``: the exact any-touch gate applied per
@@ -194,7 +211,7 @@ def _sweep_scheduled(sched_ref, tlo_ref, cap, sweep_tile, t_ref, g_ref,
 
 def _tri_grid_kernel(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
                      t_ref, g_ref, *, st, min_t, early_exit, any_skip,
-                     n_sub=1):
+                     n_sub=1, deferred=False):
     """Exact-f32 VPU Möller-Trumbore per scheduled tile (the oracle-grade
     variant; ~50 VPU slots per pair).  sched [NB, 1+T] i32 (SMEM): col 0
     = active count, cols 1.. = active tile ids front-to-back; tlo
@@ -203,7 +220,8 @@ def _tri_grid_kernel(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
     (o rows 0-2, d rows 3-5, per-lane segment-end cap row 6); attrs
     [T*St, 17] VMEM-resident; outputs t [1, R], winner rows [17, R]."""
     t_ref[:, :] = jnp.full_like(t_ref[:, :], F32_MAX)
-    g_ref[:, :] = jnp.zeros_like(g_ref[:, :])
+    g_ref[:, :] = (jnp.full_like(g_ref[:, :], -1) if deferred
+                   else jnp.zeros_like(g_ref[:, :]))
 
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
@@ -220,7 +238,10 @@ def _tri_grid_kernel(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
         tl = attrs_ref[pl.ds(tid * st, st), :]            # [St, 17]
         t = _sweep_tile_rows(tl, ox[:, sl], oy[:, sl], oz[:, sl],
                              dx[:, sl], dy[:, sl], dz[:, sl], min_t)
-        _merge_tile(t, tl, t_ref, g_ref, st, cols=sl)
+        if deferred:
+            _merge_tile_deferred(t, tid, t_ref, g_ref, st, cols=sl)
+        else:
+            _merge_tile(t, tl, t_ref, g_ref, st, cols=sl)
 
     sweep_tile = _gated_sweep(do_tile_cols, any_skip, n_sub, bxq_ref,
                               o3, inv3, seg_lo, cap, t_ref)
@@ -230,7 +251,7 @@ def _tri_grid_kernel(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
 
 def _tri_grid_kernel_mxu(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
                          coef_ref, t_ref, g_ref, *, st, min_t, n_terms,
-                         early_exit, any_skip, n_sub=1):
+                         early_exit, any_skip, n_sub=1, deferred=False):
     """Production variant: each scheduled tile's four MT quantities
     (det/u_num/v_num/t_num) come from ONE [4*St, K] x [K, R] split-bf16
     MXU contraction against the shared 16-feature ray stack
@@ -242,7 +263,8 @@ def _tri_grid_kernel_mxu(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
     from .tri_pallas_mxu import _DET_EPS
 
     t_ref[:, :] = jnp.full_like(t_ref[:, :], F32_MAX)
-    g_ref[:, :] = jnp.zeros_like(g_ref[:, :])
+    g_ref[:, :] = (jnp.full_like(g_ref[:, :], -1) if deferred
+                   else jnp.zeros_like(g_ref[:, :]))
 
     o = rays_ref[0:3, :]
     d = rays_ref[3:6, :]
@@ -260,7 +282,6 @@ def _tri_grid_kernel_mxu(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
     seg_lo = jnp.full_like(cap, jnp.float32(min_t))
 
     def do_tile_cols(tid, sl):
-        tl = attrs_ref[pl.ds(tid * st, st), :]            # [St, 17]
         cf = coef_ref[pl.ds(tid * 4 * st, 4 * st), :]     # [4St, K]
         mm = jax.lax.dot_general(
             cf, f_stack[:, sl],
@@ -278,7 +299,11 @@ def _tri_grid_kernel_mxu(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
         valid = (ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                  & (t > min_t))
         t = jnp.where(valid, t, F32_MAX)
-        _merge_tile(t, tl, t_ref, g_ref, st, cols=sl)
+        if deferred:
+            _merge_tile_deferred(t, tid, t_ref, g_ref, st, cols=sl)
+        else:
+            tl = attrs_ref[pl.ds(tid * st, st), :]        # [St, 17]
+            _merge_tile(t, tl, t_ref, g_ref, st, cols=sl)
 
     sweep_tile = _gated_sweep(do_tile_cols, any_skip, n_sub, bxq_ref,
                               o3, inv3, seg_lo, cap, t_ref)
@@ -289,11 +314,11 @@ def _tri_grid_kernel_mxu(sched_ref, tlo_ref, bxq_ref, rays_ref, attrs_ref,
 @functools.partial(
     jax.jit, static_argnames=("n_tiles", "st", "min_t", "ray_block",
                               "use_mxu", "interpret", "early_exit",
-                              "any_skip", "n_sub"))
+                              "any_skip", "n_sub", "deferred"))
 def _tri_grid_raw(rays7, tile_attrs, tile_coeffs, mask, tlo, tile_boxes,
                   *, n_tiles, st, min_t, ray_block, use_mxu=True,
                   interpret=False, early_exit=True, any_skip=True,
-                  n_sub=1):
+                  n_sub=1, deferred=False):
     n = rays7.shape[1]
     nb = n // ray_block
     # Front-to-back schedule: active tiles first, ordered by their entry
@@ -331,7 +356,8 @@ def _tri_grid_raw(rays7, tile_attrs, tile_coeffs, mask, tlo, tile_boxes,
         kernel = functools.partial(_tri_grid_kernel_mxu, st=st,
                                    min_t=min_t, n_terms=_N_TERMS_TRI,
                                    early_exit=early_exit,
-                                   any_skip=any_skip, n_sub=n_sub)
+                                   any_skip=any_skip, n_sub=n_sub,
+                                   deferred=deferred)
         k = tile_coeffs.shape[1]
         in_specs.append(
             pl.BlockSpec((n_tiles * 4 * st, k), lambda i, m, q, b: (0, 0),
@@ -340,9 +366,12 @@ def _tri_grid_raw(rays7, tile_attrs, tile_coeffs, mask, tlo, tile_boxes,
     else:
         kernel = functools.partial(_tri_grid_kernel, st=st, min_t=min_t,
                                    early_exit=early_exit,
-                                   any_skip=any_skip, n_sub=n_sub)
+                                   any_skip=any_skip, n_sub=n_sub,
+                                   deferred=deferred)
         args = (sched, tlo_q, bxq, rays7, tile_attrs)
 
+    g_rows, g_dtype = ((1, jnp.int32) if deferred
+                       else (TRI_GRID_COLS, jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nb,),
@@ -350,7 +379,7 @@ def _tri_grid_raw(rays7, tile_attrs, tile_coeffs, mask, tlo, tile_boxes,
         out_specs=[
             pl.BlockSpec((1, ray_block), lambda i, m, q, b: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TRI_GRID_COLS, ray_block),
+            pl.BlockSpec((g_rows, ray_block),
                          lambda i, m, q, b: (0, i),
                          memory_space=pltpu.VMEM),
         ],
@@ -367,7 +396,7 @@ def _tri_grid_raw(rays7, tile_attrs, tile_coeffs, mask, tlo, tile_boxes,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, n), jnp.float32),
-            jax.ShapeDtypeStruct((TRI_GRID_COLS, n), jnp.float32),
+            jax.ShapeDtypeStruct((g_rows, n), g_dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(100 * (1 << 20),
@@ -389,6 +418,7 @@ def hit_triangles_grid_rows(
     early_exit: bool = True,
     any_skip: bool = True,
     n_sub: int = 1,
+    gather: str = "fused",
 ) -> HitRecordRows:
     """Drop-in rows hit function for TriGridScene.  ``t_cap`` [1, N] (a
     nearer hit from another pass) tightens the block mask.  ``use_mxu``
@@ -396,7 +426,12 @@ def hit_triangles_grid_rows(
     f32 VPU variant, the oracle-grade path).  ``early_exit`` sweeps each
     block's tiles front-to-back and stops at the first tile no lane can
     still beat (exact; False = full masked sweep, the A/B arm).
-    ``any_skip`` gates each scheduled tile's contraction on an exact
+    ``gather`` selects the winner-attribute path (cfg.tri_gather):
+    "fused" merges the 17 attribute rows in-kernel per swept tile;
+    "deferred" carries only the winner's row index and fetches the rows
+    once after the sweep (identical winners and tie-breaks, strictly
+    less per-tile work).  ``any_skip`` gates each scheduled tile's
+    contraction on an exact
     per-lane slab test against the tile AABB (pl.when — exact, since a
     tile no lane's capped-to-current-best segment touches cannot improve
     any winner; False = the unconditional sweep A/B arm).  ``n_sub`` > 1
@@ -412,6 +447,9 @@ def hit_triangles_grid_rows(
     construction: ``t_cap`` is a nearer hit from another pass, so the
     composite combine discards anything beyond it."""
     del time
+    if gather not in ("fused", "deferred"):
+        raise ValueError(f"gather must be fused|deferred, got {gather!r}")
+    deferred = gather == "deferred"
     if n_sub > 1:
         if not any_skip:
             n_sub = 1
@@ -450,11 +488,20 @@ def hit_triangles_grid_rows(
             tlo[b0:b1], grid.tile_boxes,
             n_tiles=grid.n_tiles, st=grid.tile_rows, min_t=float(min_t),
             ray_block=ray_block, use_mxu=use_mxu, interpret=interpret,
-            early_exit=early_exit, any_skip=any_skip, n_sub=n_sub)
+            early_exit=early_exit, any_skip=any_skip, n_sub=n_sub,
+            deferred=deferred)
         outs_t.append(t_o)
         outs_g.append(g_o)
     t_out = jnp.concatenate(outs_t, axis=1) if len(outs_t) > 1 else outs_t[0]
     g = jnp.concatenate(outs_g, axis=1) if len(outs_g) > 1 else outs_g[0]
+    if deferred:
+        # One XLA gather replaces every in-kernel attribute merge: g is
+        # the winner's [T*St]-table ROW INDEX (-1 = miss -> all-zero
+        # rows, the fused kernel's miss encoding).
+        widx = g
+        tbl_t = grid.tile_attrs.T                     # [17, T*St]
+        safe = jnp.clip(widx[0], 0, tbl_t.shape[1] - 1)
+        g = jnp.take(tbl_t, safe, axis=1) * (widx >= 0)
 
     from ..ops.hit_tri import tri_record_rows_from_gather
     rec = tri_record_rows_from_gather(o, d, t_out, g)
