@@ -565,3 +565,30 @@ def test_compact_tail_sorted_flush_exact_across_compactions():
     # Driver-style final flush of whatever is still in the batch.
     accum = accum.at[:, np.asarray(st.pixel[0])].add(st.radiance_sum)
     np.testing.assert_allclose(np.asarray(accum), rad, rtol=0, atol=0)
+
+
+def test_compact_quantum_grid_and_statistical_match():
+    """cfg.compact_quantum coarsens the above-floor compaction size grid
+    (fewer distinct batch shapes = smaller first-time compile surface,
+    tpu_jobs 592).  _grid_size honors it above the floor only, and a
+    render with a coarser quantum stays statistically equivalent (the
+    quantum changes compaction sizes, which re-key lane draws like any
+    other compaction-cadence knob)."""
+    from win32_raytracer_tpu.persistent import (_COMPACT_FLOOR,
+                                                _grid_size)
+    q = 1 << 18
+    above = _COMPACT_FLOOR + 1
+    assert _grid_size(above, 1024, q) % q == 0
+    assert _grid_size(above, 1024, 0) % (1 << 16) == 0
+    # Below the floor the quantum is inert (pow2 sizing).
+    assert _grid_size(1000, 256, q) == _grid_size(1000, 256, 0)
+
+    scene = make_test_scene()
+    cfg = RenderConfig(width=64, height=32, samples=16, seed=11,
+                       backend="jnp", one_shot="off")
+    base = np.asarray(render_image_persistent(scene, None, cfg))
+    coarse = np.asarray(render_image_persistent(
+        scene, None, cfg.replace(compact_quantum=1 << 18)))
+    assert base.shape == coarse.shape
+    d = np.abs(np.sqrt(np.clip(base, 0, 1)) - np.sqrt(np.clip(coarse, 0, 1)))
+    assert d.mean() < 0.03, d.mean()

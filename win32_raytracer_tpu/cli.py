@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bounces per dispatched tail program "
                         "(persistent scheduler, dispatch-bound regime; "
                         "0 = auto, RenderConfig.multi_k)")
+    p.add_argument("--compact-quantum", type=int, default=0,
+                   help="compaction size-grid quantum in lanes "
+                        "(persistent scheduler; coarser = ~4x smaller "
+                        "first-time compile surface per 4x, ~4%% slower "
+                        "steady state; 0 = auto 64k, "
+                        "RenderConfig.compact_quantum)")
     p.add_argument("--tri-gather", default="auto",
                    choices=["auto", "fused", "deferred"],
                    help="triangle-grid winner-attribute path: in-kernel "
@@ -160,6 +166,7 @@ def main(argv=None) -> int:
         adaptive_alloc=args.adaptive,
         one_shot=args.one_shot,
         multi_k=args.multi_k,
+        compact_quantum=args.compact_quantum,
         tri_gather=args.tri_gather,
         russian_roulette=args.russian_roulette,
     )

@@ -257,6 +257,16 @@ class RenderConfig:
     # sharded driver's +38% small-batch-tail residual (tpu_jobs 575)
     # is the motivating regime.  0 = auto (currently 4).
     multi_k: int = 0
+    # Compaction size grid quantum (persistent scheduler): above-floor
+    # compactions round the live-lane count up to a multiple of this.
+    # Finer = tighter batches (64k beat 256k by ~4% at the headline,
+    # tpu_jobs 550) but a proportionally larger COMPILE SURFACE: every
+    # distinct batch size compiles its own step programs, and a
+    # never-cached 4K@1000 render's ~64-size ladder measured ~3 h of
+    # first-time remote compiles (tpu_jobs 592).  Coarsening to 256k
+    # cuts that surface ~4x for ~4% steady-state cost — the right
+    # trade for one-off huge renders on a cold cache.  0 = auto (64k).
+    compact_quantum: int = 0
     # Persistent scheduler: replica lanes per pixel (samples split across
     # K lanes with quota spp/K each — more parallelism for hard pixels,
     # shorter sequential tails, bigger batches).  0 = auto (largest of

@@ -672,7 +672,7 @@ def render_image_persistent_sharded(
                             mesh, kpp_s, k_new, True)(st, accum)
                         state_sorted = False  # split clones break order
                     continue
-                k_new = _grid_size(worst, min_lanes)
+                k_new = _grid_size(worst, min_lanes, cfg.compact_quantum)
                 if k_new <= int(cur * _COMPACT_SHRINK):
                     st, accum = _compact_split_sm(
                         mesh, kpp_s, k_new, False,

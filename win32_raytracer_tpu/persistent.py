@@ -454,9 +454,9 @@ def _multisort_state(st: PathState, key: jnp.ndarray, skip=()):
 _SORT_PIX_LIM = np.int32(1 << 30)
 
 
-def _grid_size(n_alive: int, min_lanes: int) -> int:
+def _grid_size(n_alive: int, min_lanes: int, quantum: int = 0) -> int:
     if n_alive >= _COMPACT_FLOOR:
-        q = _COMPACT_QUANTUM
+        q = quantum or _COMPACT_QUANTUM
         return ((n_alive + q - 1) // q) * q
     return max(min_lanes, _next_pow2(n_alive))
 
@@ -1142,13 +1142,13 @@ def render_image_persistent(
             # the whole point — steps are compute-bound).  With receiver
             # redistribution, k_new overshoots so the spare dead lanes
             # adopt donor work (halved sequential tails for hard pixels).
-            k_base = _grid_size(n_alive, min_lanes)
+            k_base = _grid_size(n_alive, min_lanes, cfg.compact_quantum)
             if k_base <= int(cur * _COMPACT_SHRINK):
                 k_new, n_recv = k_base, 0
                 if cfg.redistribute == "on" and _RECV_OVERSHOOT > 0:
                     k_new = min(
                         _grid_size(int(n_alive * _RECV_OVERSHOOT),
-                                   min_lanes), cur)
+                                   min_lanes, cfg.compact_quantum), cur)
                     spare = k_new - n_alive
                     if spare >= _RECV_MIN:
                         n_recv = min(1 << (spare.bit_length() - 1),
