@@ -26,7 +26,7 @@ import time
 
 
 def run_config(idx: int, scale: float, platform: str, obj: str = "",
-               reps: int = 1):
+               reps: int = 1, compact_quantum: int = 0):
     if platform:
         import jax
         jax.config.update("jax_platforms", platform)
@@ -54,9 +54,14 @@ def run_config(idx: int, scale: float, platform: str, obj: str = "",
                            seed=3)
         scene, label = get_scene("final"), "final scene 1200x800@100"
     elif idx == 3:
+        # compact_quantum: a cold cache pays ~3h of first-time compiles
+        # for this config's 64k ladder (tpu_jobs 592); 256k cuts the
+        # surface ~4x for ~4% steady state — pass --compact-quantum
+        # 262144 when the disk cache is cold.
         cfg = RenderConfig(width=sc(3840), height=sc(2160), samples=sc(1000),
                            seed=3, stratify=True, russian_roulette=True,
-                           scheduler="persistent")
+                           scheduler="persistent",
+                           compact_quantum=compact_quantum)
         scene, label = get_scene("final"), "4K@1000 stratified+RR"
     elif idx == 4:
         from win32_raytracer_tpu.scene.builders import mesh_scene
@@ -139,10 +144,16 @@ def main():
     ap.add_argument("--obj", default="", help="OBJ mesh for config 4")
     ap.add_argument("--reps", type=int, default=1,
                     help="timed reps per config (best-of-N, distinct seeds)")
+    ap.add_argument("--compact-quantum", type=int, default=0,
+                    help="cfg.compact_quantum for config 3 (coarser "
+                         "compaction ladder = smaller cold-cache compile "
+                         "surface; 0 = auto 64k)")
     args = ap.parse_args()
     for idx in (args.configs or [1, 2, 4, 5]):
         print(json.dumps(run_config(idx, args.scale, args.platform,
-                                    args.obj, reps=args.reps)), flush=True)
+                                    args.obj, reps=args.reps,
+                                    compact_quantum=args.compact_quantum)),
+              flush=True)
     return 0
 
 
