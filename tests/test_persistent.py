@@ -1,6 +1,7 @@
 """Persistent-wavefront scheduler vs the fixed-depth wavefront."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -567,28 +568,50 @@ def test_compact_tail_sorted_flush_exact_across_compactions():
     np.testing.assert_allclose(np.asarray(accum), rad, rtol=0, atol=0)
 
 
-def test_compact_quantum_grid_and_statistical_match():
+def test_compact_quantum_grid_and_statistical_match(monkeypatch):
     """cfg.compact_quantum coarsens the above-floor compaction size grid
     (fewer distinct batch shapes = smaller first-time compile surface,
     tpu_jobs 592).  _grid_size honors it above the floor only, and a
     render with a coarser quantum stays statistically equivalent (the
     quantum changes compaction sizes, which re-key lane draws like any
     other compaction-cadence knob)."""
-    from win32_raytracer_tpu.persistent import (_COMPACT_FLOOR,
-                                                _grid_size)
-    q = 1 << 18
-    above = _COMPACT_FLOOR + 1
-    assert _grid_size(above, 1024, q) % q == 0
-    assert _grid_size(above, 1024, 0) % (1 << 16) == 0
-    # Below the floor the quantum is inert (pow2 sizing).
-    assert _grid_size(1000, 256, q) == _grid_size(1000, 256, 0)
+    import win32_raytracer_tpu.persistent as P
 
+    q = 1 << 18
+    above = P._COMPACT_FLOOR + 1
+    assert P._grid_size(above, 1024, q) % q == 0
+    assert P._grid_size(above, 1024, 0) % (1 << 16) == 0
+    # Below the floor the quantum is inert (pow2 sizing).
+    assert P._grid_size(1000, 256, q) == P._grid_size(1000, 256, 0)
+
+    # The render half must actually exercise the ABOVE-floor quantized
+    # path: a 64x32@16 kpp-4 chunk is 8192 lanes, far below the real
+    # 512k floor (where the quantum is inert and both renders would be
+    # identical — vacuous).  Shrink the floor and the auto quantum so
+    # both arms compact on their (different) quantized ladders.
+    monkeypatch.setattr(P, "_COMPACT_FLOOR", 2048)
+    monkeypatch.setattr(P, "_COMPACT_QUANTUM", 512)
     scene = make_test_scene()
     cfg = RenderConfig(width=64, height=32, samples=16, seed=11,
                        backend="jnp", one_shot="off")
-    base = np.asarray(render_image_persistent(scene, None, cfg))
-    coarse = np.asarray(render_image_persistent(
-        scene, None, cfg.replace(compact_quantum=1 << 18)))
+    base = np.asarray(P.render_image_persistent(scene, None, cfg))
+    coarse = np.asarray(P.render_image_persistent(
+        scene, None, cfg.replace(compact_quantum=2048)))
     assert base.shape == coarse.shape
+    # The coarser ladder must change compaction sizes (else this test is
+    # vacuous again): different sizes re-key lane draws -> different
+    # (statistically equivalent) images.
+    assert not np.array_equal(base, coarse)
     d = np.abs(np.sqrt(np.clip(base, 0, 1)) - np.sqrt(np.clip(coarse, 0, 1)))
     assert d.mean() < 0.03, d.mean()
+
+
+def test_compact_quantum_negative_rejected():
+    """A negative quantum would make _grid_size round DOWN (floor
+    division), passing the shrink gate with k_new < n_alive and silently
+    dropping live lanes — both drivers must reject it at entry."""
+    scene = make_test_scene()
+    cfg = RenderConfig(width=16, height=8, samples=8, backend="jnp",
+                       compact_quantum=-1)
+    with pytest.raises(ValueError, match="compact_quantum"):
+        render_image_persistent(scene, None, cfg)

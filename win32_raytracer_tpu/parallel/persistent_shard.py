@@ -403,6 +403,11 @@ def render_image_persistent_sharded(
             platform=mesh.devices.flat[0].platform)
     # Ray binning (per shard): same policy as the single-chip driver.
     bin_box = _derive_bin_box(cfg, scene)
+    if cfg.compact_quantum < 0:
+        # Same guard as the single-chip driver: a negative quantum makes
+        # _grid_size round DOWN, silently dropping live lanes.
+        raise ValueError(f"compact_quantum must be >= 0 (0 = auto), got "
+                         f"{cfg.compact_quantum}")
     from ..kernels.dispatch import _resolve_backend as _rb
     backend = _rb(cfg, platform=mesh.devices.flat[0].platform)
     coeffs = None

@@ -811,6 +811,11 @@ def render_image_persistent(
             hit_coeffs_v7 = hit_coeffs(scene)
 
     bin_box = _derive_bin_box(cfg, scene)
+    if cfg.compact_quantum < 0:
+        # A negative quantum makes _grid_size round DOWN (Python floor
+        # division), silently dropping live lanes at compaction.
+        raise ValueError(f"compact_quantum must be >= 0 (0 = auto), got "
+                         f"{cfg.compact_quantum}")
     w, h, spp = cfg.width, cfg.height, cfg.samples
     h_virt = h * n_frames  # multi-frame: frames stack as a taller image
     if n_frames > 1:
