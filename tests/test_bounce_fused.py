@@ -11,7 +11,7 @@ from win32_raytracer_tpu.kernels.hit_pallas_v7 import (
     hit_coeffs, p_hit_sky_step,
 )
 from win32_raytracer_tpu.kernels.scatter_pallas import scatter_respawn_pallas
-from win32_raytracer_tpu.persistent import PathState
+from win32_raytracer_tpu.persistent import PathState, make_dims, step_cfg
 from win32_raytracer_tpu.scene.builders import random_scene
 from win32_raytracer_tpu.scene.camera import default_camera
 
@@ -45,15 +45,14 @@ def test_fused_bounce_matches_two_step():
     st = _state(H * W * KPP)
     salt = np.uint32(0xABC123)
 
+    dims = make_dims(cfg, W, H, SPP, KPP)
     fused = p_bounce_fused(hit_coeffs(scene), cam, st, salt, jnp.int32(4),
-                           cfg=cfg, width=W, height=H, spp=SPP,
-                           lanes_per_pixel=KPP, ray_block=RB,
+                           dims, cfg=step_cfg(cfg), ray_block=RB,
                            interpret=INTERPRET)
     rec, st2 = p_hit_sky_step(hit_coeffs(scene), st, ray_block=RB,
                               interpret=INTERPRET)
     split = scatter_respawn_pallas(scene, cam, st2, rec, salt,
-                                   jnp.int32(4), cfg=cfg, width=W,
-                                   height=H, spp=SPP, lanes_per_pixel=KPP,
+                                   jnp.int32(4), dims, cfg=step_cfg(cfg),
                                    ray_block=RB, interpret=INTERPRET)
 
     # Same draws, same math: integer/bool state agrees except where the
@@ -85,8 +84,8 @@ def test_fused_bounce_unaligned_padding():
     n = RB * 2 + 40                       # no 128-multiple divisor
     st = _state(n)
     out = p_bounce_fused(hit_coeffs(scene), cam, st, np.uint32(1),
-                         jnp.int32(2), cfg=cfg, width=W, height=H,
-                         spp=SPP, lanes_per_pixel=KPP, ray_block=RB,
+                         jnp.int32(2), make_dims(cfg, W, H, SPP, KPP),
+                         cfg=step_cfg(cfg), ray_block=RB,
                          interpret=INTERPRET)
     assert out.origin.shape == (3, n)
     assert np.isfinite(np.asarray(out.origin)).all()

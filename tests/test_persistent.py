@@ -303,18 +303,20 @@ def test_one_shot_bitwise_equals_sequential_steps():
         s_quota=jnp.full((1, n), quota, jnp.int32),
     )
     salt = np.uint32(0xBEEF)
-    kw = dict(cfg=cfg.replace(seed=0), hit_fn=hit_fn, width=w, height=h,
-              spp=spp, lanes_per_pixel=kpp)
-    st0 = p_respawn_step(cam, st0, salt, jnp.int32(0), cfg=cfg.replace(seed=0),
-                         width=w, height=h, spp=spp, lanes_per_pixel=kpp)
+    from win32_raytracer_tpu.persistent import make_dims, step_cfg
+    dims = make_dims(cfg, w, h, spp, kpp)
+    kw = dict(cfg=step_cfg(cfg), hit_fn=hit_fn)
+    st0 = p_respawn_step(cam, st0, salt, jnp.int32(0), dims,
+                         cfg=step_cfg(cfg))
     max_steps = (quota + 1) * (cfg.max_depth + 2)
 
-    one = p_render_oneshot(scene, cam, st0, salt, jnp.int32(0),
-                           max_steps=max_steps, **kw)
+    one = p_render_oneshot(scene, cam, st0, salt, jnp.int32(0), dims,
+                           jnp.int32(max_steps), **kw)
 
     seq = st0
     for step in range(1, max_steps + 1):
-        seq = p_bounce_step(scene, cam, seq, salt, jnp.int32(step), **kw)
+        seq = p_bounce_step(scene, cam, seq, salt, jnp.int32(step), dims,
+                            **kw)
         if not bool(jnp.any(seq.path_alive)):
             break
 
@@ -359,21 +361,22 @@ def test_render_until_bitwise_matches_sequential_and_target_exit():
         s_quota=jnp.full((1, n), quota, jnp.int32),
     )
     salt = np.uint32(0xBEEF)
-    kw = dict(cfg=cfg.replace(seed=0), hit_fn=hit_fn, width=w, height=h,
-              spp=spp, lanes_per_pixel=kpp)
-    st0 = p_respawn_step(cam, st0, salt, jnp.int32(0),
-                         cfg=cfg.replace(seed=0), width=w, height=h,
-                         spp=spp, lanes_per_pixel=kpp)
+    from win32_raytracer_tpu.persistent import make_dims, step_cfg
+    dims = make_dims(cfg, w, h, spp, kpp)
+    kw = dict(cfg=step_cfg(cfg), hit_fn=hit_fn)
+    st0 = p_respawn_step(cam, st0, salt, jnp.int32(0), dims,
+                         cfg=step_cfg(cfg))
     max_steps = (quota + 1) * (cfg.max_depth + 2)
     target = n // 2
 
     until_st, until_step, until_cnt = p_render_until(
         scene, cam, st0, salt, jnp.int32(0), jnp.int32(target),
-        max_steps=max_steps, **kw)
+        dims, jnp.int32(max_steps), **kw)
 
     seq = st0
     for step in range(1, max_steps + 1):
-        seq = p_bounce_step(scene, cam, seq, salt, jnp.int32(step), **kw)
+        seq = p_bounce_step(scene, cam, seq, salt, jnp.int32(step), dims,
+                            **kw)
         if int(jnp.sum(seq.path_alive)) <= target:
             break
 

@@ -16,7 +16,8 @@ from win32_raytracer_tpu.config import RenderConfig
 from win32_raytracer_tpu.core import materials as mat
 from win32_raytracer_tpu.kernels.dispatch import get_hit_fn_rows
 from win32_raytracer_tpu.persistent import (
-    PathState, p_hit_step, p_respawn_step, p_scatter_respawn_step,
+    PathState, make_dims, p_hit_step, p_respawn_step,
+    p_scatter_respawn_step, step_cfg,
 )
 from win32_raytracer_tpu.scene.builders import random_scene
 from win32_raytracer_tpu.scene.camera import default_camera
@@ -50,14 +51,14 @@ def setup():
     )
     salt = np.uint32(0xC0FFEE)
     hit_fn = get_hit_fn_rows(cfg)
-    st = p_respawn_step(cam, st, salt, jnp.int32(0), cfg=cfg, width=W,
-                        height=H, spp=SPP, lanes_per_pixel=KPP)
+    dims = make_dims(cfg, W, H, SPP, KPP)
+    st = p_respawn_step(cam, st, salt, jnp.int32(0), dims,
+                        cfg=step_cfg(cfg))
     # A few bounces so the state has mixed depths/materials.
     for k in (1, 2):
         rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=hit_fn)
         st = p_scatter_respawn_step(scene, cam, st, rec, salt, jnp.int32(k),
-                                    cfg=cfg, width=W, height=H, spp=SPP,
-                                    lanes_per_pixel=KPP)
+                                    dims, cfg=step_cfg(cfg))
     rec, st = p_hit_step(scene, st, cfg=cfg, hit_fn=hit_fn)
     return scene, cam, cfg, st, rec, salt
 
@@ -67,12 +68,11 @@ def _run_both(setup):
         scatter_respawn_pallas,
     )
     scene, cam, cfg, st, rec, salt = setup
+    dims = make_dims(cfg, W, H, SPP, KPP)
     out_j = p_scatter_respawn_step(scene, cam, st, rec, salt, jnp.int32(3),
-                                   cfg=cfg, width=W, height=H, spp=SPP,
-                                   lanes_per_pixel=KPP)
+                                   dims, cfg=step_cfg(cfg))
     out_p = scatter_respawn_pallas(scene, cam, st, rec, salt, jnp.int32(3),
-                                   cfg=cfg, width=W, height=H, spp=SPP,
-                                   lanes_per_pixel=KPP, ray_block=RB,
+                                   dims, cfg=step_cfg(cfg), ray_block=RB,
                                    interpret=INTERPRET)
     return st, rec, out_j, out_p
 

@@ -145,15 +145,16 @@ class RenderConfig:
     # the gated contraction+merge) runs per RB/q-lane sub-group instead
     # of per whole ray block.  Lanes are chord-key sorted, so sub-groups
     # are spatially coherent and a tile touched only by one corner of
-    # the block skips the other sub-groups' MACs — the offline model
-    # (tri_knob_sim --anyskip) prices q=2/4/8/16 at 1.63/2.67/4.22/6.44x
-    # fewer MACs than the whole-block gate at prod knobs, block count
-    # and schedule UNCHANGED.  What the model cannot price is the extra
-    # pl.when branch per (tile, sub-group) — and the chip priced it a
-    # monotone LOSS (tpu_jobs 578: q2 wash, q4 -14%, q16 -2.1x): the
-    # branch costs ~what one gated sub-contraction saves.  0 = auto
-    # (= 1, whole-block gate — the measured winner); needs
-    # tri_any_skip active and ray_block % (128*q) == 0.
+    # the block skips the other sub-groups' MACs.  The win depends on
+    # tile HEIGHT: at St=64 the extra pl.when branch per (tile,
+    # sub-group) costs ~what one gated sub-contraction saves (tpu_jobs
+    # 578: q2 wash, q4 -14%, q16 -2.1x), but at the St=128 default each
+    # gated sub-contraction saves 2x the MACs per constant branch and
+    # q=2 crosses into profit: +6% end-to-end at the config-4 shape,
+    # every interleaved rep (tpu_jobs 593c: 1.60-1.62 s vs 1.70).
+    # 0 = auto (q=2 when tri_any_skip is active, effective tile_rows
+    # >= 128, and ray_block % 256 == 0 — kernels/dispatch.py; else the
+    # whole-block gate).  Explicit q needs ray_block % (128*q) == 0.
     tri_sub_gate: int = 0
     # Triangle-grid winner-attribute gather.  "fused": each swept tile
     # merges the winner's 17 attribute rows in-kernel via a [17, St] x
@@ -162,8 +163,12 @@ class RenderConfig:
     # sub-group.  "deferred": the kernel carries only (best t, winner
     # row index) and the 17 attribute rows are fetched AFTER the sweep
     # by ONE XLA gather from the [T*St, 17] table — identical winners
-    # (same tie-breaks), strictly less per-tile work.  "auto" = fused
-    # until the chip A/B prices the gather.
+    # (same tie-breaks), strictly less per-tile work.  PRICED on chip
+    # (tpu_jobs 600, config-4 shape, interleaved): deferred LOSES ~4%
+    # every rep (best 1.794 s fused vs 1.862 deferred) — the XLA
+    # post-sweep gather costs more than the in-kernel merges it drops
+    # (TPU gather economics again, cf. the multisort compactor).
+    # "auto" = fused, the measured winner.
     tri_gather: str = "auto"  # "auto" | "fused" | "deferred"
     # Triangle-grid tile partition: how contiguous tile membership is
     # chosen from the centroid cloud.  "morton" cuts a space-filling

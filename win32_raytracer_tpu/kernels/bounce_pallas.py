@@ -28,22 +28,22 @@ from ..ops.hit import ATTR_COLS
 from ..scene.camera import Camera
 from .hit_pallas_v7 import _fit_ray_block, hit_sky_values
 from .scatter_pallas import (
-    CAM_ROWS, kernel_draws, pack_camera, pack_cameras,
-    scatter_respawn_values,
+    CAM_ROWS, dims_scalars, kernel_draws, pack_camera, pack_cameras,
+    pack_sp, scatter_respawn_values,
 )
 
 DEFAULT_RAY_BLOCK_BOUNCE = 2048
 
 
 def _bounce_kernel(
-    sp_ref,                                  # [2] i32 SMEM: salt31, step
+    sp_ref,                                  # [SP_ROWS] i32 SMEM
     mb_ref, mc_ref, attrs_ref,               # coeffs
     cam_ref,                                 # [CAM_ROWS, 1]
     o_ref, d_ref, tm_ref, thr_ref, rad_ref,  # state in
     dep_ref, smp_ref, pix_ref, alv_ref, sb_ref, sq_ref,
     oo_ref, od_ref, otm_ref, othr_ref, orad_ref,   # state out
     odep_ref, osmp_ref, oalv_ref,
-    *, cfg: RenderConfig, n_spheres, width, height, spp, kpp,
+    *, cfg: RenderConfig, n_spheres,
 ):
     o = o_ref[:, :]
     d = d_ref[:, :]
@@ -63,7 +63,7 @@ def _bounce_kernel(
         drw, cam_ref, o, d, tm, thr, dep_ref[:, :], smp_ref[:, :],
         pix_ref[:, :], alive_hit, sb_ref[:, :], sq_ref[:, :],
         point, normal, mat_f.astype(jnp.int32), albedo, fuzz, ior,
-        cfg=cfg, width=width, height=height, spp=spp, kpp=kpp)
+        cfg=cfg, **dims_scalars(sp_ref))
 
     oo_ref[:, :] = out_o
     od_ref[:, :] = out_d
@@ -77,18 +77,14 @@ def _bounce_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "width", "height", "spp", "kpp", "ray_block",
-                     "interpret"))
+    static_argnames=("cfg", "ray_block", "interpret"))
 def _bounce_raw(sp, mb, mc, attrs, cam_rows,
                 o, d, tm, thr, rad, dep, smp, pix, alv, sb, sq,
-                *, cfg, width, height, spp, kpp, ray_block,
-                interpret=False):
+                *, cfg, ray_block, interpret=False):
     n = o.shape[1]
     s = attrs.shape[0]
     k = mb.shape[1]
-    kernel = functools.partial(
-        _bounce_kernel, cfg=cfg, n_spheres=s, width=width, height=height,
-        spp=spp, kpp=kpp)
+    kernel = functools.partial(_bounce_kernel, cfg=cfg, n_spheres=s)
 
     def rowspec(rows):
         return pl.BlockSpec((rows, ray_block), lambda i, sp_: (0, i),
@@ -127,16 +123,15 @@ def _bounce_raw(sp, mb, mc, attrs, cam_rows,
       alv, sb, sq)
 
 
-def p_bounce_fused(coeffs, cam, st, salt, step_i, *, cfg: RenderConfig,
-                   width: int, height: int, spp: int,
-                   lanes_per_pixel: int = 1,
+def p_bounce_fused(coeffs, cam, st, salt, step_i, dims, *,
+                   cfg: RenderConfig,
                    ray_block: int = DEFAULT_RAY_BLOCK_BOUNCE,
                    interpret: bool = False):
     """One full bounce (hit+sky+scatter+respawn) as a single Mosaic
     program.  Drop-in for (p_hit_sky_step; p_scatter_respawn_step) — the
-    hit record is internal.  Batches without a fitting 128-multiple block
-    fall back to dead-lane padding (zero-quota lanes never respawn), like
-    p_hit_sky_step."""
+    hit record is internal; ``dims`` is persistent.make_dims.  Batches
+    without a fitting 128-multiple block fall back to dead-lane padding
+    (zero-quota lanes never respawn), like p_hit_sky_step."""
     mb, mc, attrs = coeffs
     n = st.origin.shape[1]
     rb = ray_block if n % ray_block == 0 else _fit_ray_block(n, ray_block)
@@ -153,9 +148,7 @@ def p_bounce_fused(coeffs, cam, st, salt, step_i, *, cfg: RenderConfig,
             direction=st_in.direction.at[2, n:].set(1.0))
     else:
         st_in = st
-    salt_bits = jax.lax.bitcast_convert_type(
-        jnp.asarray(salt, jnp.uint32), jnp.int32)
-    sp = jnp.stack([salt_bits, jnp.asarray(step_i, jnp.int32)])
+    sp = pack_sp(salt, step_i, dims)
     cam_rows = (pack_cameras(cam)
                 if isinstance(cam, (list, tuple))
                 and not isinstance(cam, Camera)
@@ -165,8 +158,7 @@ def p_bounce_fused(coeffs, cam, st, salt, step_i, *, cfg: RenderConfig,
         st_in.origin, st_in.direction, st_in.time, st_in.throughput,
         st_in.radiance_sum, st_in.depth, st_in.sample, st_in.pixel,
         st_in.path_alive.astype(jnp.int32), st_in.s_base, st_in.s_quota,
-        cfg=cfg, width=width, height=height, spp=spp, kpp=lanes_per_pixel,
-        ray_block=rb, interpret=interpret)
+        cfg=cfg, ray_block=rb, interpret=interpret)
     if pad:
         (o, d, tm, thr, rad, dep, smp, alv) = (
             x[:, :n] for x in (o, d, tm, thr, rad, dep, smp, alv))

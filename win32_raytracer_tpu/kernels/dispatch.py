@@ -230,13 +230,31 @@ def get_hit_fn_rows_accel(cfg: RenderConfig, scene, cam, platform=None):
                                      if cfg.hit_kernel in ("auto", "v6",
                                                            "v7")
                                      else _pallas_v4_rb2048)
+                    any_skip = cfg.tri_any_skip in ("auto", "on")
+                    # Sub-gate auto: q=2 at tile heights >= 128 — the
+                    # measured winner there (tpu_jobs 593c: 11.25 vs
+                    # 10.3 Mrays/s at the config-4 shape, every
+                    # interleaved rep; each gated sub-contraction saves
+                    # 2x the MACs per constant pl.when branch).  At
+                    # St < 128 the branch costs what it saves (job 578:
+                    # q2 wash, q4+ monotone losses), so auto stays 1.
+                    n_sub = cfg.tri_sub_gate
+                    if n_sub == 0:
+                        from ..tri_accel import DEFAULT_TILE_ROWS
+                        from .tri_grid_rows import (
+                            DEFAULT_TRI_GRID_RAY_BLOCK)
+                        st_eff = cfg.tri_tile_rows or DEFAULT_TILE_ROWS
+                        rb_eff = (cfg.tri_ray_block
+                                  or DEFAULT_TRI_GRID_RAY_BLOCK)
+                        n_sub = (2 if any_skip and st_eff >= 128
+                                 and rb_eff % 256 == 0 else 1)
                     return new_scene, _tri_grid_fn(
                         sphere_fn, cfg.tri_ray_block,
                         early_exit=cfg.tri_early_exit in ("auto", "on"),
                         rebin="off" if cfg.tri_rebin == "auto"
                         else cfg.tri_rebin, dda_k=cfg.tri_dda_k,
-                        any_skip=cfg.tri_any_skip in ("auto", "on"),
-                        n_sub=cfg.tri_sub_gate or 1,
+                        any_skip=any_skip,
+                        n_sub=n_sub,
                         gather="fused" if cfg.tri_gather == "auto"
                         else cfg.tri_gather)
                 # jnp backend, explicit accel="grid": the pure-jnp grid

@@ -76,6 +76,39 @@ def pack_cameras(cams) -> jnp.ndarray:
     return jnp.concatenate([pack_camera(c) for c in cams], axis=1)
 
 
+def exact_divmod(x, d):
+    """Floor divmod of i32 ``x`` by a positive TRACED i32 scalar ``d`` —
+    Mosaic cannot lower vector integer division by a traced scalar, so
+    this goes through f32 reciprocal-multiply plus integer correction.
+    EXACT for -d <= x < 2^24 and 1 <= d < 2^24: at x <= 2^24 the f32
+    product's absolute error is < 2, so two correction steps each way
+    close it.  (The drivers gate Mosaic paths on pixel ids fitting this
+    range — persistent.py ``mosaic_dims_ok``.)"""
+    d_f = d.astype(jnp.float32)
+    q = (x.astype(jnp.float32) * (1.0 / d_f)).astype(jnp.int32)
+    r = x - q * d
+    for _ in range(2):
+        neg = (r < 0).astype(jnp.int32)
+        q = q - neg
+        r = r + neg * d
+    for _ in range(2):
+        ge = (r >= d).astype(jnp.int32)
+        q = q + ge
+        r = r - ge * d
+    return q, r
+
+
+def _div_kpp(pix, kpp, kpp_shift):
+    """pix // kpp for the lanes-per-pixel stride: a traced-scalar shift
+    when kpp is a power of two (every auto kpp; exact at ANY pixel id),
+    else exact_divmod (driver guarantees the < 2^24 range then)."""
+    sh = jnp.maximum(kpp_shift, 0).astype(jnp.uint32)
+    shifted = jax.lax.shift_right_logical(
+        pix.astype(jnp.uint32), jnp.broadcast_to(sh, pix.shape)
+    ).astype(jnp.int32)
+    return jnp.where(kpp_shift >= 0, shifted, exact_divmod(pix, kpp)[0])
+
+
 def kernel_draws(sp_ref, r: int):
     """In-kernel core.rng.hash_uniform01 with GLOBAL lane counters — the
     draws are bit-identical to the jnp step's (and need no pltpu PRNG,
@@ -111,10 +144,18 @@ def kernel_draws(sp_ref, r: int):
 def scatter_respawn_values(
     drw, cam_ref, o, d, tm, thr, dep, smp, pix, alive, sb, sq,
     hp, nrm, mat_id_rows, alb, fuzz_rows, ior_rows,
-    *, cfg: RenderConfig, width, height, spp, kpp,
+    *, cfg: RenderConfig, width, height, kpp, kpp_shift, kx, ky,
+    max_depth, rr_start,
 ):
     """The scatter + state-update + respawn math on VALUES (rows), shared
     by the standalone scatter kernel and the fused bounce kernel.
+
+    ``width``/``height``/``kpp``/``kpp_shift``/``kx``/``ky``/``max_depth``
+    /``rr_start`` are TRACED i32 scalars (the dims operand, decoded from
+    SMEM by the kernels) — one compiled program per lane count serves
+    every image size, stratify grid, and RR setting.  Pixel-id decoding
+    uses exact_divmod, exact while per-frame pixel counts stay < 2^24
+    (persistent.py mosaic_dims_ok gates the callers).
 
     Returns (origin, direction, time, throughput, depth, sample, alive) —
     all new-state rows.
@@ -124,11 +165,15 @@ def scatter_respawn_values(
     F*height image; persistent._respawn_core's multi-frame contract) and
     the camera is selected per lane by frame id."""
     n_frames = cam_ref.shape[1]
+    # Pixel-id decode (shared by the respawn below): lane id -> pixel ->
+    # (x, y[, frame]).
+    pix_d = _div_kpp(pix, kpp, kpp_shift)
+    ypix, xpix = exact_divmod(pix_d, width)
     if n_frames == 1:
         def cam_row(k):
             return cam_ref[k:k + 1, 0:1]              # [1, 1] broadcasts
     else:
-        fid_all = pix // jnp.int32(kpp * width * height)   # [1, R]
+        fid_all, ypix = exact_divmod(ypix, height)    # frame, local row
 
         def cam_row(k):
             v = cam_ref[k:k + 1, 0:1]
@@ -251,18 +296,19 @@ def scatter_respawn_values(
     cur_dy = jnp.where(alive, new_dy, dy)
     cur_dz = jnp.where(alive, new_dz, dz)
     depth = jnp.where(alive, dep_ref[0:1] + 1, dep_ref[0:1])
-    alive2 = alive & sc_alive & (depth <= cfg.max_depth)
+    alive2 = alive & sc_alive & (depth <= max_depth)
 
-    if cfg.russian_roulette:
-        p = jnp.clip(jnp.maximum(jnp.maximum(thr_r, thr_g), thr_b),
-                     0.05, 1.0)
-        rr_on = alive2 & (depth >= cfg.rr_start_depth)
-        survive = drw[4:5] < p
-        inv_p = 1.0 / p
-        thr_r = jnp.where(rr_on, thr_r * inv_p, thr_r)
-        thr_g = jnp.where(rr_on, thr_g * inv_p, thr_g)
-        thr_b = jnp.where(rr_on, thr_b * inv_p, thr_b)
-        alive2 = alive2 & (~rr_on | survive)
+    # Russian roulette, always traced (persistent._scatter_core):
+    # rr_start > max_depth leaves thr/alive bit-identical.
+    p = jnp.clip(jnp.maximum(jnp.maximum(thr_r, thr_g), thr_b),
+                 0.05, 1.0)
+    rr_on = alive2 & (depth >= rr_start)
+    survive = drw[4:5] < p
+    inv_p = 1.0 / p
+    thr_r = jnp.where(rr_on, thr_r * inv_p, thr_r)
+    thr_g = jnp.where(rr_on, thr_g * inv_p, thr_g)
+    thr_b = jnp.where(rr_on, thr_b * inv_p, thr_b)
+    alive2 = alive2 & (~rr_on | survive)
 
     # --- respawn (persistent._respawn_core) ---
     sample = smp_ref[0:1]
@@ -270,21 +316,17 @@ def scatter_respawn_values(
     new_sample = jnp.where(start, sample + 1, sample)
 
     u_j, v_j = drw[5:6], drw[6:7]
-    if cfg.stratify and spp > 1:
-        from ..persistent import _stratify_grid  # shared kx*ky factoring
-        kx, ky = _stratify_grid(spp)
-        gs = sb_ref[0:1] + new_sample
-        sx = (gs % kx).astype(jnp.float32)
-        sy = ((gs // kx) % ky).astype(jnp.float32)
-        u_j = (sx + u_j) * np.float32(1.0 / kx)
-        v_j = (sy + v_j) * np.float32(1.0 / ky)
-    pix = pix_ref[0:1] // kpp
-    ypix = pix // width
-    xpix = pix % width
-    if n_frames > 1:
-        ypix = ypix - fid_all * height  # virtual row -> frame-local row
-    u = (xpix.astype(jnp.float32) + u_j) * np.float32(1.0 / width)
-    v = ((height - ypix).astype(jnp.float32) + v_j) * np.float32(1.0 / height)
+    # Stratified jitter, always traced: (kx, ky) == (1, 1) reproduces
+    # the plain jitter bit-exactly ((0 + u) * 1.0).
+    gs = sb_ref[0:1] + new_sample
+    gsq, sx_i = exact_divmod(gs, kx)
+    _, sy_i = exact_divmod(gsq, ky)
+    u_j = (sx_i.astype(jnp.float32) + u_j) * (1.0 / kx.astype(jnp.float32))
+    v_j = (sy_i.astype(jnp.float32) + v_j) * (1.0 / ky.astype(jnp.float32))
+    u = ((xpix.astype(jnp.float32) + u_j)
+         * (1.0 / width.astype(jnp.float32)))
+    v = (((height - ypix).astype(jnp.float32) + v_j)
+         * (1.0 / height.astype(jnp.float32)))
 
     tm_new = cam_row(_C_SH_OPEN) + (
         cam_row(_C_SH_CLOSE) - cam_row(_C_SH_OPEN)) * drw[7:8]
@@ -318,8 +360,19 @@ def scatter_respawn_values(
     return out_o, out_d, out_tm, out_thr, out_dep, new_sample, out_alv
 
 
+def dims_scalars(sp_ref):
+    """Decode the traced dims scalars from the SMEM scalar-prefetch
+    vector (sp = [salt, step] ++ persistent.make_dims layout)."""
+    return dict(width=sp_ref[2], height=sp_ref[3], kpp=sp_ref[4],
+                kpp_shift=sp_ref[5], kx=sp_ref[6], ky=sp_ref[7],
+                max_depth=sp_ref[8], rr_start=sp_ref[9])
+
+
+SP_ROWS = 10  # salt, step + the 8 make_dims entries
+
+
 def _scatter_respawn_kernel(
-    sp_ref,                                  # [2] i32 SMEM: salt31, step
+    sp_ref,                                  # [SP_ROWS] i32 SMEM
     cam_ref,                                 # [CAM_ROWS, 1] f32
     o_ref, d_ref, tm_ref, thr_ref,           # [3|3|1|3, R] f32
     dep_ref, smp_ref, pix_ref, alv_ref,      # [1, R] i32 (alv 0/1)
@@ -329,7 +382,7 @@ def _scatter_respawn_kernel(
     alb_ref, fz_ref, ior_ref,                # [3|1|1, R] f32
     oo_ref, od_ref, otm_ref, othr_ref,       # outputs
     odep_ref, osmp_ref, oalv_ref,
-    *, cfg: RenderConfig, width, height, spp, kpp,
+    *, cfg: RenderConfig,
 ):
     drw = kernel_draws(sp_ref, o_ref.shape[1])
     (out_o, out_d, out_tm, out_thr, out_dep, out_smp,
@@ -339,7 +392,7 @@ def _scatter_respawn_kernel(
         alv_ref[0:1] > 0, sb_ref[:, :], sq_ref[:, :],
         hp_ref[:, :], nrm_ref[:, :], mat_ref[:, :], alb_ref[:, :],
         fz_ref[:, :], ior_ref[:, :],
-        cfg=cfg, width=width, height=height, spp=spp, kpp=kpp)
+        cfg=cfg, **dims_scalars(sp_ref))
     oo_ref[:, :] = out_o
     od_ref[:, :] = out_d
     otm_ref[:, :] = out_tm
@@ -351,17 +404,14 @@ def _scatter_respawn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "width", "height", "spp", "kpp", "ray_block",
-                     "interpret"))
+    static_argnames=("cfg", "ray_block", "interpret"))
 def _scatter_respawn_pallas_raw(
     sp, cam_rows, o, d, tm, thr, dep, smp, pix, alv, sb, sq,
     hp, nrm, mat_id, alb, fz, ior,
-    *, cfg, width, height, spp, kpp, ray_block, interpret=False):
+    *, cfg, ray_block, interpret=False):
     n = o.shape[1]
     nb = n // ray_block
-    kernel = functools.partial(
-        _scatter_respawn_kernel, cfg=cfg, width=width, height=height,
-        spp=spp, kpp=kpp)
+    kernel = functools.partial(_scatter_respawn_kernel, cfg=cfg)
 
     def rowspec(rows):
         return pl.BlockSpec((rows, ray_block), lambda i, s: (0, i),
@@ -398,19 +448,28 @@ def _scatter_respawn_pallas_raw(
       hp, nrm, mat_id, alb, fz, ior)
 
 
-def scatter_respawn_pallas(scene, cam, st, rec, salt, step_i, *,
-                           cfg: RenderConfig, width: int, height: int,
-                           spp: int, lanes_per_pixel: int = 1,
-                           n_frames: int = 1,
+def pack_sp(salt, step_i, dims) -> jnp.ndarray:
+    """[SP_ROWS] i32 SMEM scalar-prefetch vector: (salt, step) ++ dims
+    (persistent.make_dims).  Shared by the scatter and fused-bounce
+    kernels."""
+    salt_bits = jax.lax.bitcast_convert_type(
+        jnp.asarray(salt, jnp.uint32), jnp.int32)
+    head = jnp.stack([salt_bits, jnp.asarray(step_i, jnp.int32)])
+    return jnp.concatenate([head, jnp.asarray(dims, jnp.int32)])
+
+
+def scatter_respawn_pallas(scene, cam, st, rec, salt, step_i, dims, *,
+                           cfg: RenderConfig, n_frames: int = 1,
                            ray_block: int = DEFAULT_RAY_BLOCK_SCAT,
                            interpret: bool = False):
     """Drop-in replacement for persistent.p_scatter_respawn_step.
 
     ``scene`` is accepted (and ignored) for signature parity, and so is
     ``n_frames`` — the kernel derives the frame count from the packed
-    camera width (pass a camera LIST for multi-frame batches).  The batch
-    must be a multiple of ``ray_block`` (the scheduler's sizes are); other
-    sizes are padded with dead zero-quota lanes.
+    camera width (pass a camera LIST for multi-frame batches).  ``dims``
+    is persistent.make_dims.  The batch must be a multiple of
+    ``ray_block`` (the scheduler's sizes are); other sizes are padded
+    with dead zero-quota lanes.
     """
     del n_frames
     from ..persistent import PathState
@@ -423,9 +482,7 @@ def scatter_respawn_pallas(scene, cam, st, rec, salt, step_i, *,
         st = PathState(*(padded(getattr(st, f)) for f in PathState._fields))
         rec = type(rec)(*(padded(x) for x in rec))
 
-    salt_bits = jax.lax.bitcast_convert_type(
-        jnp.asarray(salt, jnp.uint32), jnp.int32)
-    sp = jnp.stack([salt_bits, jnp.asarray(step_i, jnp.int32)])
+    sp = pack_sp(salt, step_i, dims)
     cam_rows = (pack_cameras(cam)
                 if isinstance(cam, (list, tuple))
                 and not isinstance(cam, Camera)
@@ -435,8 +492,7 @@ def scatter_respawn_pallas(scene, cam, st, rec, salt, step_i, *,
         st.depth, st.sample, st.pixel, st.path_alive.astype(jnp.int32),
         st.s_base, st.s_quota,
         rec.point, rec.normal, rec.mat_id, rec.albedo, rec.fuzz, rec.ior,
-        cfg=cfg, width=width, height=height, spp=spp,
-        kpp=lanes_per_pixel, ray_block=ray_block, interpret=interpret)
+        cfg=cfg, ray_block=ray_block, interpret=interpret)
     out = st._replace(origin=o, direction=d, time=tm, throughput=thr,
                       depth=dep, sample=smp, path_alive=alv > 0)
     if pad:

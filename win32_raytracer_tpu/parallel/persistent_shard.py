@@ -36,7 +36,8 @@ from ..persistent import (
     PathState, _COMPACT_FLOOR, _COMPACT_SHRINK, _MULTI_K, _bin_sort_core,
     _tri_rebin_active,
     _compact_core, _derive_bin_box, _grid_size, _hit_core, _next_pow2,
-    _resolve_kpp, _respawn_core, _scatter_core, _split,
+    _resolve_kpp, _respawn_core, _scatter_core, _split, make_dims,
+    step_cfg,
 )
 from ..scene.camera import Camera, default_camera
 from ..scene.spheres import SphereScene
@@ -61,10 +62,18 @@ def _pick_ray_block(n_local: int, cap: int = 2048) -> int:
 
 
 @functools.lru_cache(maxsize=64)
-def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
-           spp: int, kpp: int, hit_fn, v7_rb: int = 0, n_frames: int = 1):
-    """Shard-mapped step programs for one (mesh, config) — cached so jitted
-    closures are reused across chunks, frames and seeds.
+def _steps(mesh: Mesh, cfg: RenderConfig, hit_fn, v7_rb: int = 0,
+           n_frames: int = 1, mk: int = _MULTI_K,
+           fuse_wanted: bool = True, pallas_scatter: bool = False):
+    """Shard-mapped step programs for one (mesh, NORMALIZED config) —
+    cached so jitted closures are reused across chunks, frames, seeds,
+    and (since dims ride as a traced operand) image sizes and every
+    driver knob.  ``cfg`` must be persistent.step_cfg(cfg); backend
+    resolutions the full config used to carry come in as ``fuse_wanted``
+    / ``pallas_scatter`` flags and the tail multi-bounce width ``mk``.
+
+    Every returned program takes ``dims`` (persistent.make_dims, traced
+    i32[8], replicated) right after the step index.
 
     With ``v7_rb`` > 0 the bounce splits into TWO shard_mapped programs —
     the v7 whole-hit-phase pallas kernel, then the fused scatter+respawn
@@ -81,27 +90,18 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
     sspec = _sspec()
     kspec = P("tiles")  # per-device [D] draw-salt array
 
-    # Mirror the single-chip driver's resolution (persistent.py): "auto"
-    # fuses only when the scatter backend is also "auto" — an explicit
-    # scatter_backend request is an A/B intent the fused kernel (which has
-    # its own in-kernel scatter) would silently override.
-    fuse_wanted = (cfg.fuse_bounce == "on"
-                   or (cfg.fuse_bounce == "auto"
-                       and cfg.scatter_backend == "auto"))
     if v7_rb and fuse_wanted:
         # Fused single-Mosaic-program bounce per shard (the single-chip
         # production structure; plumbing shared with p_bounce_fused).
         from ..kernels.bounce_pallas import p_bounce_fused
 
-        def bounce_fused(coeffs, scene, cam, st, salts, step_i):
+        def bounce_fused(coeffs, scene, cam, st, salts, step_i, dims):
             return p_bounce_fused(coeffs, cam[1], st, salts[0], step_i,
-                                  cfg=cfg, width=width, height=height,
-                                  spp=spp, lanes_per_pixel=kpp,
-                                  ray_block=v7_rb)
+                                  dims, cfg=cfg, ray_block=v7_rb)
 
         bounce_sm = jax.jit(jax.shard_map(
             bounce_fused, mesh=mesh,
-            in_specs=(P(), P(), P(), sspec, kspec, P()),
+            in_specs=(P(), P(), P(), sspec, kspec, P(), P()),
             out_specs=sspec, check_vma=False))
     elif v7_rb:
         from ..kernels.hit_pallas_v7 import _hit_sky_raw
@@ -128,79 +128,74 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
             hit_phase, mesh=mesh, in_specs=(P(), sspec),
             out_specs=(rspec, sspec), check_vma=False))
 
-        if cfg.scatter_backend == "pallas":
+        if pallas_scatter:
             # Honor the knob on a mesh too: the fused Pallas scatter+
             # respawn kernel, one shard-local call per device.
             from ..kernels.scatter_pallas import scatter_respawn_pallas
 
-            def scat_phase(scene, cam, st, rec, salts, step_i):
+            def scat_phase(scene, cam, st, rec, salts, step_i, dims):
                 return scatter_respawn_pallas(
-                    scene, cam[1], st, rec, salts[0], step_i, cfg=cfg,
-                    width=width, height=height, spp=spp,
-                    lanes_per_pixel=kpp, ray_block=v7_rb)
+                    scene, cam[1], st, rec, salts[0], step_i, dims,
+                    cfg=cfg, ray_block=v7_rb)
         else:
-            def scat_phase(scene, cam, st, rec, salts, step_i):
+            def scat_phase(scene, cam, st, rec, salts, step_i, dims):
                 salt = salts[0]
-                st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
-                return _respawn_core(cam[0], st, salt, step_i, cfg=cfg,
-                                     width=width, height=height, spp=spp,
-                                     lanes_per_pixel=kpp,
-                                     n_frames=n_frames)
+                st = _scatter_core(scene, st, rec, salt, step_i, dims,
+                                   cfg=cfg)
+                return _respawn_core(cam[0], st, salt, step_i, dims,
+                                     cfg=cfg, n_frames=n_frames)
 
         scat_sm = jax.jit(jax.shard_map(
             scat_phase, mesh=mesh,
-            in_specs=(P(), P(), sspec, rspec, kspec, P()),
+            in_specs=(P(), P(), sspec, rspec, kspec, P(), P()),
             out_specs=sspec, check_vma=False))
 
-        def bounce_sm(coeffs, scene, cam, st, salts, step_i):
+        def bounce_sm(coeffs, scene, cam, st, salts, step_i, dims):
             rec, st = hit_sm(coeffs, st)
-            return scat_sm(scene, cam, st, rec, salts, step_i)
+            return scat_sm(scene, cam, st, rec, salts, step_i, dims)
     else:
-        def bounce(scene, cam, st, salts, step_i):
+        def bounce(scene, cam, st, salts, step_i, dims):
             salt = salts[0]
             rec, st = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
-            st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
-            return _respawn_core(cam[0], st, salt, step_i, cfg=cfg,
-                                 width=width, height=height, spp=spp,
-                                 lanes_per_pixel=kpp, n_frames=n_frames)
+            st = _scatter_core(scene, st, rec, salt, step_i, dims,
+                               cfg=cfg)
+            return _respawn_core(cam[0], st, salt, step_i, dims, cfg=cfg,
+                                 n_frames=n_frames)
 
         # check_vma=False: hit_fn may be a pallas kernel (TPU tail
         # fallback), whose ShapeDtypeStruct outputs carry no
         # varying-mesh-axes annotation.
         bounce_sm = jax.jit(jax.shard_map(
-            bounce, mesh=mesh, in_specs=(P(), P(), sspec, kspec, P()),
+            bounce, mesh=mesh, in_specs=(P(), P(), sspec, kspec, P(), P()),
             out_specs=sspec, check_vma=False), static_argnames=())
 
     # Tail multi-bounce program (persistent.p_bounce_multi_step sharded):
     # below the per-shard dispatch floor the render is dispatch-bound, so
-    # cfg.multi_k (auto 4) full bounces ride ONE shard_map dispatch.
-    # Draws are bit-identical to that many successive bounce_sm calls.
-    mk = cfg.multi_k or _MULTI_K
-
-    def bounce_multi(scene, cam, st, salts, step0):
+    # cfg.multi_k (auto 4, via ``mk``) full bounces ride ONE shard_map
+    # dispatch.  Draws are bit-identical to mk successive bounce_sm calls.
+    def bounce_multi(scene, cam, st, salts, step0, dims):
         salt = salts[0]
 
         def body(i, st):
             step_i = step0 + i
             rec, st2 = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
-            st2 = _scatter_core(scene, st2, rec, salt, step_i, cfg=cfg)
-            return _respawn_core(cam[0], st2, salt, step_i, cfg=cfg,
-                                 width=width, height=height, spp=spp,
-                                 lanes_per_pixel=kpp, n_frames=n_frames)
+            st2 = _scatter_core(scene, st2, rec, salt, step_i, dims,
+                                cfg=cfg)
+            return _respawn_core(cam[0], st2, salt, step_i, dims, cfg=cfg,
+                                 n_frames=n_frames)
 
         return jax.lax.fori_loop(0, mk, body, st)
 
     multi_sm = jax.jit(jax.shard_map(
-        bounce_multi, mesh=mesh, in_specs=(P(), P(), sspec, kspec, P()),
+        bounce_multi, mesh=mesh, in_specs=(P(), P(), sspec, kspec, P(), P()),
         out_specs=sspec, check_vma=False))
 
-    def first_respawn(cam, st, salts):
-        return _respawn_core(cam[0], st, salts[0], jnp.int32(0), cfg=cfg,
-                             width=width, height=height, spp=spp,
-                             lanes_per_pixel=kpp, n_frames=n_frames)
+    def first_respawn(cam, st, salts, dims):
+        return _respawn_core(cam[0], st, salts[0], jnp.int32(0), dims,
+                             cfg=cfg, n_frames=n_frames)
 
     respawn_sm = jax.jit(jax.shard_map(
-        first_respawn, mesh=mesh, in_specs=(P(), sspec, kspec),
+        first_respawn, mesh=mesh, in_specs=(P(), sspec, kspec, P()),
         out_specs=sspec))
 
     def alive_counts(st):
@@ -209,16 +204,16 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
     alive_sm = jax.jit(jax.shard_map(
         alive_counts, mesh=mesh, in_specs=(sspec,), out_specs=P("tiles")))
 
-    def flush_all(st, accum):
+    def flush_all(st, accum, kpp_t):
         # accum: per-device partial [1, 3, HW] slice of the [D, 3, HW] array.
         add = jax.ops.segment_sum(
-            st.radiance_sum.T, st.pixel[0] // kpp,
+            st.radiance_sum.T, st.pixel[0] // kpp_t,
             num_segments=accum.shape[2])
         return accum + add.T[None]
 
     flush_sm = jax.jit(jax.shard_map(
         flush_all, mesh=mesh,
-        in_specs=(sspec, P("tiles", None, None)),
+        in_specs=(sspec, P("tiles", None, None), P()),
         out_specs=P("tiles", None, None)))
 
     # One-shot tail finisher (persistent.p_render_oneshot, sharded):
@@ -228,7 +223,7 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
     # per-dispatch floor) and the program has no collectives to
     # deadlock on.  step0/max_s ride as traced scalars so one compiled
     # program serves every chunk and the adaptive phase-2 rerun.
-    def oneshot_finish(scene, cam, st, salts, step0, max_s):
+    def oneshot_finish(scene, cam, st, salts, step0, max_s, dims):
         salt = salts[0]
 
         def cond(carry):
@@ -239,10 +234,9 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
             st_, s_ = carry
             s_ = s_ + 1
             rec, st_ = _hit_core(scene, st_, cfg=cfg, hit_fn=hit_fn)
-            st_ = _scatter_core(scene, st_, rec, salt, s_, cfg=cfg)
-            st_ = _respawn_core(cam[0], st_, salt, s_, cfg=cfg,
-                                width=width, height=height, spp=spp,
-                                lanes_per_pixel=kpp, n_frames=n_frames)
+            st_ = _scatter_core(scene, st_, rec, salt, s_, dims, cfg=cfg)
+            st_ = _respawn_core(cam[0], st_, salt, s_, dims, cfg=cfg,
+                                n_frames=n_frames)
             return st_, s_
 
         st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(step0)))
@@ -250,7 +244,7 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
 
     finish_sm = jax.jit(jax.shard_map(
         oneshot_finish, mesh=mesh,
-        in_specs=(P(), P(), sspec, kspec, P(), P()),
+        in_specs=(P(), P(), sspec, kspec, P(), P(), P()),
         out_specs=sspec, check_vma=False))
 
     # Staged tail stage (persistent.p_render_until, sharded): each
@@ -263,17 +257,16 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
     # respawn revives them).  The host re-enters every shard at the MAX
     # exit step so no shard ever repeats a draw index (skipped indices
     # are merely unconsumed).
-    def until_stage(scene, cam, st, salts, step0, target, max_s):
+    def until_stage(scene, cam, st, salts, step0, target, max_s, dims):
         salt = salts[0]
 
         def body(carry):
             st_, s_ = carry
             s_ = s_ + 1
             rec, st_ = _hit_core(scene, st_, cfg=cfg, hit_fn=hit_fn)
-            st_ = _scatter_core(scene, st_, rec, salt, s_, cfg=cfg)
-            st_ = _respawn_core(cam[0], st_, salt, s_, cfg=cfg,
-                                width=width, height=height, spp=spp,
-                                lanes_per_pixel=kpp, n_frames=n_frames)
+            st_ = _scatter_core(scene, st_, rec, salt, s_, dims, cfg=cfg)
+            st_ = _respawn_core(cam[0], st_, salt, s_, dims, cfg=cfg,
+                                n_frames=n_frames)
             return st_, s_
 
         def cond(carry):
@@ -287,7 +280,7 @@ def _steps(mesh: Mesh, cfg: RenderConfig, width: int, height: int,
 
     until_sm = jax.jit(jax.shard_map(
         until_stage, mesh=mesh,
-        in_specs=(P(), P(), sspec, kspec, P(), P(), P()),
+        in_specs=(P(), P(), sspec, kspec, P(), P(), P(), P()),
         out_specs=(sspec, P("tiles"), P("tiles")), check_vma=False))
 
     return (bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm,
@@ -451,12 +444,36 @@ def render_image_persistent_sharded(
         # silently measuring the raw estimate.
         raise ValueError("adaptive_pool='on' is single-chip only")
     seed = cfg.seed
-    cfg = cfg.replace(seed=0)
     check_period = cfg.check_period or 8
     first_check = quota + 2
     max_steps = (quota + 1) * (cfg.max_depth + 2)
     min_lanes = 1 << 10
     floor = max(_COMPACT_FLOOR // d, min_lanes)
+    # Step programs take the NORMALIZED config + traced dims (see
+    # persistent.py): one compiled set per (mesh, lane count) serves
+    # every image size, seed, and driver knob.
+    scfg = step_cfg(cfg)
+    mk = cfg.multi_k or _MULTI_K
+    # Mosaic pixel-id decode range (persistent.py mosaic_dims_ok).
+    mosaic_dims_ok = (h_virt * w < (1 << 24)
+                      and (kpp & (kpp - 1) == 0
+                           or h_virt * w * kpp < (1 << 24)))
+    pallas_scatter = (backend == "pallas"
+                      and cfg.scatter_backend == "pallas")
+    if pallas_scatter and not mosaic_dims_ok:
+        raise ValueError(
+            "scatter_backend='pallas' needs pixel ids that fit the "
+            "kernel's exact-division range (height*width*n_frames < "
+            f"2^24; got {h_virt * w})")
+    fuse_wanted = (cfg.fuse_bounce == "on"
+                   or (cfg.fuse_bounce == "auto"
+                       and cfg.scatter_backend == "auto"
+                       and mosaic_dims_ok))
+    if cfg.fuse_bounce == "on" and not mosaic_dims_ok:
+        raise ValueError(
+            "fuse_bounce='on' needs pixel ids that fit the kernel's "
+            "exact-division range (height*width*n_frames < 2^24; got "
+            f"{h_virt * w})")
 
     # One-shot tail finisher (single-chip semantics, persistent.py): at
     # or below the per-shard floor, hand the rest of the batch to one
@@ -484,6 +501,19 @@ def render_image_persistent_sharded(
 
     lanes = _interleaved_pixel_lanes(h_virt, w, kpp, d)  # [D, n_local]
     n_local = lanes.shape[1]
+    # Pad each shard onto the compaction size grid (_grid_size), exactly
+    # like the single-chip chunk padding: every sharded render then
+    # STARTS at a ladder lane count the compile cache already owns.  The
+    # filler columns duplicate existing lane ids, so the wrap-dedup
+    # below zeroes their quotas; re-sorting keeps the per-shard
+    # ascending order the tail_sorted flush relies on.
+    # (Not under adaptive: its prepass relies on contiguous kpp-lane
+    # groups per pixel, which the padding re-sort would interleave.)
+    pad_l = _grid_size(n_local, min_lanes, cfg.compact_quantum) - n_local
+    if pad_l and not adaptive:
+        fill = lanes[:, np.arange(pad_l) % n_local]
+        lanes = np.sort(np.concatenate([lanes, fill], axis=1), axis=1)
+        n_local += pad_l
     n = d * n_local
     # Wrapped padding lanes (duplicate pixel ids) get zero quota.  The
     # dedupe must be first-occurrence-aware WITHIN a shard too: when the
@@ -538,10 +568,12 @@ def render_image_persistent_sharded(
     def make_driver(kpp_s, dev_keys_s):
         """do_steps + the check/compact/split loop bound to one lane
         encoding (kpp_s) and per-device salt set."""
-        steps7 = _steps(mesh, cfg, w, h, spp, kpp_s, hit_fn,
-                        n_frames=n_frames)
+        steps7 = _steps(mesh, scfg, hit_fn, n_frames=n_frames, mk=mk,
+                        fuse_wanted=fuse_wanted,
+                        pallas_scatter=pallas_scatter)
         (bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm,
          finish_sm, until_sm) = steps7
+        dims_s = make_dims(cfg, w, h, spp, kpp_s)
 
         def bounce_for(n_local: int):
             """Per-shard-size bounce: the v7/fused Mosaic path when the
@@ -552,24 +584,26 @@ def render_image_persistent_sharded(
             if coeffs is not None and n_local >= floor:
                 rb = _pick_ray_block(n_local)
                 if rb:
-                    b7 = _steps(mesh, cfg, w, h, spp, kpp_s, hit_fn, rb,
-                                n_frames=n_frames)[0]
+                    b7 = _steps(mesh, scfg, hit_fn, rb,
+                                n_frames=n_frames, mk=mk,
+                                fuse_wanted=fuse_wanted,
+                                pallas_scatter=pallas_scatter)[0]
                     return functools.partial(b7, coeffs)
             return bounce_sm
 
         def do_steps(st, k, step):
             # Tail economics mirror the single-chip driver: at or below
             # the per-shard floor the render is dispatch-bound, so
-            # _MULTI_K bounces ride one shard_map dispatch each.  Binned
-            # scenes take single steps everywhere: a multi-bounce program
-            # would run bounces 2..K on bins gone stale after one scatter.
+            # cfg.multi_k bounces ride one shard_map dispatch each.
+            # Binned scenes take single steps everywhere: a multi-bounce
+            # program would run bounces 2..K on bins gone stale after
+            # one scatter.
             cur = st.pixel.shape[1] // d
             bounce = bounce_for(cur)
-            mk = cfg.multi_k or _MULTI_K
             if cur <= floor and bin_box is None:
                 while k >= mk:
                     st = multi_sm(scene, camt, st, dev_keys_s,
-                                  jnp.int32(step + 1))
+                                  jnp.int32(step + 1), dims_s)
                     step += mk
                     k -= mk
             for _ in range(k):
@@ -578,7 +612,8 @@ def render_image_persistent_sharded(
                     # _BIN_KEY read per call: flipping the module global
                     # rebuilds (lru key) instead of reusing a stale trace.
                     st = _bin_sort_sm(mesh, bin_box, _P._BIN_KEY)(st)
-                st = bounce(scene, camt, st, dev_keys_s, jnp.int32(step))
+                st = bounce(scene, camt, st, dev_keys_s, jnp.int32(step),
+                            dims_s)
             return st, step
 
         def staged_tail(st, accum, step, max_steps_s):
@@ -592,12 +627,13 @@ def render_image_persistent_sharded(
                 cur = st.pixel.shape[1] // d
                 if cur <= 2 * min_lanes:
                     st = finish_sm(scene, camt, st, dev_keys_s,
-                                   jnp.int32(step), jnp.int32(max_steps_s))
+                                   jnp.int32(step), jnp.int32(max_steps_s),
+                                   dims_s)
                     break
                 target = 1 << (max(cur // 2, 1).bit_length() - 1)
                 st, stp, cnt = until_sm(
                     scene, camt, st, dev_keys_s, jnp.int32(step),
-                    jnp.int32(target), jnp.int32(max_steps_s))
+                    jnp.int32(target), jnp.int32(max_steps_s), dims_s)
                 step = int(np.asarray(stp).max())
                 worst = int(np.asarray(cnt).max())
                 if worst == 0 or step >= max_steps_s:
@@ -617,7 +653,7 @@ def render_image_persistent_sharded(
                 return staged_tail(st, accum, 0, max_steps_s)
             if one_shot in ("on", "chunk") and st.pixel.shape[1] // d <= floor:
                 st = finish_sm(scene, camt, st, dev_keys_s, jnp.int32(0),
-                               jnp.int32(max_steps_s))
+                               jnp.int32(max_steps_s), dims_s)
                 return st, accum
             period = check_period
             last_alive = n
@@ -669,7 +705,7 @@ def render_image_persistent_sharded(
                                 mesh, kpp_s, k_new, True)(st, accum)
                         st = finish_sm(scene, camt, st, dev_keys_s,
                                        jnp.int32(step),
-                                       jnp.int32(max_steps_s))
+                                       jnp.int32(max_steps_s), dims_s)
                         break
                     k_new = max(min_lanes, _next_pow2(worst))
                     if k_new <= cur // 2:
@@ -684,7 +720,14 @@ def render_image_persistent_sharded(
                         tail_sorted=state_sorted)(st, accum)
             return st, accum
 
-        return do_steps, run_loop, flush_sm, respawn_sm
+        # Bind dims/kpp so call sites keep the historical signatures.
+        def respawn0(cam_, st_, keys_):
+            return respawn_sm(cam_, st_, keys_, dims_s)
+
+        def flush(st_, accum_):
+            return flush_sm(st_, accum_, jnp.int32(kpp_s))
+
+        return do_steps, run_loop, flush, respawn0
 
     do_steps, run_loop, flush_sm, respawn_sm = make_driver(kpp, dev_keys)
 

@@ -74,9 +74,74 @@ def _hit_core(scene: SphereScene, st: PathState, *, cfg: RenderConfig,
                             path_alive=st.path_alive & rec.hit)
 
 
+# ---------------------------------------------------------------------------
+# Traced render dimensions.
+#
+# width/height/spp/lanes_per_pixel/max_depth/RR/stratify used to be STATIC
+# jit arguments, so every (image size, spp, knob) combination compiled its
+# own copy of every step program — a never-cached 4K@1000 render paid ~3 h
+# of first-time compiles for programs the headline config already owned at
+# the same lane counts (tpu_jobs 592).  They now ride as ONE traced i32[8]
+# operand ("dims"), so step programs key only on (lane count, normalized
+# config, hit_fn, n_frames) and every image size shares them.
+#
+# Layout (make_dims):
+#   0 width   1 height   2 kpp          3 kpp_shift (log2 kpp, -1 = not pow2)
+#   4 kx      5 ky       6 max_depth    7 rr_start (> max_depth = RR off)
+#
+# Stratification is ALWAYS traced with grid (kx, ky) — (1, 1) reproduces
+# the unstratified jitter bit-exactly ((0 + u)/1).  Russian roulette is
+# ALWAYS traced with threshold rr_start — a start depth beyond max_depth
+# never fires and leaves throughput/alive untouched bit-exactly (the 5th
+# draw row was always generated).  Folding both into dims means flipping
+# cfg.stratify / cfg.russian_roulette / cfg.max_depth recompiles NOTHING.
+# ---------------------------------------------------------------------------
+
+def make_dims(cfg: RenderConfig, width: int, height: int, spp: int,
+              lanes_per_pixel: int = 1) -> jnp.ndarray:
+    """The traced dims operand every step program consumes (see layout
+    above).  Derives the stratify grid and RR threshold from ``cfg`` so
+    callers pass the ORIGINAL config here and the normalized one
+    (``step_cfg``) as the static argument."""
+    kpp = lanes_per_pixel
+    kpp_shift = kpp.bit_length() - 1 if kpp & (kpp - 1) == 0 else -1
+    if cfg.stratify and spp > 1:
+        kx, ky = _stratify_grid(spp)
+    else:
+        kx, ky = 1, 1
+    rr_start = (cfg.rr_start_depth if cfg.russian_roulette
+                else cfg.max_depth + 2)
+    return jnp.asarray([width, height, kpp, kpp_shift, kx, ky,
+                        cfg.max_depth, rr_start], jnp.int32)
+
+
+# Config fields that still shape step-program CONTENT (the reference's
+# numerical quirks + numerics).  Everything else — image dims, sampling
+# counts, scheduler/compaction/acceleration knobs — either rides the
+# traced dims operand or is a host-side driver decision, so ``step_cfg``
+# resets it to the dataclass default: flipping a driver knob (check
+# cadence, one_shot mode, compaction quantum, tri_* defaults...) no
+# longer invalidates a single compiled step program.  (Tri knobs reach
+# the programs through the lru-cached hit_fn IDENTITY instead.)
+_STEP_FIELDS = ("refract_discriminant_bias", "schlick_uses_ni_over_nt",
+                "reflect_thres", "epsilon", "min_hit_t", "deterministic")
+
+
+@functools.lru_cache(maxsize=None)
+def _step_cfg_cached(vals: tuple) -> RenderConfig:
+    return RenderConfig(**dict(zip(_STEP_FIELDS, vals)))
+
+
+def step_cfg(cfg: RenderConfig) -> RenderConfig:
+    """Normalize ``cfg`` to the fields that affect step-program content
+    (cached so the same normalized config is the same OBJECT — jit
+    static-arg hashing stays cheap and stable)."""
+    return _step_cfg_cached(tuple(getattr(cfg, f) for f in _STEP_FIELDS))
+
+
 def _scatter_core(scene: SphereScene, st: PathState, rec,
-                  salt: jnp.ndarray, step_i: jnp.ndarray, *,
-                  cfg: RenderConfig) -> PathState:
+                  salt: jnp.ndarray, step_i: jnp.ndarray,
+                  dims: jnp.ndarray, *, cfg: RenderConfig) -> PathState:
     n = st.origin.shape[1]
     draws = hash_uniform01((5, n), salt, step_i, 0x5CA77E12)
     sc = scatter_rows(st.direction, rec, draws, cfg)
@@ -86,14 +151,15 @@ def _scatter_core(scene: SphereScene, st: PathState, rec,
     o = jnp.where(live, sc.origin, st.origin)
     d = jnp.where(live, sc.direction, st.direction)
     depth = jnp.where(live, st.depth + 1, st.depth)
-    alive = live & sc.alive & (depth <= cfg.max_depth)
+    alive = live & sc.alive & (depth <= dims[6])
 
-    if cfg.russian_roulette:
-        p = jnp.clip(jnp.max(thr, axis=0, keepdims=True), 0.05, 1.0)
-        rr_on = alive & (depth >= cfg.rr_start_depth)
-        survive = draws[4:5] < p
-        thr = jnp.where(rr_on, thr / p, thr)
-        alive = alive & jnp.where(rr_on, survive, True)
+    # Russian roulette, always traced: rr_start > max_depth (the RR-off
+    # encoding) leaves thr/alive bit-identical.
+    p = jnp.clip(jnp.max(thr, axis=0, keepdims=True), 0.05, 1.0)
+    rr_on = alive & (depth >= dims[7])
+    survive = draws[4:5] < p
+    thr = jnp.where(rr_on, thr / p, thr)
+    alive = alive & jnp.where(rr_on, survive, True)
 
     return st._replace(origin=o, direction=d, throughput=thr, depth=depth,
                        path_alive=alive)
@@ -110,14 +176,16 @@ def _stratify_grid(spp: int) -> tuple:
 
 
 def _respawn_core(cam: Camera, st: PathState, salt: jnp.ndarray,
-                  step_i: jnp.ndarray, *, cfg: RenderConfig, width: int,
-                  height: int, spp: int, lanes_per_pixel: int = 1,
-                  n_frames: int = 1) -> PathState:
+                  step_i: jnp.ndarray, dims: jnp.ndarray, *,
+                  cfg: RenderConfig, n_frames: int = 1) -> PathState:
     """Start the next camera sample on every lane whose path just ended.
 
-    With ``lanes_per_pixel`` K > 1, each pixel's spp samples are split over
-    K replica lanes (quota spp//K each) — K-fold fewer sequential steps for
-    hard pixels at identical total work.
+    ``dims`` (make_dims) carries width/height/kpp/stratify grid as traced
+    scalars — one compiled program per lane count serves every image size.
+
+    With lanes-per-pixel K > 1 (dims[2]), each pixel's spp samples are
+    split over K replica lanes (quota spp//K each) — K-fold fewer
+    sequential steps for hard pixels at identical total work.
 
     With ``n_frames`` F > 1, the batch renders F frames of an animation at
     once (pixel-lane ids span a virtual F*height image; lane frame =
@@ -128,7 +196,8 @@ def _respawn_core(cam: Camera, st: PathState, salt: jnp.ndarray,
     Tick loop, Game.cpp:140-270, draws one frame at a time because a CPU
     has no batch dimension to waste)."""
     n = st.pixel.shape[1]
-    kpp = lanes_per_pixel
+    width, height = dims[0], dims[1]
+    kpp, kx, ky = dims[2], dims[4], dims[5]
     pix = st.pixel // kpp
     y_virt = pix // width
     x = pix % width
@@ -158,19 +227,20 @@ def _respawn_core(cam: Camera, st: PathState, salt: jnp.ndarray,
 
     draws = hash_uniform01((5, n), salt, step_i, 0x2E59A301)
     u_j, v_j = draws[0:1], draws[1:2]
-    if cfg.stratify and spp > 1:
-        # Any spp factors as a kx*ky grid (kx = largest divisor <=
-        # sqrt(spp)); square spp reproduces the classic k x k layout,
-        # prime spp degrades to 1 x spp (v-only) strata — never a no-op.
-        kx, ky = _stratify_grid(spp)
-        gs = st.s_base + new_sample  # global sample index
-        sx = (gs % kx).astype(jnp.float32)
-        sy = ((gs // kx) % ky).astype(jnp.float32)
-        u_j = (sx + u_j) / kx
-        v_j = (sy + v_j) / ky
+    # Stratified jitter, always traced: any spp factors as a kx*ky grid
+    # (make_dims; kx = largest divisor <= sqrt(spp)); square spp
+    # reproduces the classic k x k layout, prime spp degrades to 1 x spp
+    # (v-only) strata.  Stratify-off rides as (1, 1), which reproduces
+    # the plain jitter bit-exactly ((0 + u)/1).
+    gs = st.s_base + new_sample  # global sample index
+    sx = (gs % kx).astype(jnp.float32)
+    sy = ((gs // kx) % ky).astype(jnp.float32)
+    u_j = (sx + u_j) / kx.astype(jnp.float32)
+    v_j = (sy + v_j) / ky.astype(jnp.float32)
     # Pixel mapping as RayTracer.cpp:941-943 (u=(x+r0)/W, v=(H-y+r1)/H).
-    u = (x.astype(jnp.float32) + u_j) / width
-    v = ((height - y).astype(jnp.float32) + v_j) / height
+    u = (x.astype(jnp.float32) + u_j) / width.astype(jnp.float32)
+    v = (((height - y).astype(jnp.float32) + v_j)
+         / height.astype(jnp.float32))
     o, d, tm = camera_rays_rows(cam, u, v, draws[2:5])
 
     return st._replace(
@@ -188,37 +258,30 @@ def _respawn_core(cam: Camera, st: PathState, salt: jnp.ndarray,
 p_hit_step = functools.partial(jax.jit, static_argnames=("cfg", "hit_fn"))(_hit_core)
 p_scatter_step = functools.partial(jax.jit, static_argnames=("cfg",))(_scatter_core)
 p_respawn_step = functools.partial(
-    jax.jit, static_argnames=("cfg", "width", "height", "spp",
-                              "lanes_per_pixel", "n_frames"))(_respawn_core)
+    jax.jit, static_argnames=("cfg", "n_frames"))(_respawn_core)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "width", "height", "spp",
-                              "lanes_per_pixel", "n_frames"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_frames"))
 def p_scatter_respawn_step(scene: SphereScene, cam: Camera, st: PathState,
                            rec, salt: jnp.ndarray,
-                           step_i: jnp.ndarray, *, cfg: RenderConfig,
-                           width: int, height: int, spp: int,
-                           lanes_per_pixel: int = 1,
+                           step_i: jnp.ndarray, dims: jnp.ndarray, *,
+                           cfg: RenderConfig,
                            n_frames: int = 1) -> PathState:
     """Scatter + respawn in ONE dispatch (pure row arithmetic, no Pallas —
     XLA fuses it cleanly, unlike the pallas+epilogue fusion note below).
     Halves the non-hit dispatch count; the tail of a render is dispatch-
     floor-bound (~3 ms per dispatch through the relay)."""
-    st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
-    return _respawn_core(cam, st, salt, step_i, cfg=cfg, width=width,
-                         height=height, spp=spp,
-                         lanes_per_pixel=lanes_per_pixel, n_frames=n_frames)
+    st = _scatter_core(scene, st, rec, salt, step_i, dims, cfg=cfg)
+    return _respawn_core(cam, st, salt, step_i, dims, cfg=cfg,
+                         n_frames=n_frames)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "hit_fn", "width", "height", "spp",
-                              "lanes_per_pixel", "n_frames"))
+    jax.jit, static_argnames=("cfg", "hit_fn", "n_frames"))
 def p_bounce_step(scene: SphereScene, cam: Camera, st: PathState,
-                  salt: jnp.ndarray, step_i: jnp.ndarray, *, cfg: RenderConfig,
-                  hit_fn, width: int, height: int,
-                  spp: int, lanes_per_pixel: int = 1,
-                  n_frames: int = 1) -> PathState:
+                  salt: jnp.ndarray, step_i: jnp.ndarray,
+                  dims: jnp.ndarray, *, cfg: RenderConfig,
+                  hit_fn, n_frames: int = 1) -> PathState:
     """Fused hit + scatter + respawn in one dispatch.
 
     NOT used by the driver: measured interleaved against the split
@@ -226,11 +289,10 @@ def p_bounce_step(scene: SphereScene, cam: Camera, st: PathState,
     pallas+epilogue program.  Kept for experiments and as the one-dispatch
     variant for contexts where dispatch count matters more than codegen."""
     rec, st = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
-    st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
+    st = _scatter_core(scene, st, rec, salt, step_i, dims, cfg=cfg)
     # Respawn draws decorrelate via their purpose tag (hash_uniform01).
-    return _respawn_core(cam, st, salt, step_i, cfg=cfg, width=width,
-                         height=height, spp=spp,
-                         lanes_per_pixel=lanes_per_pixel, n_frames=n_frames)
+    return _respawn_core(cam, st, salt, step_i, dims, cfg=cfg,
+                         n_frames=n_frames)
 
 
 # Bounces per tail multi-step program (lax.fori_loop inside one jit):
@@ -241,12 +303,11 @@ _MULTI_K = 4
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "hit_fn", "width", "height", "spp",
-                              "lanes_per_pixel", "n_frames", "k"))
+    jax.jit, static_argnames=("cfg", "hit_fn", "n_frames", "k"))
 def p_bounce_multi_step(scene: SphereScene, cam: Camera, st: PathState,
-                        salt: jnp.ndarray, step0: jnp.ndarray, *,
-                        cfg: RenderConfig, hit_fn, width: int, height: int,
-                        spp: int, lanes_per_pixel: int = 1,
+                        salt: jnp.ndarray, step0: jnp.ndarray,
+                        dims: jnp.ndarray, *,
+                        cfg: RenderConfig, hit_fn,
                         n_frames: int = 1, k: int = _MULTI_K) -> PathState:
     """``k`` full bounces in ONE dispatch (tail economics: below the
     compaction floor the render is dispatch-bound).  ``step0`` is the
@@ -255,23 +316,19 @@ def p_bounce_multi_step(scene: SphereScene, cam: Camera, st: PathState,
     def body(i, st):
         step_i = step0 + i
         rec, st = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
-        st = _scatter_core(scene, st, rec, salt, step_i, cfg=cfg)
-        return _respawn_core(cam, st, salt, step_i, cfg=cfg, width=width,
-                             height=height, spp=spp,
-                             lanes_per_pixel=lanes_per_pixel,
+        st = _scatter_core(scene, st, rec, salt, step_i, dims, cfg=cfg)
+        return _respawn_core(cam, st, salt, step_i, dims, cfg=cfg,
                              n_frames=n_frames)
     return jax.lax.fori_loop(0, k, body, st)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "hit_fn", "width", "height", "spp",
-                              "lanes_per_pixel", "n_frames", "max_steps"))
+    jax.jit, static_argnames=("cfg", "hit_fn", "n_frames"))
 def p_render_oneshot(scene: SphereScene, cam: Camera, st: PathState,
-                     salt: jnp.ndarray, step0: jnp.ndarray, *,
+                     salt: jnp.ndarray, step0: jnp.ndarray,
+                     dims: jnp.ndarray, max_steps: jnp.ndarray, *,
                      cfg: RenderConfig, hit_fn,
-                     width: int, height: int, spp: int,
-                     lanes_per_pixel: int = 1, n_frames: int = 1,
-                     max_steps: int = 1) -> PathState:
+                     n_frames: int = 1) -> PathState:
     """A whole lane chunk to completion in ONE dispatch: a
     lax.while_loop over the one-program XLA bounce, terminating when
     every lane is dead (or at ``max_steps``, the same quota*(depth+2)
@@ -294,19 +351,20 @@ def p_render_oneshot(scene: SphereScene, cam: Camera, st: PathState,
     dispatches — the loop's first bounce is step0+1, so draw indices
     never repeat when this finishes a render the host loop started
     (the below-floor tail finisher).  ``max_steps`` stays the chunk's
-    static total-step bound, not a count of steps to run here."""
+    total-step bound (traced, like dims — one compiled program per lane
+    count serves every render shape), not a count of steps to run here."""
+    max_s = jnp.asarray(max_steps, jnp.int32)
+
     def cond(carry):
         st_, step_ = carry
-        return (step_ < max_steps) & jnp.any(st_.path_alive)
+        return (step_ < max_s) & jnp.any(st_.path_alive)
 
     def body(carry):
         st_, step_ = carry
         step_ = step_ + 1
         rec, st_ = _hit_core(scene, st_, cfg=cfg, hit_fn=hit_fn)
-        st_ = _scatter_core(scene, st_, rec, salt, step_, cfg=cfg)
-        st_ = _respawn_core(cam, st_, salt, step_, cfg=cfg, width=width,
-                            height=height, spp=spp,
-                            lanes_per_pixel=lanes_per_pixel,
+        st_ = _scatter_core(scene, st_, rec, salt, step_, dims, cfg=cfg)
+        st_ = _respawn_core(cam, st_, salt, step_, dims, cfg=cfg,
                             n_frames=n_frames)
         return st_, step_
 
@@ -315,15 +373,13 @@ def p_render_oneshot(scene: SphereScene, cam: Camera, st: PathState,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "hit_fn", "width", "height", "spp",
-                              "lanes_per_pixel", "n_frames", "max_steps"))
+    jax.jit, static_argnames=("cfg", "hit_fn", "n_frames"))
 def p_render_until(scene: SphereScene, cam: Camera, st: PathState,
                    salt: jnp.ndarray, step0: jnp.ndarray,
-                   alive_target: jnp.ndarray, *,
+                   alive_target: jnp.ndarray,
+                   dims: jnp.ndarray, max_steps: jnp.ndarray, *,
                    cfg: RenderConfig, hit_fn,
-                   width: int, height: int, spp: int,
-                   lanes_per_pixel: int = 1, n_frames: int = 1,
-                   max_steps: int = 1):
+                   n_frames: int = 1):
     """One STAGE of the staged device-side tail (``one_shot='staged'``):
     bounce in a ``lax.while_loop`` until the alive count drops to
     ``alive_target`` (a TRACED operand — one compiled program per lane
@@ -345,21 +401,21 @@ def p_render_until(scene: SphereScene, cam: Camera, st: PathState,
     immediately on entry.  Caller guarantees ``step0 < max_steps`` and
     at least one lane alive or respawnable.  Draws are bit-identical to
     successive ``p_bounce_step`` dispatches at steps step0+1.."""
+    max_s = jnp.asarray(max_steps, jnp.int32)
+
     def bounce(carry):
         st_, step_ = carry
         step_ = step_ + 1
         rec, st_ = _hit_core(scene, st_, cfg=cfg, hit_fn=hit_fn)
-        st_ = _scatter_core(scene, st_, rec, salt, step_, cfg=cfg)
-        st_ = _respawn_core(cam, st_, salt, step_, cfg=cfg, width=width,
-                            height=height, spp=spp,
-                            lanes_per_pixel=lanes_per_pixel,
+        st_ = _scatter_core(scene, st_, rec, salt, step_, dims, cfg=cfg)
+        st_ = _respawn_core(cam, st_, salt, step_, dims, cfg=cfg,
                             n_frames=n_frames)
         return st_, step_
 
     def cond(carry):
         st_, step_ = carry
         alive = jnp.sum(st_.path_alive, dtype=jnp.int32)
-        return (step_ < max_steps) & (alive > alive_target)
+        return (step_ < max_s) & (alive > alive_target)
 
     st, step = jax.lax.while_loop(cond, bounce,
                                   bounce((st, jnp.int32(step0))))
@@ -564,9 +620,11 @@ def _compact_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
     return new, accum + flushed.T
 
 
+# lanes_per_pixel rides as a TRACED operand (it only feeds pixel-id
+# division in the flushes), so one compiled compaction per
+# (n_in, k_new, flags) serves every config and every kpp.
 _compact = functools.partial(
-    jax.jit, static_argnames=("k_new", "lanes_per_pixel", "tail_sorted",
-                              "n_receivers"),
+    jax.jit, static_argnames=("k_new", "tail_sorted", "n_receivers"),
 )(_compact_core)
 
 # Work redistribution at above-floor compactions: overshoot k_new by
@@ -830,19 +888,21 @@ def render_image_persistent(
     # Replica lanes per pixel: fewer sequential steps for hard pixels.
     kpp = _resolve_kpp(cfg, spp)
     rows = max(1, min(h_virt, cfg.rays_per_chunk // max(1, w * kpp)))
-    # Prefer a chunk that is a multiple of the v7 kernel's 2048-lane
-    # block: shaving a few rows is free, padding inside the hit step is
-    # not (XLA pad/slice around the pallas call).
-    if rows < h_virt:
-        for r in range(rows, max(0, rows - 64), -1):
-            if (r * w * kpp) % 2048 == 0:
-                rows = r
-                break
     seed = cfg.seed
-    # Seed feeds only the per-chunk draw salt (a traced argument); keep the
-    # jitted-step cfg seedless so different seeds (e.g. animation frames)
-    # share compiled programs.
-    cfg = cfg.replace(seed=0)
+    # Step programs take the NORMALIZED config (step_cfg) as their static
+    # argument and everything shape-like through the traced dims operand:
+    # seed, image dims, spp, kpp, max_depth, RR, stratify, and every
+    # driver knob share one compiled program set per lane count.
+    scfg = step_cfg(cfg)
+    # Mosaic kernels (fused bounce / pallas scatter) decode pixel ids
+    # with exact f32 reciprocal division (exact_divmod) because Mosaic
+    # cannot lower vector integer division by a traced scalar; that
+    # trick is exact only while pixel ids (post kpp-division) stay below
+    # 2^24 — true through 4K and every benchmark shape.  Beyond it, the
+    # v7-hit + XLA-scatter split path (exact at any size) takes over.
+    mosaic_dims_ok = (h_virt * w < (1 << 24)
+                      and (kpp & (kpp - 1) == 0
+                           or h_virt * w * kpp < (1 << 24)))
     # Nothing can finish before its quota of samples is consumed (each
     # sample is >= 1 step), so the first alive check waits that long; after
     # that, check often — a sync costs ~27 ms, a wasted full-batch step ~40.
@@ -869,6 +929,11 @@ def render_image_persistent(
         sb = "jnp"
     use_pallas_scatter = (sb == "pallas"
                           and _resolve_backend(cfg) == "pallas")
+    if use_pallas_scatter and not mosaic_dims_ok:
+        raise ValueError(
+            "scatter_backend='pallas' needs pixel ids that fit the "
+            "kernel's exact-division range (height*width*n_frames < "
+            f"2^24; got {h_virt * w})")
 
     # Single-kernel bounce (hit+sky+scatter+respawn in one Mosaic
     # program).  "auto" = on where v7 runs: measured interleaved at
@@ -878,7 +943,13 @@ def render_image_persistent(
     fused_bounce = None
     fuse_wanted = (cfg.fuse_bounce == "on"
                    or (cfg.fuse_bounce == "auto"
-                       and cfg.scatter_backend == "auto"))
+                       and cfg.scatter_backend == "auto"
+                       and mosaic_dims_ok))
+    if cfg.fuse_bounce == "on" and not mosaic_dims_ok:
+        raise ValueError(
+            "fuse_bounce='on' needs pixel ids that fit the kernel's "
+            "exact-division range (height*width*n_frames < 2^24; got "
+            f"{h_virt * w})")
     if hit_coeffs_v7 is not None and fuse_wanted:
         from .kernels.bounce_pallas import p_bounce_fused
         fused_bounce = p_bounce_fused
@@ -943,19 +1014,19 @@ def render_image_persistent(
     def make_steps(salt, kpp_s):
         """Bind the bounce-step closures to a draw salt and lane
         encoding (kpp_s: pixel-lane id stride; 1 = raw pixel ids)."""
+        dims_s = make_dims(cfg, w, h, spp, kpp_s)
         if use_pallas_scatter:
             from .kernels.scatter_pallas import scatter_respawn_pallas
 
             def scat_step(scene_, st_, rec_, salt_, step_i_):
                 return scatter_respawn_pallas(
-                    scene_, cam_m, st_, rec_, salt_, step_i_, cfg=cfg,
-                    width=w, height=h, spp=spp, lanes_per_pixel=kpp_s)
+                    scene_, cam_m, st_, rec_, salt_, step_i_, dims_s,
+                    cfg=scfg)
         else:
             def scat_step(scene_, st_, rec_, salt_, step_i_):
                 return p_scatter_respawn_step(
-                    scene_, cam_x, st_, rec_, salt_, step_i_, cfg=cfg,
-                    width=w, height=h, spp=spp, lanes_per_pixel=kpp_s,
-                    n_frames=n_frames)
+                    scene_, cam_x, st_, rec_, salt_, step_i_, dims_s,
+                    cfg=scfg, n_frames=n_frames)
 
         def do_steps(st, k, step):
             cur = st.pixel.shape[1]
@@ -973,9 +1044,8 @@ def render_image_persistent(
                 while k >= mk:
                     st = p_bounce_multi_step(
                         scene, cam_x, st, salt, jnp.int32(step + 1),
-                        cfg=cfg, hit_fn=hit_fn, width=w, height=h,
-                        spp=spp, lanes_per_pixel=kpp_s, n_frames=n_frames,
-                        k=mk)
+                        dims_s, cfg=scfg, hit_fn=hit_fn,
+                        n_frames=n_frames, k=mk)
                     step += mk
                     k -= mk
             for _ in range(k):
@@ -986,18 +1056,15 @@ def render_image_persistent(
                     st = _bin_sort(st, box=bin_box, key_variant=_BIN_KEY)
                 if fuse:
                     st = p_bounce_step(scene, cam_x, st, salt,
-                                       jnp.int32(step),
-                                       cfg=cfg, hit_fn=hit_fn, width=w,
-                                       height=h, spp=spp,
-                                       lanes_per_pixel=kpp_s,
+                                       jnp.int32(step), dims_s,
+                                       cfg=scfg, hit_fn=hit_fn,
                                        n_frames=n_frames)
                 elif fused_bounce is not None:
                     # The whole bounce as ONE Mosaic program (state rows
                     # cross HBM once; kernels/bounce_pallas.py).
                     st = fused_bounce(
                         hit_coeffs_v7, cam_m, st, salt, jnp.int32(step),
-                        cfg=cfg, width=w, height=h, spp=spp,
-                        lanes_per_pixel=kpp_s,
+                        dims_s, cfg=scfg,
                         interpret=cfg.pallas_interpret)
                 else:
                     # Two dispatches per bounce: the Pallas hit alone
@@ -1010,7 +1077,7 @@ def render_image_persistent(
                             hit_coeffs_v7, st, min_t=cfg.min_hit_t,
                             interpret=cfg.pallas_interpret)
                     else:
-                        rec, st = p_hit_step(scene, st, cfg=cfg,
+                        rec, st = p_hit_step(scene, st, cfg=scfg,
                                              hit_fn=hit_fn)
                     st = scat_step(scene, st, rec, salt, jnp.int32(step))
             return st, step
@@ -1025,12 +1092,13 @@ def render_image_persistent(
         of host-checked multi-bounce dispatches.  Kills the ~3 ms
         dispatch floor and every remaining ~27 ms alive-check sync in
         the tail."""
+        dims_s = make_dims(cfg, w, h, spp, kpp_s)
+
         def finish(st, step, max_steps_):
             return p_render_oneshot(
-                scene, cam_x, st, salt, jnp.int32(step), cfg=cfg,
-                hit_fn=hit_fn, width=w, height=h, spp=spp,
-                lanes_per_pixel=kpp_s, n_frames=n_frames,
-                max_steps=max_steps_)
+                scene, cam_x, st, salt, jnp.int32(step), dims_s,
+                jnp.int32(max_steps_), cfg=scfg, hit_fn=hit_fn,
+                n_frames=n_frames)
         return finish
 
     def make_staged(salt, kpp_s):
@@ -1041,6 +1109,8 @@ def render_image_persistent(
         k_new <= cur//2 first holds), then the host does that one
         compact+split and re-enters.  No periodic host checks, no
         stale-count overshoot, no fixed-width dead-lane sweeps."""
+        dims_s = make_dims(cfg, w, h, spp, kpp_s)
+
         def staged(st, accum, step, max_steps_):
             while step < max_steps_:
                 cur = st.pixel.shape[1]
@@ -1048,10 +1118,9 @@ def render_image_persistent(
                     # Can't usefully halve further: finish the chunk in
                     # one while_loop (the plain one-shot form).
                     st = p_render_oneshot(
-                        scene, cam_x, st, salt, jnp.int32(step), cfg=cfg,
-                        hit_fn=hit_fn, width=w, height=h, spp=spp,
-                        lanes_per_pixel=kpp_s, n_frames=n_frames,
-                        max_steps=max_steps_)
+                        scene, cam_x, st, salt, jnp.int32(step), dims_s,
+                        jnp.int32(max_steps_), cfg=scfg, hit_fn=hit_fn,
+                        n_frames=n_frames)
                     break
                 # Floor-pow2 of cur//2: guarantees _next_pow2(alive) <=
                 # cur//2 at exit, i.e. the same halving the host loop
@@ -1059,9 +1128,8 @@ def render_image_persistent(
                 target = 1 << (max(cur // 2, 1).bit_length() - 1)
                 st, stp, cnt = p_render_until(
                     scene, cam_x, st, salt, jnp.int32(step),
-                    jnp.int32(target), cfg=cfg, hit_fn=hit_fn, width=w,
-                    height=h, spp=spp, lanes_per_pixel=kpp_s,
-                    n_frames=n_frames, max_steps=max_steps_)
+                    jnp.int32(target), dims_s, jnp.int32(max_steps_),
+                    cfg=scfg, hit_fn=hit_fn, n_frames=n_frames)
                 step = int(stp)
                 n_alive = int(cnt)
                 if n_alive == 0 or step >= max_steps_:
@@ -1183,9 +1251,31 @@ def render_image_persistent(
             s_quota=s_quota,
         )
 
+    def padded_pixels(y0, n_real, pad):
+        """Chunk pixel-lane ids, identity order, plus ``pad`` dead filler
+        lanes REPEATING the last id (ascending order survives, so the
+        tail_sorted flush invariant holds).  Fillers carry zero quota and
+        never respawn; the first compaction drops them."""
+        base = y0 * w * kpp
+        ids = jnp.arange(base, base + n_real, dtype=jnp.int32)
+        if pad:
+            ids = jnp.concatenate(
+                [ids, jnp.full((pad,), base + n_real - 1, jnp.int32)])
+        return ids[None]
+
     for y0 in range(resume_y0, h_virt, rows):
         take = min(rows, h_virt - y0)
-        n = take * w * kpp
+        n_real = take * w * kpp
+        # Pad the chunk onto the COMPACTION SIZE GRID (_grid_size): every
+        # chunk of every image size then starts at a ladder size the
+        # compile cache already owns, instead of compiling step programs
+        # for a per-config lane count.  The filler lanes (< one quantum,
+        # <= 1.6% at production chunks) are dead on arrival and dropped
+        # by the first compaction; real lanes keep their positions, so
+        # draws are unchanged.  Ladder sizes are 2048-multiples above
+        # 2048, which is also what the v7 kernel's block fit wants.
+        n = _grid_size(n_real, min_lanes, cfg.compact_quantum)
+        pad = n - n_real
         salt = np.uint32((seed * 0x9E3779B1 ^ (y0 + 1) * 0x85EBCA77)
                          & 0xFFFFFFFF)
         if adaptive:
@@ -1193,26 +1283,32 @@ def render_image_persistent(
             # is dead after max_depth+1 bounces, so the phase runs a
             # STATIC step count — zero device syncs — and, uncompacted,
             # the final depth row is the per-sample path length in
-            # pixel-identity order (reshape-sum, no gather).
+            # pixel-identity order (reshape-sum, no gather; filler lanes
+            # sit past n_real and are sliced off).
+            sq1 = jnp.ones((1, n), jnp.int32)
+            if pad:
+                sq1 = sq1.at[:, n_real:].set(0)
             st = fresh_state(
                 n,
-                pixel=jnp.arange(y0 * w * kpp, (y0 + take) * w * kpp,
-                                 dtype=jnp.int32)[None],
+                pixel=padded_pixels(y0, n_real, pad),
                 s_base=(jnp.arange(n, dtype=jnp.int32) % kpp)[None],
-                s_quota=jnp.ones((1, n), jnp.int32),
+                s_quota=sq1,
             )
-            st = p_respawn_step(cam_x, st, salt, jnp.int32(0), cfg=cfg,
-                                width=w, height=h, spp=spp,
-                                lanes_per_pixel=kpp, n_frames=n_frames)
+            st = p_respawn_step(cam_x, st, salt, jnp.int32(0),
+                                make_dims(cfg, w, h, spp, kpp), cfg=scfg,
+                                n_frames=n_frames)
             do_steps = make_steps(salt, kpp)
             st, _ = do_steps(st, cfg.max_depth + 1, 0)
-            est = jnp.sum(st.depth[0].reshape(take * w, kpp), axis=1)
+            est = jnp.sum(st.depth[0, :n_real].reshape(take * w, kpp),
+                          axis=1)
             if cfg.adaptive_pool == "on":
                 est = _pool_est(est, take, w)
             accum = accum.at[:, st.pixel[0] // kpp].add(st.radiance_sum)
 
             # Phase 2: remaining samples on difficulty-proportional
-            # lanes (same lane budget, raw-pixel-id encoding).
+            # lanes (same lane budget incl. the filler lanes — the
+            # allocator fills ALL n lanes with real work, raw-pixel-id
+            # encoding).
             pix2, s_base2, s_quota2 = alloc_lanes(
                 est, n_lanes=n, spp_done=kpp, spp=spp,
                 kpp_max=cfg.kpp_max)
@@ -1220,9 +1316,9 @@ def render_image_persistent(
                               & 0xFFFFFFFF)
             st = fresh_state(n, pixel=pix2 + y0 * w, s_base=s_base2,
                              s_quota=s_quota2)
-            st = p_respawn_step(cam_x, st, salt2, jnp.int32(0), cfg=cfg,
-                                width=w, height=h, spp=spp,
-                                lanes_per_pixel=1, n_frames=n_frames)
+            st = p_respawn_step(cam_x, st, salt2, jnp.int32(0),
+                                make_dims(cfg, w, h, spp, 1), cfg=scfg,
+                                n_frames=n_frames)
             spp_rest = spp - kpp
             st, accum = run_loop(
                 st, accum, make_steps(salt2, 1), kpp_s=1,
@@ -1236,16 +1332,18 @@ def render_image_persistent(
                            if one_shot == "staged" else None))
             flush_div = 1
         else:
+            sq = jnp.full((1, n), quota, jnp.int32)
+            if pad:
+                sq = sq.at[:, n_real:].set(0)
             st = fresh_state(
                 n,
-                pixel=jnp.arange(y0 * w * kpp, (y0 + take) * w * kpp,
-                                 dtype=jnp.int32)[None],
+                pixel=padded_pixels(y0, n_real, pad),
                 s_base=(jnp.arange(n, dtype=jnp.int32) % kpp * quota)[None],
-                s_quota=jnp.full((1, n), quota, jnp.int32),
+                s_quota=sq,
             )
-            st = p_respawn_step(cam_x, st, salt, jnp.int32(0), cfg=cfg,
-                                width=w, height=h, spp=spp,
-                                lanes_per_pixel=kpp, n_frames=n_frames)
+            st = p_respawn_step(cam_x, st, salt, jnp.int32(0),
+                                make_dims(cfg, w, h, spp, kpp), cfg=scfg,
+                                n_frames=n_frames)
             # One-shot regime: at/below the compaction floor the host
             # loop only ever decides termination, so the whole chunk
             # runs as one device-side while_loop.  Above the floor the
@@ -1255,10 +1353,9 @@ def render_image_persistent(
                 st, accum = make_staged(salt, kpp)(st, accum, 0, max_steps)
             elif one_shot in ("on", "chunk") and n <= _COMPACT_FLOOR:
                 st = p_render_oneshot(
-                    scene, cam_x, st, salt, jnp.int32(0), cfg=cfg,
-                    hit_fn=hit_fn, width=w, height=h, spp=spp,
-                    lanes_per_pixel=kpp, n_frames=n_frames,
-                    max_steps=max_steps)
+                    scene, cam_x, st, salt, jnp.int32(0),
+                    make_dims(cfg, w, h, spp, kpp), jnp.int32(max_steps),
+                    cfg=scfg, hit_fn=hit_fn, n_frames=n_frames)
             else:
                 # Pixel order starts as identity; receiver
                 # redistribution and ray binning break it (and with it

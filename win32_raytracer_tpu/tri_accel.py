@@ -139,9 +139,16 @@ def _median_split_order(cen: np.ndarray, st: int) -> np.ndarray:
     return out
 
 
+# tile_rows default: fewer, fatter tiles won every interleaved rep at the
+# config-4 shape (tpu_jobs 593b: St=128 1.74-1.81 s vs St=64 2.01-2.06;
+# St=256 already past the culling-coarseness peak).  Exported so the
+# dispatch layer's tri_sub_gate auto rule can see the effective height.
+DEFAULT_TILE_ROWS = 128
+
+
 def build_tri_grid(
     scene: TriangleScene,
-    tile_rows: int = 128,
+    tile_rows: int = DEFAULT_TILE_ROWS,
     min_tris: int = 512,
     partition: str = "morton",
 ) -> Optional[TriGridScene]:
