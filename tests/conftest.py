@@ -18,8 +18,11 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
+    # 16 virtual devices: most tests run 8-device meshes (devices[:8] are
+    # the same objects either way), and the 16-device mesh test needs the
+    # headroom.
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        flags + " --xla_force_host_platform_device_count=16"
     ).strip()
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",

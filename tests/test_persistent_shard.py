@@ -39,6 +39,65 @@ def test_sharded_matches_single_device():
     assert diff.mean() < 4.0, diff.mean()
 
 
+def test_sharded_non_divisible_height_matches_single_device():
+    """Heights with H % (block_rows * D) != 0 (here 37 % 64) exercise the
+    wrap-padded short last block across shards — sample accounting and
+    the ladder padding must survive it (VERDICT r3 item 7)."""
+    scene = make_test_scene()
+    cfg = RenderConfig(width=48, height=37, samples=16, seed=9,
+                       backend="jnp")
+    mesh = make_mesh(8)
+    img_s = np.asarray(tonemap(render_image_persistent_sharded(
+        scene, None, cfg, mesh)))
+    img_1 = np.asarray(tonemap(render_image_persistent(scene, None, cfg)))
+    assert img_s.shape == img_1.shape == (37, 48, 3)
+    diff = np.abs(img_s.astype(float) - img_1.astype(float))
+    assert diff.mean() < 4.0, diff.mean()
+
+
+def test_sharded_16_device_mesh():
+    """A 16-device mesh (twice the usual virtual mesh) renders and
+    matches the single-chip driver — shard-count generality beyond the
+    8-wide default (VERDICT r3 item 7)."""
+    if jax.device_count() < 16:
+        pytest.skip("needs 16 virtual devices")
+    scene = make_test_scene()
+    cfg = RenderConfig(width=48, height=32, samples=16, seed=7,
+                       backend="jnp")
+    mesh = make_mesh(16)
+    img_s = np.asarray(tonemap(render_image_persistent_sharded(
+        scene, None, cfg, mesh)))
+    img_1 = np.asarray(tonemap(render_image_persistent(scene, None, cfg)))
+    diff = np.abs(img_s.astype(float) - img_1.astype(float))
+    assert diff.mean() < 4.0, diff.mean()
+
+
+def test_sharded_above_floor_compaction_path(monkeypatch):
+    """Shrink the compaction floor so a CPU-sized sharded render runs
+    the ABOVE-floor quantized compaction + below-floor tail path (the
+    code the production +38%-overhead investigation lives in), not just
+    the whole-chunk finisher."""
+    import win32_raytracer_tpu.persistent as P
+    import win32_raytracer_tpu.parallel.persistent_shard as PS
+
+    # Both modules: _grid_size reads persistent's global, the sharded
+    # driver's per-shard floor reads its from-import binding.
+    monkeypatch.setattr(P, "_COMPACT_FLOOR", 2048)
+    monkeypatch.setattr(P, "_COMPACT_QUANTUM", 512)
+    monkeypatch.setattr(PS, "_COMPACT_FLOOR", 2048)
+    scene = make_test_scene()
+    # 64x64 kpp4 = 2048 lanes/shard on 8 devices; per-shard floor
+    # max(2048//8, 1024) = 1024 < 2048, so compactions fire.
+    cfg = RenderConfig(width=64, height=64, samples=16, seed=12,
+                       backend="jnp", one_shot="off")
+    mesh = make_mesh(8)
+    img_s = np.asarray(tonemap(render_image_persistent_sharded(
+        scene, None, cfg, mesh)))
+    img_1 = np.asarray(tonemap(render_image_persistent(scene, None, cfg)))
+    diff = np.abs(img_s.astype(float) - img_1.astype(float))
+    assert diff.mean() < 4.0, diff.mean()
+
+
 def test_sharded_staged_matches_host_loop():
     """one_shot='staged' on the mesh: per-shard device-side until-loops
     with lockstep compact+split between stages must statistically match
