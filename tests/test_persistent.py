@@ -480,7 +480,6 @@ def test_one_shot_tail_finisher_above_floor(monkeypatch):
     import win32_raytracer_tpu.persistent as P
 
     monkeypatch.setattr(P, "_COMPACT_FLOOR", 4096)
-    monkeypatch.setattr(P, "_COMPACT_QUANTUM", 2048)
     scene = make_test_scene()
     cfg = RenderConfig(width=64, height=32, samples=16, seed=6,
                        backend="jnp")
@@ -506,7 +505,6 @@ def test_staged_tail_above_floor(monkeypatch):
     import win32_raytracer_tpu.persistent as P
 
     monkeypatch.setattr(P, "_COMPACT_FLOOR", 4096)
-    monkeypatch.setattr(P, "_COMPACT_QUANTUM", 2048)
     scene = make_test_scene()
     cfg = RenderConfig(width=64, height=32, samples=16, seed=6,
                        backend="jnp")
@@ -583,17 +581,38 @@ def test_compact_quantum_grid_and_statistical_match(monkeypatch):
     q = 1 << 18
     above = P._COMPACT_FLOOR + 1
     assert P._grid_size(above, 1024, q) % q == 0
-    assert P._grid_size(above, 1024, 0) % (1 << 16) == 0
+    # Auto (quantum=0) = the seed-independent mantissa grid.
+    assert P._grid_size(above, 1024, 0) == P._mantissa_grid(above)
     # Below the floor the quantum is inert (pow2 sizing).
     assert P._grid_size(1000, 256, q) == P._grid_size(1000, 256, 0)
+
+    # Mantissa grid properties: covers n, lands on the fixed 16-per-
+    # octave size set, wastes < 1/16, and is monotone — so the rung-size
+    # set visited by ANY render is a subset of a fixed enumerable set
+    # (the compile-surface guarantee).
+    import random
+
+    rnd = random.Random(0)
+    grid_pts = sorted({P._mantissa_grid(n)
+                       for n in range(1, 1 << 12)})
+    for _ in range(200):
+        n = rnd.randrange(1, 1 << 26)
+        g = P._mantissa_grid(n)
+        assert g >= n and g < n + max(n // 16, 1) + 1
+        scale = 1 << max((n - 1).bit_length() - 5, 0)
+        assert g % scale == 0
+    # Per-octave count: octave [2^20, 2^21) contains exactly 16 sizes.
+    pts = {P._mantissa_grid(n) for n in range((1 << 20) + 1, (1 << 21) + 1)}
+    assert len(pts) == 16, sorted(pts)
+    assert grid_pts == sorted(grid_pts)
 
     # The render half must actually exercise the ABOVE-floor quantized
     # path: a 64x32@16 kpp-4 chunk is 8192 lanes, far below the real
     # 512k floor (where the quantum is inert and both renders would be
-    # identical — vacuous).  Shrink the floor and the auto quantum so
-    # both arms compact on their (different) quantized ladders.
+    # identical — vacuous).  Shrink the floor so both arms compact on
+    # their (different) ladders: auto (mantissa, ~cur/16 granularity)
+    # vs an explicit coarse absolute quantum.
     monkeypatch.setattr(P, "_COMPACT_FLOOR", 2048)
-    monkeypatch.setattr(P, "_COMPACT_QUANTUM", 512)
     scene = make_test_scene()
     cfg = RenderConfig(width=64, height=32, samples=16, seed=11,
                        backend="jnp", one_shot="off")

@@ -83,7 +83,6 @@ def test_sharded_above_floor_compaction_path(monkeypatch):
     # Both modules: _grid_size reads persistent's global, the sharded
     # driver's per-shard floor reads its from-import binding.
     monkeypatch.setattr(P, "_COMPACT_FLOOR", 2048)
-    monkeypatch.setattr(P, "_COMPACT_QUANTUM", 512)
     monkeypatch.setattr(PS, "_COMPACT_FLOOR", 2048)
     scene = make_test_scene()
     # 64x64 kpp4 = 2048 lanes/shard on 8 devices; per-shard floor

@@ -262,15 +262,17 @@ class RenderConfig:
     # sharded driver's +38% small-batch-tail residual (tpu_jobs 575)
     # is the motivating regime.  0 = auto (currently 4).
     multi_k: int = 0
-    # Compaction size grid quantum (persistent scheduler): above-floor
-    # compactions round the live-lane count up to a multiple of this.
-    # Finer = tighter batches (64k beat 256k by ~4% at the headline,
-    # tpu_jobs 550) but a proportionally larger COMPILE SURFACE: every
-    # distinct batch size compiles its own step programs, and a
-    # never-cached 4K@1000 render's ~64-size ladder measured ~3 h of
-    # first-time remote compiles (tpu_jobs 592).  Coarsening to 256k
-    # cuts that surface ~4x for ~4% steady-state cost — the right
-    # trade for one-off huge renders on a cold cache.  0 = auto (64k).
+    # Compaction size grid quantum (persistent scheduler): >0 rounds
+    # above-floor compactions up to a multiple of this ABSOLUTE quantum
+    # (the pre-round-4 behavior; 64k beat 256k by ~4% at the headline,
+    # tpu_jobs 550, but makes rung sizes alive-count-dependent — every
+    # new seed/config compiles never-seen step programs, the warm-up
+    # surface that blew BENCH_r03's 1220 s and two config-3 remeasures,
+    # tpu_jobs 592/598).  0 = auto: the seed-independent RELATIVE
+    # (mantissa) grid — 16 sizes per power-of-two octave, a fixed
+    # enumerable rung set shared by all seeds/configs/image shapes
+    # (persistent._mantissa_grid), ~2% more padding than 64k near a 4M
+    # chunk top and 64k-equivalent by the 1M rung.
     compact_quantum: int = 0
     # Persistent scheduler: replica lanes per pixel (samples split across
     # K lanes with quota spp/K each — more parallelism for hard pixels,

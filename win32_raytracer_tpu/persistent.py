@@ -457,16 +457,19 @@ def _resolve_kpp(cfg: RenderConfig, spp: int) -> int:
     return kpp
 
 
-# Compaction size grid: multiples of 64k above the dispatch floor, powers
-# of two below.  Shapes are few (each compiles its own step programs, cached
-# persistently) yet fine enough that a compaction captures most of the
-# alive-fraction drop — pow2 halving left the headline render grinding 70
-# full-size steps on a ~50%-dead batch (~1.9 s of dead-lane sweeps).
-# Quantum sweep at the headline (tpu_jobs 550, interleaved, 3 reps each):
-# 64k 2.08/2.10/2.15 s, 128k 2.09/2.09/2.17, 256k 2.16/2.16/2.19 — the
-# finer grid beats 256k in every rep (~4%); the extra program shapes are
-# one-time disk-cached compiles.
-_COMPACT_QUANTUM = 1 << 16   # 64k lanes
+# Compaction size grid: relative (mantissa) grid above the dispatch
+# floor — 16 sizes per power-of-two octave (_mantissa_grid below), powers
+# of two below the floor.  Fine enough that a compaction captures most of
+# the alive-fraction drop — pow2 halving left the headline render
+# grinding 70 full-size steps on a ~50%-dead batch (~1.9 s of dead-lane
+# sweeps) — while keeping the rung-size set FIXED and seed-independent
+# (the compile-surface rationale is on _mantissa_grid).  The earlier
+# absolute-quantum sweep (tpu_jobs 550: 64k 2.08/2.10/2.15 s, 128k
+# 2.09/2.09/2.17, 256k 2.16/2.16/2.19 interleaved at the headline)
+# brackets the mantissa grid's cost: near the 4M chunk top it matches the
+# 256k quantum (~4% vs 64k), refining to 64k-equivalent by the 1M rung.
+_GRID_STEPS_LOG2 = 4         # 16 grid sizes per octave
+_COMPACT_QUANTUM = 1 << 16   # legacy absolute quantum (cfg.compact_quantum>0)
 # Compact when the quantized live-lane batch would shrink below this
 # fraction of the current batch (larger = compact more eagerly).  Round 1
 # measured 0.55 best when a compaction cost ~0.5 s (perm + 11 gathers);
@@ -510,10 +513,39 @@ def _multisort_state(st: PathState, key: jnp.ndarray, skip=()):
 _SORT_PIX_LIM = np.int32(1 << 30)
 
 
+def _mantissa_grid(n: int, steps_log2: int = _GRID_STEPS_LOG2) -> int:
+    """Round ``n`` UP onto the seed-independent compaction size grid:
+    2**steps_log2 sizes per power-of-two octave (granularity =
+    octave/2**steps_log2, so padding waste < 1/2**steps_log2, ~3% mean
+    at the default 16 steps).
+
+    Why not a fixed absolute quantum (the pre-round-4 64k grid): the
+    rung sizes a render visits are then ceil(alive/q)*q for runtime
+    alive counts, i.e. DATA-DEPENDENT — every new seed/config walks a
+    few never-seen sizes, each compiling its own copy of the step
+    programs (~20-25 s over the remote runtime).  That is exactly the
+    warm-up surface that blew the round-3 driver bench (BENCH_r03:
+    1220 s warm-up) and killed two config-3 remeasures.  A relative
+    (mantissa) grid has a FIXED, enumerable size set — ~16 sizes per
+    octave, every octave, shared by all seeds, configs and (post
+    traced-dims, d6da796) image shapes — so the whole ladder compiles
+    once per process lifetime ever, and stays disk-cached."""
+    if n <= 0:
+        return 0
+    # Octave (2^(bl-1), 2^bl] has width 2^(bl-1); granularity
+    # width / 2^steps_log2 gives exactly 2^steps_log2 sizes per octave.
+    scale = 1 << max((n - 1).bit_length() - 1 - steps_log2, 0)
+    return ((n + scale - 1) // scale) * scale
+
+
 def _grid_size(n_alive: int, min_lanes: int, quantum: int = 0) -> int:
     if n_alive >= _COMPACT_FLOOR:
-        q = quantum or _COMPACT_QUANTUM
-        return ((n_alive + q - 1) // q) * q
+        if quantum:
+            return ((n_alive + quantum - 1) // quantum) * quantum
+        # min_lanes clamp matters only in shrunken-floor test regimes
+        # (production floors keep above-floor sizes >= 512k >> min_lanes,
+        # and mantissa scale >= 2^14 there keeps them lane-aligned).
+        return max(min_lanes, _mantissa_grid(n_alive))
     return max(min_lanes, _next_pow2(n_alive))
 
 
