@@ -614,11 +614,20 @@ def test_compact_quantum_grid_and_statistical_match(monkeypatch):
     # vs an explicit coarse absolute quantum.
     monkeypatch.setattr(P, "_COMPACT_FLOOR", 2048)
     scene = make_test_scene()
-    cfg = RenderConfig(width=64, height=32, samples=16, seed=11,
+    # Divergence via the chunk-START grid (timing-free): 33x32 @ kpp 4 is
+    # 4224 real lanes, above the shrunken floor and on NEITHER grid, so
+    # the mantissa arm pads the chunk to 4352 and the 4096-quantum arm to
+    # 8192 — different widths from step 0, hence different draws.  (The
+    # mid-render ladder itself is timing-dependent at toy scale: uniform
+    # quotas make the alive count cliff past the compaction window
+    # between checks, which made earlier formulations vacuous.)
+    cfg = RenderConfig(width=33, height=32, samples=16, seed=11,
                        backend="jnp", one_shot="off")
+    assert P._grid_size(33 * 32 * 4, 1 << 12, 0) != \
+        P._grid_size(33 * 32 * 4, 1 << 12, 4096)
     base = np.asarray(P.render_image_persistent(scene, None, cfg))
     coarse = np.asarray(P.render_image_persistent(
-        scene, None, cfg.replace(compact_quantum=2048)))
+        scene, None, cfg.replace(compact_quantum=4096)))
     assert base.shape == coarse.shape
     # The coarser ladder must change compaction sizes (else this test is
     # vacuous again): different sizes re-key lane draws -> different

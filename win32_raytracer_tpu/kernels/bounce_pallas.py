@@ -165,3 +165,15 @@ def p_bounce_fused(coeffs, cam, st, salt, step_i, dims, *,
     return st._replace(origin=o, direction=d, time=tm, throughput=thr,
                        radiance_sum=rad, depth=dep, sample=smp,
                        path_alive=alv > 0)
+
+
+# Jitted alias for the driver: the wrapper above runs its per-call
+# packing (pack_sp concat, camera pack, bool->i32 casts, pad slices) as
+# EAGER ops — each a separate dispatch over the remote runtime, several
+# per bounce step.  Under one jit they fold into the step program.
+# Evidence: tpu_jobs 612 chained the same Mosaic body through this eager
+# wrapper (31.0 ms/bounce at 4M lanes) and through the sharded driver's
+# fully-jitted step (22.1 ms) — a ~30% per-step wrapper tax.
+p_bounce_fused_jit = functools.partial(
+    jax.jit, static_argnames=("cfg", "ray_block", "interpret"))(
+        p_bounce_fused)

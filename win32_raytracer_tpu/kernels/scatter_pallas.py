@@ -498,3 +498,10 @@ def scatter_respawn_pallas(scene, cam, st, rec, salt, step_i, dims, *,
     if pad:
         out = PathState(*(x[:, :n] for x in out))
     return out
+
+
+# Jitted alias for the driver (same rationale as bounce_pallas.
+# p_bounce_fused_jit): folds the eager packing/pad ops into the program.
+scatter_respawn_pallas_jit = functools.partial(
+    jax.jit, static_argnames=("cfg", "n_frames", "ray_block",
+                              "interpret"))(scatter_respawn_pallas)

@@ -983,8 +983,8 @@ def render_image_persistent(
             "exact-division range (height*width*n_frames < 2^24; got "
             f"{h_virt * w})")
     if hit_coeffs_v7 is not None and fuse_wanted:
-        from .kernels.bounce_pallas import p_bounce_fused
-        fused_bounce = p_bounce_fused
+        from .kernels.bounce_pallas import p_bounce_fused_jit
+        fused_bounce = p_bounce_fused_jit
     elif cfg.fuse_bounce == "on":
         # Mirror the accel='grid' contract: an explicit request that
         # cannot be honored raises instead of silently unfusing.
@@ -1048,7 +1048,8 @@ def render_image_persistent(
         encoding (kpp_s: pixel-lane id stride; 1 = raw pixel ids)."""
         dims_s = make_dims(cfg, w, h, spp, kpp_s)
         if use_pallas_scatter:
-            from .kernels.scatter_pallas import scatter_respawn_pallas
+            from .kernels.scatter_pallas import (
+                scatter_respawn_pallas_jit as scatter_respawn_pallas)
 
             def scat_step(scene_, st_, rec_, salt_, step_i_):
                 return scatter_respawn_pallas(
