@@ -158,3 +158,24 @@ def test_scatter_pallas_render_statistics(setup):
     assert np.isfinite(img_p).all()
     diff = np.abs(img_j - img_p)
     assert diff.mean() < 1e-4, diff.mean()  # bit-identical draws
+
+
+def test_scatter_pallas_lean_bit_exact(setup):
+    """lean=True (strat/RR compiled out) must be BIT-identical to
+    lean=False when the dims encode strat off ((kx, ky) == (1, 1)) and
+    RR off (rr_start > max_depth) — the identities the flag relies on."""
+    from win32_raytracer_tpu.kernels.scatter_pallas import (
+        scatter_respawn_pallas,
+    )
+    scene, cam, cfg, st, rec, salt = setup
+    dims = make_dims(cfg, W, H, SPP, KPP)
+    assert not cfg.stratify and not cfg.russian_roulette
+    full = scatter_respawn_pallas(scene, cam, st, rec, salt, jnp.int32(3),
+                                  dims, cfg=step_cfg(cfg), ray_block=RB,
+                                  interpret=INTERPRET, lean=False)
+    ln = scatter_respawn_pallas(scene, cam, st, rec, salt, jnp.int32(3),
+                                dims, cfg=step_cfg(cfg), ray_block=RB,
+                                interpret=INTERPRET, lean=True)
+    for f in PathState._fields:
+        a, b = np.asarray(getattr(full, f)), np.asarray(getattr(ln, f))
+        np.testing.assert_array_equal(a, b, err_msg=f)

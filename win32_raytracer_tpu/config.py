@@ -250,7 +250,13 @@ class RenderConfig:
     # re-enters.  Keeps the finisher's zero-round-trip property between
     # events while fixing its measured loss (fixed-width dead-lane
     # sweeps, tpu_jobs 500/577); chunks that START below the floor
-    # stage from step 0.  Same conflicts as "on".
+    # stage from step 0.  Same conflicts as "on".  PRICED OUT as a
+    # default (tpu_jobs 602/613): each halving stage compiles its own
+    # while-program per stage size, and on the sharded driver ONE
+    # stage's compile exceeded 40 minutes — a multi-program compile
+    # ladder that a small steady-state delta can never repay
+    # (docs/perf_roadmap.md round-4 log).  Kept as an explicit
+    # experiment arm only.
     one_shot: str = "auto"  # "auto" | "on" | "off" | "staged"
     # Tail multi-bounce width: bounces per dispatched program once a
     # chunk is at/below the compaction floor (dispatch-bound regime —

@@ -43,7 +43,7 @@ def _bounce_kernel(
     dep_ref, smp_ref, pix_ref, alv_ref, sb_ref, sq_ref,
     oo_ref, od_ref, otm_ref, othr_ref, orad_ref,   # state out
     odep_ref, osmp_ref, oalv_ref,
-    *, cfg: RenderConfig, n_spheres,
+    *, cfg: RenderConfig, n_spheres, lean: bool = False,
 ):
     o = o_ref[:, :]
     d = d_ref[:, :]
@@ -63,7 +63,7 @@ def _bounce_kernel(
         drw, cam_ref, o, d, tm, thr, dep_ref[:, :], smp_ref[:, :],
         pix_ref[:, :], alive_hit, sb_ref[:, :], sq_ref[:, :],
         point, normal, mat_f.astype(jnp.int32), albedo, fuzz, ior,
-        cfg=cfg, **dims_scalars(sp_ref))
+        cfg=cfg, lean=lean, **dims_scalars(sp_ref))
 
     oo_ref[:, :] = out_o
     od_ref[:, :] = out_d
@@ -77,14 +77,15 @@ def _bounce_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "ray_block", "interpret"))
+    static_argnames=("cfg", "ray_block", "interpret", "lean"))
 def _bounce_raw(sp, mb, mc, attrs, cam_rows,
                 o, d, tm, thr, rad, dep, smp, pix, alv, sb, sq,
-                *, cfg, ray_block, interpret=False):
+                *, cfg, ray_block, interpret=False, lean=False):
     n = o.shape[1]
     s = attrs.shape[0]
     k = mb.shape[1]
-    kernel = functools.partial(_bounce_kernel, cfg=cfg, n_spheres=s)
+    kernel = functools.partial(_bounce_kernel, cfg=cfg, n_spheres=s,
+                               lean=lean)
 
     def rowspec(rows):
         return pl.BlockSpec((rows, ray_block), lambda i, sp_: (0, i),
@@ -126,7 +127,7 @@ def _bounce_raw(sp, mb, mc, attrs, cam_rows,
 def p_bounce_fused(coeffs, cam, st, salt, step_i, dims, *,
                    cfg: RenderConfig,
                    ray_block: int = DEFAULT_RAY_BLOCK_BOUNCE,
-                   interpret: bool = False):
+                   interpret: bool = False, lean: bool = False):
     """One full bounce (hit+sky+scatter+respawn) as a single Mosaic
     program.  Drop-in for (p_hit_sky_step; p_scatter_respawn_step) — the
     hit record is internal; ``dims`` is persistent.make_dims.  Batches
@@ -158,7 +159,7 @@ def p_bounce_fused(coeffs, cam, st, salt, step_i, dims, *,
         st_in.origin, st_in.direction, st_in.time, st_in.throughput,
         st_in.radiance_sum, st_in.depth, st_in.sample, st_in.pixel,
         st_in.path_alive.astype(jnp.int32), st_in.s_base, st_in.s_quota,
-        cfg=cfg, ray_block=rb, interpret=interpret)
+        cfg=cfg, ray_block=rb, interpret=interpret, lean=lean)
     if pad:
         (o, d, tm, thr, rad, dep, smp, alv) = (
             x[:, :n] for x in (o, d, tm, thr, rad, dep, smp, alv))
@@ -175,5 +176,5 @@ def p_bounce_fused(coeffs, cam, st, salt, step_i, dims, *,
 # wrapper (31.0 ms/bounce at 4M lanes) and through the sharded driver's
 # fully-jitted step (22.1 ms) — a ~30% per-step wrapper tax.
 p_bounce_fused_jit = functools.partial(
-    jax.jit, static_argnames=("cfg", "ray_block", "interpret"))(
+    jax.jit, static_argnames=("cfg", "ray_block", "interpret", "lean"))(
         p_bounce_fused)

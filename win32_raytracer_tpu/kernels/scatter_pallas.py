@@ -145,7 +145,7 @@ def scatter_respawn_values(
     drw, cam_ref, o, d, tm, thr, dep, smp, pix, alive, sb, sq,
     hp, nrm, mat_id_rows, alb, fuzz_rows, ior_rows,
     *, cfg: RenderConfig, width, height, kpp, kpp_shift, kx, ky,
-    max_depth, rr_start,
+    max_depth, rr_start, lean: bool = False,
 ):
     """The scatter + state-update + respawn math on VALUES (rows), shared
     by the standalone scatter kernel and the fused bounce kernel.
@@ -298,17 +298,21 @@ def scatter_respawn_values(
     depth = jnp.where(alive, dep_ref[0:1] + 1, dep_ref[0:1])
     alive2 = alive & sc_alive & (depth <= max_depth)
 
-    # Russian roulette, always traced (persistent._scatter_core):
-    # rr_start > max_depth leaves thr/alive bit-identical.
-    p = jnp.clip(jnp.maximum(jnp.maximum(thr_r, thr_g), thr_b),
-                 0.05, 1.0)
-    rr_on = alive2 & (depth >= rr_start)
-    survive = drw[4:5] < p
-    inv_p = 1.0 / p
-    thr_r = jnp.where(rr_on, thr_r * inv_p, thr_r)
-    thr_g = jnp.where(rr_on, thr_g * inv_p, thr_g)
-    thr_b = jnp.where(rr_on, thr_b * inv_p, thr_b)
-    alive2 = alive2 & (~rr_on | survive)
+    # Russian roulette, traced via rr_start (rr_start > max_depth leaves
+    # thr/alive bit-identical) — but compiled OUT entirely when the
+    # static ``lean`` flag says RR is off for this render: the identity
+    # is exact, so skipping the block changes nothing except the ~10
+    # VPU ops/lane/step it costs (and its unused draw row DCEs away).
+    if not lean:
+        p = jnp.clip(jnp.maximum(jnp.maximum(thr_r, thr_g), thr_b),
+                     0.05, 1.0)
+        rr_on = alive2 & (depth >= rr_start)
+        survive = drw[4:5] < p
+        inv_p = 1.0 / p
+        thr_r = jnp.where(rr_on, thr_r * inv_p, thr_r)
+        thr_g = jnp.where(rr_on, thr_g * inv_p, thr_g)
+        thr_b = jnp.where(rr_on, thr_b * inv_p, thr_b)
+        alive2 = alive2 & (~rr_on | survive)
 
     # --- respawn (persistent._respawn_core) ---
     sample = smp_ref[0:1]
@@ -316,13 +320,18 @@ def scatter_respawn_values(
     new_sample = jnp.where(start, sample + 1, sample)
 
     u_j, v_j = drw[5:6], drw[6:7]
-    # Stratified jitter, always traced: (kx, ky) == (1, 1) reproduces
-    # the plain jitter bit-exactly ((0 + u) * 1.0).
-    gs = sb_ref[0:1] + new_sample
-    gsq, sx_i = exact_divmod(gs, kx)
-    _, sy_i = exact_divmod(gsq, ky)
-    u_j = (sx_i.astype(jnp.float32) + u_j) * (1.0 / kx.astype(jnp.float32))
-    v_j = (sy_i.astype(jnp.float32) + v_j) * (1.0 / ky.astype(jnp.float32))
+    # Stratified jitter, traced via (kx, ky) — (1, 1) reproduces the
+    # plain jitter bit-exactly ((0 + u) * 1.0) — and compiled OUT (two
+    # exact_divmod chains, ~30 VPU ops/lane/step) when the static
+    # ``lean`` flag says stratification is off for this render.
+    if not lean:
+        gs = sb_ref[0:1] + new_sample
+        gsq, sx_i = exact_divmod(gs, kx)
+        _, sy_i = exact_divmod(gsq, ky)
+        u_j = ((sx_i.astype(jnp.float32) + u_j)
+               * (1.0 / kx.astype(jnp.float32)))
+        v_j = ((sy_i.astype(jnp.float32) + v_j)
+               * (1.0 / ky.astype(jnp.float32)))
     u = ((xpix.astype(jnp.float32) + u_j)
          * (1.0 / width.astype(jnp.float32)))
     v = (((height - ypix).astype(jnp.float32) + v_j)
@@ -382,7 +391,7 @@ def _scatter_respawn_kernel(
     alb_ref, fz_ref, ior_ref,                # [3|1|1, R] f32
     oo_ref, od_ref, otm_ref, othr_ref,       # outputs
     odep_ref, osmp_ref, oalv_ref,
-    *, cfg: RenderConfig,
+    *, cfg: RenderConfig, lean: bool = False,
 ):
     drw = kernel_draws(sp_ref, o_ref.shape[1])
     (out_o, out_d, out_tm, out_thr, out_dep, out_smp,
@@ -392,7 +401,7 @@ def _scatter_respawn_kernel(
         alv_ref[0:1] > 0, sb_ref[:, :], sq_ref[:, :],
         hp_ref[:, :], nrm_ref[:, :], mat_ref[:, :], alb_ref[:, :],
         fz_ref[:, :], ior_ref[:, :],
-        cfg=cfg, **dims_scalars(sp_ref))
+        cfg=cfg, lean=lean, **dims_scalars(sp_ref))
     oo_ref[:, :] = out_o
     od_ref[:, :] = out_d
     otm_ref[:, :] = out_tm
@@ -404,14 +413,15 @@ def _scatter_respawn_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "ray_block", "interpret"))
+    static_argnames=("cfg", "ray_block", "interpret", "lean"))
 def _scatter_respawn_pallas_raw(
     sp, cam_rows, o, d, tm, thr, dep, smp, pix, alv, sb, sq,
     hp, nrm, mat_id, alb, fz, ior,
-    *, cfg, ray_block, interpret=False):
+    *, cfg, ray_block, interpret=False, lean=False):
     n = o.shape[1]
     nb = n // ray_block
-    kernel = functools.partial(_scatter_respawn_kernel, cfg=cfg)
+    kernel = functools.partial(_scatter_respawn_kernel, cfg=cfg,
+                               lean=lean)
 
     def rowspec(rows):
         return pl.BlockSpec((rows, ray_block), lambda i, s: (0, i),
@@ -461,7 +471,7 @@ def pack_sp(salt, step_i, dims) -> jnp.ndarray:
 def scatter_respawn_pallas(scene, cam, st, rec, salt, step_i, dims, *,
                            cfg: RenderConfig, n_frames: int = 1,
                            ray_block: int = DEFAULT_RAY_BLOCK_SCAT,
-                           interpret: bool = False):
+                           interpret: bool = False, lean: bool = False):
     """Drop-in replacement for persistent.p_scatter_respawn_step.
 
     ``scene`` is accepted (and ignored) for signature parity, and so is
@@ -492,7 +502,7 @@ def scatter_respawn_pallas(scene, cam, st, rec, salt, step_i, dims, *,
         st.depth, st.sample, st.pixel, st.path_alive.astype(jnp.int32),
         st.s_base, st.s_quota,
         rec.point, rec.normal, rec.mat_id, rec.albedo, rec.fuzz, rec.ior,
-        cfg=cfg, ray_block=ray_block, interpret=interpret)
+        cfg=cfg, ray_block=ray_block, interpret=interpret, lean=lean)
     out = st._replace(origin=o, direction=d, time=tm, throughput=thr,
                       depth=dep, sample=smp, path_alive=alv > 0)
     if pad:
@@ -504,4 +514,4 @@ def scatter_respawn_pallas(scene, cam, st, rec, salt, step_i, dims, *,
 # p_bounce_fused_jit): folds the eager packing/pad ops into the program.
 scatter_respawn_pallas_jit = functools.partial(
     jax.jit, static_argnames=("cfg", "n_frames", "ray_block",
-                              "interpret"))(scatter_respawn_pallas)
+                              "interpret", "lean"))(scatter_respawn_pallas)

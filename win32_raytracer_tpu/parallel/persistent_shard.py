@@ -64,7 +64,8 @@ def _pick_ray_block(n_local: int, cap: int = 2048) -> int:
 @functools.lru_cache(maxsize=64)
 def _steps(mesh: Mesh, cfg: RenderConfig, hit_fn, v7_rb: int = 0,
            n_frames: int = 1, mk: int = _MULTI_K,
-           fuse_wanted: bool = True, pallas_scatter: bool = False):
+           fuse_wanted: bool = True, pallas_scatter: bool = False,
+           lean: bool = False):
     """Shard-mapped step programs for one (mesh, NORMALIZED config) —
     cached so jitted closures are reused across chunks, frames, seeds,
     and (since dims ride as a traced operand) image sizes and every
@@ -97,7 +98,8 @@ def _steps(mesh: Mesh, cfg: RenderConfig, hit_fn, v7_rb: int = 0,
 
         def bounce_fused(coeffs, scene, cam, st, salts, step_i, dims):
             return p_bounce_fused(coeffs, cam[1], st, salts[0], step_i,
-                                  dims, cfg=cfg, ray_block=v7_rb)
+                                  dims, cfg=cfg, ray_block=v7_rb,
+                                  lean=lean)
 
         bounce_sm = jax.jit(jax.shard_map(
             bounce_fused, mesh=mesh,
@@ -136,7 +138,7 @@ def _steps(mesh: Mesh, cfg: RenderConfig, hit_fn, v7_rb: int = 0,
             def scat_phase(scene, cam, st, rec, salts, step_i, dims):
                 return scatter_respawn_pallas(
                     scene, cam[1], st, rec, salts[0], step_i, dims,
-                    cfg=cfg, ray_block=v7_rb)
+                    cfg=cfg, ray_block=v7_rb, lean=lean)
         else:
             def scat_phase(scene, cam, st, rec, salts, step_i, dims):
                 salt = salts[0]
@@ -453,6 +455,9 @@ def render_image_persistent_sharded(
     # persistent.py): one compiled set per (mesh, lane count) serves
     # every image size, seed, and driver knob.
     scfg = step_cfg(cfg)
+    # Static lean flag (persistent.py rationale): strat/RR compiled out
+    # of the Mosaic kernels when this render cannot use them.
+    lean = not (cfg.stratify and spp > 1) and not cfg.russian_roulette
     mk = cfg.multi_k or _MULTI_K
     # Mosaic pixel-id decode range (persistent.py mosaic_dims_ok).
     mosaic_dims_ok = (h_virt * w < (1 << 24)
@@ -570,7 +575,7 @@ def render_image_persistent_sharded(
         encoding (kpp_s) and per-device salt set."""
         steps7 = _steps(mesh, scfg, hit_fn, n_frames=n_frames, mk=mk,
                         fuse_wanted=fuse_wanted,
-                        pallas_scatter=pallas_scatter)
+                        pallas_scatter=pallas_scatter, lean=lean)
         (bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm,
          finish_sm, until_sm) = steps7
         dims_s = make_dims(cfg, w, h, spp, kpp_s)
@@ -587,7 +592,8 @@ def render_image_persistent_sharded(
                     b7 = _steps(mesh, scfg, hit_fn, rb,
                                 n_frames=n_frames, mk=mk,
                                 fuse_wanted=fuse_wanted,
-                                pallas_scatter=pallas_scatter)[0]
+                                pallas_scatter=pallas_scatter,
+                                lean=lean)[0]
                     return functools.partial(b7, coeffs)
             return bounce_sm
 

@@ -926,6 +926,14 @@ def render_image_persistent(
     # seed, image dims, spp, kpp, max_depth, RR, stratify, and every
     # driver knob share one compiled program set per lane count.
     scfg = step_cfg(cfg)
+    # Static lean flag for the Mosaic kernels: when this render cannot
+    # stratify (off, or spp == 1) and cannot Russian-roulette, the
+    # kernels compile those blocks OUT instead of running their traced
+    # identity forms (~40 VPU ops/lane/step in the scatter half) —
+    # bit-exact by the (kx, ky) == (1, 1) / rr_start > max_depth
+    # identities.  Two values only, so the compile surface stays
+    # bounded (lazily compiled per variant actually used).
+    lean = not (cfg.stratify and spp > 1) and not cfg.russian_roulette
     # Mosaic kernels (fused bounce / pallas scatter) decode pixel ids
     # with exact f32 reciprocal division (exact_divmod) because Mosaic
     # cannot lower vector integer division by a traced scalar; that
@@ -1054,7 +1062,7 @@ def render_image_persistent(
             def scat_step(scene_, st_, rec_, salt_, step_i_):
                 return scatter_respawn_pallas(
                     scene_, cam_m, st_, rec_, salt_, step_i_, dims_s,
-                    cfg=scfg)
+                    cfg=scfg, lean=lean)
         else:
             def scat_step(scene_, st_, rec_, salt_, step_i_):
                 return p_scatter_respawn_step(
@@ -1097,7 +1105,7 @@ def render_image_persistent(
                     # cross HBM once; kernels/bounce_pallas.py).
                     st = fused_bounce(
                         hit_coeffs_v7, cam_m, st, salt, jnp.int32(step),
-                        dims_s, cfg=scfg,
+                        dims_s, cfg=scfg, lean=lean,
                         interpret=cfg.pallas_interpret)
                 else:
                     # Two dispatches per bounce: the Pallas hit alone
