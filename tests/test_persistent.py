@@ -646,3 +646,138 @@ def test_compact_quantum_negative_rejected():
                        compact_quantum=-1)
     with pytest.raises(ValueError, match="compact_quantum"):
         render_image_persistent(scene, None, cfg)
+
+
+def test_exact_divmod_any_exactness():
+    """_exact_divmod_any must floor-divmod exactly over its full
+    contract — x < 2^29, any d >= 1 (it replaced XLA's i32 ``//`` by
+    traced scalars in every step core; one wrong quotient misroutes a
+    lane's pixel forever)."""
+    import win32_raytracer_tpu.persistent as P
+
+    rnd = np.random.RandomState(7)
+    xs = np.concatenate([
+        rnd.randint(0, 1 << 29, size=2000),
+        np.array([0, 1, 2, (1 << 24) - 1, 1 << 24, (1 << 29) - 1]),
+    ]).astype(np.int64)
+    ds = np.concatenate([
+        np.arange(1, 40),
+        np.array([127, 128, 129, 130, 131, 1200, 3840, 4800,
+                  (1 << 20) + 7, (1 << 24) - 1]),
+        rnd.randint(1, 1 << 24, size=20).astype(np.int64),
+    ])
+    for d in ds:
+        k = xs // d
+        cand = np.unique(np.clip(np.concatenate(
+            [xs, k * d, k * d - 1, k * d + 1]), 0, (1 << 29) - 1))
+        q, r = P._exact_divmod_any(jnp.asarray(cand, jnp.int32),
+                                   jnp.int32(d))
+        np.testing.assert_array_equal(np.asarray(q), cand // d,
+                                      err_msg=f"q d={d}")
+        np.testing.assert_array_equal(np.asarray(r), cand % d,
+                                      err_msg=f"r d={d}")
+    # Small negatives must keep Python floor semantics: the stratify
+    # input gs = s_base + sample is -1 on not-yet-respawned lanes.
+    neg = np.array([-1, -2], np.int64)
+    for d in (1, 3, 7, 1200):
+        q, r = P._exact_divmod_any(jnp.asarray(neg, jnp.int32),
+                                   jnp.int32(d))
+        np.testing.assert_array_equal(np.asarray(q), neg // d)
+        np.testing.assert_array_equal(np.asarray(r), neg % d)
+
+
+def test_xla_bounce_lean_bit_exact():
+    """The XLA step cores' static ``lean`` flag (strat/RR compiled out)
+    must be bit-identical to the traced identity forms when the config
+    cannot stratify or Russian-roulette — same contract as the Mosaic
+    kernels' flag (test_scatter_pallas.py)."""
+    from win32_raytracer_tpu.kernels.dispatch import get_hit_fn_rows_accel
+    from win32_raytracer_tpu.persistent import (
+        PathState, _resolve_kpp, make_dims, p_bounce_step, p_respawn_step,
+        step_cfg)
+    from win32_raytracer_tpu.scene.camera import default_camera
+
+    scene = make_test_scene()
+    w, h, spp = 32, 16, 8
+    cfg = RenderConfig(width=w, height=h, samples=spp, seed=4,
+                       backend="jnp")
+    assert not cfg.stratify and not cfg.russian_roulette
+    scene, hit_fn = get_hit_fn_rows_accel(cfg, scene, None)
+    cam = default_camera(w, h)
+    kpp = _resolve_kpp(cfg, spp)
+    quota = spp // kpp
+    n = w * h * kpp
+    st0 = PathState(
+        origin=jnp.zeros((3, n), jnp.float32),
+        direction=jnp.zeros((3, n), jnp.float32).at[2, :].set(1.0),
+        time=jnp.zeros((1, n), jnp.float32),
+        throughput=jnp.ones((3, n), jnp.float32),
+        radiance_sum=jnp.zeros((3, n), jnp.float32),
+        depth=jnp.zeros((1, n), jnp.int32),
+        sample=jnp.full((1, n), -1, jnp.int32),
+        pixel=jnp.arange(n, dtype=jnp.int32)[None],
+        path_alive=jnp.zeros((1, n), bool),
+        s_base=(jnp.arange(n, dtype=jnp.int32) % kpp * quota)[None],
+        s_quota=jnp.full((1, n), quota, jnp.int32),
+    )
+    salt = np.uint32(0xFEED)
+    dims = make_dims(cfg, w, h, spp, kpp)
+    st0 = p_respawn_step(cam, st0, salt, jnp.int32(0), dims,
+                         cfg=step_cfg(cfg))
+    full = lean = st0
+    for step in range(1, 5):
+        full = p_bounce_step(scene, cam, full, salt, jnp.int32(step),
+                             dims, cfg=step_cfg(cfg), hit_fn=hit_fn,
+                             lean=False)
+        lean = p_bounce_step(scene, cam, lean, salt, jnp.int32(step),
+                             dims, cfg=step_cfg(cfg), hit_fn=hit_fn,
+                             lean=True)
+    for name, a, b in zip(PathState._fields, full, lean):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+def test_compact_shrink_knob(monkeypatch):
+    """compact_shrink: validation at the driver entry, and a lower
+    trigger must SKIP marginal above-floor compactions (fewer, bigger
+    events) while staying statistically equivalent.  The floor is
+    shrunk (as the quantum test does) so a toy render compacts above
+    it at all — at the real 512k floor this shape never would and the
+    test would be vacuous."""
+    import win32_raytracer_tpu.persistent as P
+
+    scene = make_test_scene()
+    bad = RenderConfig(width=16, height=8, samples=8, backend="jnp",
+                       compact_shrink=1.5)
+    with pytest.raises(ValueError, match="compact_shrink"):
+        render_image_persistent(scene, None, bad)
+
+    monkeypatch.setattr(P, "_COMPACT_FLOOR", 512)
+    events = []
+    orig_compact = P._compact
+
+    def counting(st, accum, **kw):
+        events.append((st.pixel.shape[1], kw["k_new"]))
+        return orig_compact(st, accum, **kw)
+
+    monkeypatch.setattr(P, "_compact", counting)
+    # 64x32@16 kpp-4 = 8192 lanes; the driver's min_lanes floor is 4096,
+    # so the one above-floor decision is 8192 -> 4096: a 0.50 drop the
+    # 0.90 trigger takes and a 0.35 trigger must skip.
+    cfg = RenderConfig(width=64, height=32, samples=16, seed=11,
+                       backend="jnp", one_shot="off")
+    base = np.asarray(render_image_persistent(scene, None, cfg))
+    ev_base = [e for e in events if e[0] > 512]
+    events.clear()
+    low = np.asarray(render_image_persistent(
+        scene, None, cfg.replace(compact_shrink=0.35)))
+    ev_low = [e for e in events if e[0] > 512]
+    # The 0.90 trigger compacts above the shrunken floor; 0.35 must
+    # fire strictly less often there (skipping the marginal events).
+    assert ev_base, "no above-floor compaction -> vacuous test shape"
+    assert len(ev_low) < len(ev_base), (ev_base, ev_low)
+    for cur, k_new in ev_low:
+        assert k_new <= int(cur * 0.35)
+    assert base.shape == low.shape
+    d = np.abs(np.sqrt(np.clip(base, 0, 1)) - np.sqrt(np.clip(low, 0, 1)))
+    assert d.mean() < 0.03, d.mean()

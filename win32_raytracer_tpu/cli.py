@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "first-time compile surface per 4x, ~4%% slower "
                         "steady state; 0 = auto 64k, "
                         "RenderConfig.compact_quantum)")
+    p.add_argument("--compact-shrink", type=float, default=0.0,
+                   help="above-floor compaction trigger: compact when "
+                        "the next grid size is <= this fraction of the "
+                        "current batch (persistent scheduler; lower = "
+                        "fewer, bigger compactions; 0 = auto, "
+                        "RenderConfig.compact_shrink)")
     p.add_argument("--tri-gather", default="auto",
                    choices=["auto", "fused", "deferred"],
                    help="triangle-grid winner-attribute path: in-kernel "
@@ -167,6 +173,7 @@ def main(argv=None) -> int:
         one_shot=args.one_shot,
         multi_k=args.multi_k,
         compact_quantum=args.compact_quantum,
+        compact_shrink=args.compact_shrink,
         tri_gather=args.tri_gather,
         russian_roulette=args.russian_roulette,
     )

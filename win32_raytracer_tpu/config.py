@@ -280,6 +280,17 @@ class RenderConfig:
     # (persistent._mantissa_grid), ~2% more padding than 64k near a 4M
     # chunk top and 64k-equivalent by the 1M rung.
     compact_quantum: int = 0
+    # Above-floor compaction trigger: compact when the next grid size is
+    # <= this fraction of the current batch.  The round-4 anatomy
+    # (tpu_jobs 990) priced each compaction event against the steps it
+    # saves: at the headline, the 0.90 trigger over-fires at mid rungs —
+    # e.g. 2.36M -> 1.64M costs a ~67 ms multisort to save ~35 ms of
+    # dead-lane sweeps before the NEXT compaction fires anyway — because
+    # the multisort costs ~6.7x a bounce's per-lane pass where the r3
+    # 64k-quantum ladder compacted less often.  Lower values skip the
+    # marginal events and take fewer, bigger drops.  0.0 = auto
+    # (tpu_jobs 991 sweep: see config note there); valid range (0, 1).
+    compact_shrink: float = 0.0
     # Persistent scheduler: replica lanes per pixel (samples split across
     # K lanes with quota spp/K each — more parallelism for hard pixels,
     # shorter sequential tails, bigger batches).  0 = auto (largest of

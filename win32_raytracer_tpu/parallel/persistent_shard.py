@@ -35,7 +35,8 @@ from .. import persistent as _P
 from ..persistent import (
     PathState, _COMPACT_FLOOR, _COMPACT_SHRINK, _MULTI_K, _bin_sort_core,
     _tri_rebin_active,
-    _compact_core, _derive_bin_box, _grid_size, _hit_core, _next_pow2,
+    _compact_core, _derive_bin_box, _exact_divmod_any, _grid_size,
+    _hit_core, _next_pow2,
     _resolve_kpp, _respawn_core, _scatter_core, _split, make_dims,
     step_cfg,
 )
@@ -143,9 +144,10 @@ def _steps(mesh: Mesh, cfg: RenderConfig, hit_fn, v7_rb: int = 0,
             def scat_phase(scene, cam, st, rec, salts, step_i, dims):
                 salt = salts[0]
                 st = _scatter_core(scene, st, rec, salt, step_i, dims,
-                                   cfg=cfg)
+                                   cfg=cfg, lean=lean)
                 return _respawn_core(cam[0], st, salt, step_i, dims,
-                                     cfg=cfg, n_frames=n_frames)
+                                     cfg=cfg, n_frames=n_frames,
+                                     lean=lean)
 
         scat_sm = jax.jit(jax.shard_map(
             scat_phase, mesh=mesh,
@@ -160,9 +162,9 @@ def _steps(mesh: Mesh, cfg: RenderConfig, hit_fn, v7_rb: int = 0,
             salt = salts[0]
             rec, st = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
             st = _scatter_core(scene, st, rec, salt, step_i, dims,
-                               cfg=cfg)
+                               cfg=cfg, lean=lean)
             return _respawn_core(cam[0], st, salt, step_i, dims, cfg=cfg,
-                                 n_frames=n_frames)
+                                 n_frames=n_frames, lean=lean)
 
         # check_vma=False: hit_fn may be a pallas kernel (TPU tail
         # fallback), whose ShapeDtypeStruct outputs carry no
@@ -182,9 +184,9 @@ def _steps(mesh: Mesh, cfg: RenderConfig, hit_fn, v7_rb: int = 0,
             step_i = step0 + i
             rec, st2 = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
             st2 = _scatter_core(scene, st2, rec, salt, step_i, dims,
-                                cfg=cfg)
+                                cfg=cfg, lean=lean)
             return _respawn_core(cam[0], st2, salt, step_i, dims, cfg=cfg,
-                                 n_frames=n_frames)
+                                 n_frames=n_frames, lean=lean)
 
         return jax.lax.fori_loop(0, mk, body, st)
 
@@ -194,7 +196,7 @@ def _steps(mesh: Mesh, cfg: RenderConfig, hit_fn, v7_rb: int = 0,
 
     def first_respawn(cam, st, salts, dims):
         return _respawn_core(cam[0], st, salts[0], jnp.int32(0), dims,
-                             cfg=cfg, n_frames=n_frames)
+                             cfg=cfg, n_frames=n_frames, lean=lean)
 
     respawn_sm = jax.jit(jax.shard_map(
         first_respawn, mesh=mesh, in_specs=(P(), sspec, kspec, P()),
@@ -208,9 +210,9 @@ def _steps(mesh: Mesh, cfg: RenderConfig, hit_fn, v7_rb: int = 0,
 
     def flush_all(st, accum, kpp_t):
         # accum: per-device partial [1, 3, HW] slice of the [D, 3, HW] array.
+        pix, _ = _exact_divmod_any(st.pixel[0], kpp_t)
         add = jax.ops.segment_sum(
-            st.radiance_sum.T, st.pixel[0] // kpp_t,
-            num_segments=accum.shape[2])
+            st.radiance_sum.T, pix, num_segments=accum.shape[2])
         return accum + add.T[None]
 
     flush_sm = jax.jit(jax.shard_map(
@@ -236,9 +238,10 @@ def _steps(mesh: Mesh, cfg: RenderConfig, hit_fn, v7_rb: int = 0,
             st_, s_ = carry
             s_ = s_ + 1
             rec, st_ = _hit_core(scene, st_, cfg=cfg, hit_fn=hit_fn)
-            st_ = _scatter_core(scene, st_, rec, salt, s_, dims, cfg=cfg)
+            st_ = _scatter_core(scene, st_, rec, salt, s_, dims, cfg=cfg,
+                                lean=lean)
             st_ = _respawn_core(cam[0], st_, salt, s_, dims, cfg=cfg,
-                                n_frames=n_frames)
+                                n_frames=n_frames, lean=lean)
             return st_, s_
 
         st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(step0)))
@@ -266,9 +269,10 @@ def _steps(mesh: Mesh, cfg: RenderConfig, hit_fn, v7_rb: int = 0,
             st_, s_ = carry
             s_ = s_ + 1
             rec, st_ = _hit_core(scene, st_, cfg=cfg, hit_fn=hit_fn)
-            st_ = _scatter_core(scene, st_, rec, salt, s_, dims, cfg=cfg)
+            st_ = _scatter_core(scene, st_, rec, salt, s_, dims, cfg=cfg,
+                                lean=lean)
             st_ = _respawn_core(cam[0], st_, salt, s_, dims, cfg=cfg,
-                                n_frames=n_frames)
+                                n_frames=n_frames, lean=lean)
             return st_, s_
 
         def cond(carry):
@@ -403,6 +407,10 @@ def render_image_persistent_sharded(
         # _grid_size round DOWN, silently dropping live lanes.
         raise ValueError(f"compact_quantum must be >= 0 (0 = auto), got "
                          f"{cfg.compact_quantum}")
+    if not (cfg.compact_shrink == 0.0 or 0.0 < cfg.compact_shrink < 1.0):
+        raise ValueError(f"compact_shrink must be 0 (auto) or in (0, 1), "
+                         f"got {cfg.compact_shrink}")
+    shrink = cfg.compact_shrink or _COMPACT_SHRINK
     from ..kernels.dispatch import _resolve_backend as _rb
     backend = _rb(cfg, platform=mesh.devices.flat[0].platform)
     coeffs = None
@@ -463,6 +471,12 @@ def render_image_persistent_sharded(
     mosaic_dims_ok = (h_virt * w < (1 << 24)
                       and (kpp & (kpp - 1) == 0
                            or h_virt * w * kpp < (1 << 24)))
+    if h_virt * w * kpp >= (1 << 29):
+        # Same bound as the single-chip driver: the XLA cores' f32
+        # reciprocal divmod decode is exact below 2^29.
+        raise ValueError(
+            f"pixel-lane ids must stay below 2^29 "
+            f"(width*height*frames*lanes_per_pixel = {h_virt * w * kpp})")
     pallas_scatter = (backend == "pallas"
                       and cfg.scatter_backend == "pallas")
     if pallas_scatter and not mosaic_dims_ok:
@@ -720,7 +734,7 @@ def render_image_persistent_sharded(
                         state_sorted = False  # split clones break order
                     continue
                 k_new = _grid_size(worst, min_lanes, cfg.compact_quantum)
-                if k_new <= int(cur * _COMPACT_SHRINK):
+                if k_new <= int(cur * shrink):
                     st, accum = _compact_split_sm(
                         mesh, kpp_s, k_new, False,
                         tail_sorted=state_sorted)(st, accum)

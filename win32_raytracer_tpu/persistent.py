@@ -139,9 +139,47 @@ def step_cfg(cfg: RenderConfig) -> RenderConfig:
     return _step_cfg_cached(tuple(getattr(cfg, f) for f in _STEP_FIELDS))
 
 
+def _exact_divmod_any(x: jnp.ndarray, d) -> tuple:
+    """Floor divmod of non-negative i32 ``x`` by a positive TRACED i32
+    scalar ``d``, via f32 reciprocal-multiply — exact for x < 2^29 and
+    any d >= 1.
+
+    Why not ``x // d``: XLA's TPU lowering of integer division by a
+    non-constant divisor is a full 32-bit expansion (there is no vector
+    integer-divide unit), and the traced-dims refactor (d6da796) put
+    five such divisions in every XLA bounce step — measured ~2x on the
+    whole-while-program config 1 (tpu_jobs 615/617 vs round 3).  Two
+    f32 reciprocal stages + two correction sweeps are ~20 cheap VPU ops
+    and exact: stage 1's residual |r1| <= x*2^-22 + 2 < 130 at
+    x < 2^29; stage 2 divides that small residual exactly enough that
+    the +/-2 correction sweeps close it for any d (for d >= 130 stage 2
+    is a no-op and |r1| < 2d already; for d < 130, r1 is exactly
+    representable and q2 lands within 1).  Shares the derivation with
+    the Mosaic kernels' exact_divmod (kernels/scatter_pallas.py), which
+    keeps its tighter x < 2^24 single-stage form."""
+    d = jnp.asarray(d, jnp.int32)   # accept python ints (constant-folds)
+    d_f = d.astype(jnp.float32)
+    inv = 1.0 / d_f
+    q = (x.astype(jnp.float32) * inv).astype(jnp.int32)
+    r = x - q * d
+    q2 = (r.astype(jnp.float32) * inv).astype(jnp.int32)
+    q = q + q2
+    r = r - q2 * d
+    for _ in range(2):
+        neg = (r < 0).astype(jnp.int32)
+        q = q - neg
+        r = r + neg * d
+    for _ in range(2):
+        ge = (r >= d).astype(jnp.int32)
+        q = q + ge
+        r = r - ge * d
+    return q, r
+
+
 def _scatter_core(scene: SphereScene, st: PathState, rec,
                   salt: jnp.ndarray, step_i: jnp.ndarray,
-                  dims: jnp.ndarray, *, cfg: RenderConfig) -> PathState:
+                  dims: jnp.ndarray, *, cfg: RenderConfig,
+                  lean: bool = False) -> PathState:
     n = st.origin.shape[1]
     draws = hash_uniform01((5, n), salt, step_i, 0x5CA77E12)
     sc = scatter_rows(st.direction, rec, draws, cfg)
@@ -153,13 +191,16 @@ def _scatter_core(scene: SphereScene, st: PathState, rec,
     depth = jnp.where(live, st.depth + 1, st.depth)
     alive = live & sc.alive & (depth <= dims[6])
 
-    # Russian roulette, always traced: rr_start > max_depth (the RR-off
-    # encoding) leaves thr/alive bit-identical.
-    p = jnp.clip(jnp.max(thr, axis=0, keepdims=True), 0.05, 1.0)
-    rr_on = alive & (depth >= dims[7])
-    survive = draws[4:5] < p
-    thr = jnp.where(rr_on, thr / p, thr)
-    alive = alive & jnp.where(rr_on, survive, True)
+    # Russian roulette, traced via rr_start: rr_start > max_depth (the
+    # RR-off encoding) leaves thr/alive bit-identical — and the block is
+    # compiled OUT entirely when the static ``lean`` flag says RR is off
+    # for this render (same contract as the Mosaic kernels').
+    if not lean:
+        p = jnp.clip(jnp.max(thr, axis=0, keepdims=True), 0.05, 1.0)
+        rr_on = alive & (depth >= dims[7])
+        survive = draws[4:5] < p
+        thr = jnp.where(rr_on, thr / p, thr)
+        alive = alive & jnp.where(rr_on, survive, True)
 
     return st._replace(origin=o, direction=d, throughput=thr, depth=depth,
                        path_alive=alive)
@@ -177,7 +218,8 @@ def _stratify_grid(spp: int) -> tuple:
 
 def _respawn_core(cam: Camera, st: PathState, salt: jnp.ndarray,
                   step_i: jnp.ndarray, dims: jnp.ndarray, *,
-                  cfg: RenderConfig, n_frames: int = 1) -> PathState:
+                  cfg: RenderConfig, n_frames: int = 1,
+                  lean: bool = False) -> PathState:
     """Start the next camera sample on every lane whose path just ended.
 
     ``dims`` (make_dims) carries width/height/kpp/stratify grid as traced
@@ -198,12 +240,16 @@ def _respawn_core(cam: Camera, st: PathState, salt: jnp.ndarray,
     n = st.pixel.shape[1]
     width, height = dims[0], dims[1]
     kpp, kx, ky = dims[2], dims[4], dims[5]
-    pix = st.pixel // kpp
-    y_virt = pix // width
-    x = pix % width
+    # Pixel-lane id -> (x, y[, frame]) with ONE wide reciprocal divmod
+    # (by width*kpp) plus narrow ones on the small remainders, instead
+    # of chained i32 ``//``/``%`` by traced scalars (each a full 32-bit
+    # XLA expansion — see _exact_divmod_any).  pix = y_virt*(W*kpp)
+    # + rem with rem < W*kpp, so x = rem // kpp exactly.
+    wk = width * kpp
+    y_virt, rem = _exact_divmod_any(st.pixel, wk)
+    x, _ = _exact_divmod_any(rem, kpp)
     if n_frames > 1:
-        fid = y_virt // height
-        y = y_virt - fid * height
+        fid, y = _exact_divmod_any(y_virt, height)
         # Per-lane camera: unrolled select over the (static, small) frame
         # count — [F]-leading camera fields become [.., N] row operands
         # that camera_rays_rows broadcasts like scalars.
@@ -227,16 +273,19 @@ def _respawn_core(cam: Camera, st: PathState, salt: jnp.ndarray,
 
     draws = hash_uniform01((5, n), salt, step_i, 0x2E59A301)
     u_j, v_j = draws[0:1], draws[1:2]
-    # Stratified jitter, always traced: any spp factors as a kx*ky grid
-    # (make_dims; kx = largest divisor <= sqrt(spp)); square spp
+    # Stratified jitter, traced via (kx, ky): any spp factors as a kx*ky
+    # grid (make_dims; kx = largest divisor <= sqrt(spp)); square spp
     # reproduces the classic k x k layout, prime spp degrades to 1 x spp
     # (v-only) strata.  Stratify-off rides as (1, 1), which reproduces
-    # the plain jitter bit-exactly ((0 + u)/1).
-    gs = st.s_base + new_sample  # global sample index
-    sx = (gs % kx).astype(jnp.float32)
-    sy = ((gs // kx) % ky).astype(jnp.float32)
-    u_j = (sx + u_j) / kx.astype(jnp.float32)
-    v_j = (sy + v_j) / ky.astype(jnp.float32)
+    # the plain jitter bit-exactly ((0 + u)/1) — and the block is
+    # compiled OUT when the static ``lean`` flag says this render cannot
+    # stratify (two divmods saved per lane-step).
+    if not lean:
+        gs = st.s_base + new_sample  # global sample index
+        gq, sx_i = _exact_divmod_any(gs, kx)
+        _, sy_i = _exact_divmod_any(gq, ky)
+        u_j = (sx_i.astype(jnp.float32) + u_j) / kx.astype(jnp.float32)
+        v_j = (sy_i.astype(jnp.float32) + v_j) / ky.astype(jnp.float32)
     # Pixel mapping as RayTracer.cpp:941-943 (u=(x+r0)/W, v=(H-y+r1)/H).
     u = (x.astype(jnp.float32) + u_j) / width.astype(jnp.float32)
     v = (((height - y).astype(jnp.float32) + v_j)
@@ -256,32 +305,37 @@ def _respawn_core(cam: Camera, st: PathState, salt: jnp.ndarray,
 
 # Jitted single-phase steps (kept for tests and the shard_map layer).
 p_hit_step = functools.partial(jax.jit, static_argnames=("cfg", "hit_fn"))(_hit_core)
-p_scatter_step = functools.partial(jax.jit, static_argnames=("cfg",))(_scatter_core)
+p_scatter_step = functools.partial(
+    jax.jit, static_argnames=("cfg", "lean"))(_scatter_core)
 p_respawn_step = functools.partial(
-    jax.jit, static_argnames=("cfg", "n_frames"))(_respawn_core)
+    jax.jit, static_argnames=("cfg", "n_frames", "lean"))(_respawn_core)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_frames"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_frames", "lean"))
 def p_scatter_respawn_step(scene: SphereScene, cam: Camera, st: PathState,
                            rec, salt: jnp.ndarray,
                            step_i: jnp.ndarray, dims: jnp.ndarray, *,
                            cfg: RenderConfig,
-                           n_frames: int = 1) -> PathState:
+                           n_frames: int = 1,
+                           lean: bool = False) -> PathState:
     """Scatter + respawn in ONE dispatch (pure row arithmetic, no Pallas —
     XLA fuses it cleanly, unlike the pallas+epilogue fusion note below).
     Halves the non-hit dispatch count; the tail of a render is dispatch-
     floor-bound (~3 ms per dispatch through the relay)."""
-    st = _scatter_core(scene, st, rec, salt, step_i, dims, cfg=cfg)
+    st = _scatter_core(scene, st, rec, salt, step_i, dims, cfg=cfg,
+                       lean=lean)
     return _respawn_core(cam, st, salt, step_i, dims, cfg=cfg,
-                         n_frames=n_frames)
+                         n_frames=n_frames, lean=lean)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "hit_fn", "n_frames"))
+    jax.jit, static_argnames=("cfg", "hit_fn", "n_frames", "lean"))
 def p_bounce_step(scene: SphereScene, cam: Camera, st: PathState,
                   salt: jnp.ndarray, step_i: jnp.ndarray,
                   dims: jnp.ndarray, *, cfg: RenderConfig,
-                  hit_fn, n_frames: int = 1) -> PathState:
+                  hit_fn, n_frames: int = 1,
+                  lean: bool = False) -> PathState:
     """Fused hit + scatter + respawn in one dispatch.
 
     NOT used by the driver: measured interleaved against the split
@@ -289,10 +343,11 @@ def p_bounce_step(scene: SphereScene, cam: Camera, st: PathState,
     pallas+epilogue program.  Kept for experiments and as the one-dispatch
     variant for contexts where dispatch count matters more than codegen."""
     rec, st = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
-    st = _scatter_core(scene, st, rec, salt, step_i, dims, cfg=cfg)
+    st = _scatter_core(scene, st, rec, salt, step_i, dims, cfg=cfg,
+                       lean=lean)
     # Respawn draws decorrelate via their purpose tag (hash_uniform01).
     return _respawn_core(cam, st, salt, step_i, dims, cfg=cfg,
-                         n_frames=n_frames)
+                         n_frames=n_frames, lean=lean)
 
 
 # Bounces per tail multi-step program (lax.fori_loop inside one jit):
@@ -303,12 +358,13 @@ _MULTI_K = 4
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "hit_fn", "n_frames", "k"))
+    jax.jit, static_argnames=("cfg", "hit_fn", "n_frames", "k", "lean"))
 def p_bounce_multi_step(scene: SphereScene, cam: Camera, st: PathState,
                         salt: jnp.ndarray, step0: jnp.ndarray,
                         dims: jnp.ndarray, *,
                         cfg: RenderConfig, hit_fn,
-                        n_frames: int = 1, k: int = _MULTI_K) -> PathState:
+                        n_frames: int = 1, k: int = _MULTI_K,
+                        lean: bool = False) -> PathState:
     """``k`` full bounces in ONE dispatch (tail economics: below the
     compaction floor the render is dispatch-bound).  ``step0`` is the
     step index of the FIRST bounce; draws are bit-identical to ``k``
@@ -316,19 +372,21 @@ def p_bounce_multi_step(scene: SphereScene, cam: Camera, st: PathState,
     def body(i, st):
         step_i = step0 + i
         rec, st = _hit_core(scene, st, cfg=cfg, hit_fn=hit_fn)
-        st = _scatter_core(scene, st, rec, salt, step_i, dims, cfg=cfg)
+        st = _scatter_core(scene, st, rec, salt, step_i, dims, cfg=cfg,
+                           lean=lean)
         return _respawn_core(cam, st, salt, step_i, dims, cfg=cfg,
-                             n_frames=n_frames)
+                             n_frames=n_frames, lean=lean)
     return jax.lax.fori_loop(0, k, body, st)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "hit_fn", "n_frames"))
+    jax.jit, static_argnames=("cfg", "hit_fn", "n_frames", "lean"))
 def p_render_oneshot(scene: SphereScene, cam: Camera, st: PathState,
                      salt: jnp.ndarray, step0: jnp.ndarray,
                      dims: jnp.ndarray, max_steps: jnp.ndarray, *,
                      cfg: RenderConfig, hit_fn,
-                     n_frames: int = 1) -> PathState:
+                     n_frames: int = 1,
+                     lean: bool = False) -> PathState:
     """A whole lane chunk to completion in ONE dispatch: a
     lax.while_loop over the one-program XLA bounce, terminating when
     every lane is dead (or at ``max_steps``, the same quota*(depth+2)
@@ -363,9 +421,10 @@ def p_render_oneshot(scene: SphereScene, cam: Camera, st: PathState,
         st_, step_ = carry
         step_ = step_ + 1
         rec, st_ = _hit_core(scene, st_, cfg=cfg, hit_fn=hit_fn)
-        st_ = _scatter_core(scene, st_, rec, salt, step_, dims, cfg=cfg)
+        st_ = _scatter_core(scene, st_, rec, salt, step_, dims, cfg=cfg,
+                            lean=lean)
         st_ = _respawn_core(cam, st_, salt, step_, dims, cfg=cfg,
-                            n_frames=n_frames)
+                            n_frames=n_frames, lean=lean)
         return st_, step_
 
     st, _ = jax.lax.while_loop(cond, body, (st, jnp.int32(step0)))
@@ -373,13 +432,14 @@ def p_render_oneshot(scene: SphereScene, cam: Camera, st: PathState,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "hit_fn", "n_frames"))
+    jax.jit, static_argnames=("cfg", "hit_fn", "n_frames", "lean"))
 def p_render_until(scene: SphereScene, cam: Camera, st: PathState,
                    salt: jnp.ndarray, step0: jnp.ndarray,
                    alive_target: jnp.ndarray,
                    dims: jnp.ndarray, max_steps: jnp.ndarray, *,
                    cfg: RenderConfig, hit_fn,
-                   n_frames: int = 1):
+                   n_frames: int = 1,
+                   lean: bool = False):
     """One STAGE of the staged device-side tail (``one_shot='staged'``):
     bounce in a ``lax.while_loop`` until the alive count drops to
     ``alive_target`` (a TRACED operand — one compiled program per lane
@@ -407,9 +467,10 @@ def p_render_until(scene: SphereScene, cam: Camera, st: PathState,
         st_, step_ = carry
         step_ = step_ + 1
         rec, st_ = _hit_core(scene, st_, cfg=cfg, hit_fn=hit_fn)
-        st_ = _scatter_core(scene, st_, rec, salt, step_, dims, cfg=cfg)
+        st_ = _scatter_core(scene, st_, rec, salt, step_, dims, cfg=cfg,
+                            lean=lean)
         st_ = _respawn_core(cam, st_, salt, step_, dims, cfg=cfg,
-                            n_frames=n_frames)
+                            n_frames=n_frames, lean=lean)
         return st_, step_
 
     def cond(carry):
@@ -605,7 +666,8 @@ def _compact_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
         # Flush the receivers' (dead, final) radiance before they adopt
         # new pixels.  The region sits inside the sorted head, so its
         # pixels are ascending whenever the batch is.
-        recv_pix = new.pixel[0, r0:] // lanes_per_pixel
+        recv_pix, _ = _exact_divmod_any(new.pixel[0, r0:],
+                                        lanes_per_pixel)
         recv_rad = new.radiance_sum[:, r0:]
         if not tail_sorted:
             order_r = jnp.argsort(recv_pix)
@@ -640,7 +702,8 @@ def _compact_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
         )
 
     # Dropped lanes are all dead (k_new >= n_alive): radiance is final.
-    drop_pix = cols["pixel"][0][k_new:] // lanes_per_pixel
+    drop_pix, _ = _exact_divmod_any(cols["pixel"][0][k_new:],
+                                    lanes_per_pixel)
     drop_rad = jnp.stack([r[k_new:] for r in cols["radiance_sum"]])
     if not tail_sorted:
         order = jnp.argsort(drop_pix)
@@ -906,6 +969,10 @@ def render_image_persistent(
         # division), silently dropping live lanes at compaction.
         raise ValueError(f"compact_quantum must be >= 0 (0 = auto), got "
                          f"{cfg.compact_quantum}")
+    if not (cfg.compact_shrink == 0.0 or 0.0 < cfg.compact_shrink < 1.0):
+        raise ValueError(f"compact_shrink must be 0 (auto) or in (0, 1), "
+                         f"got {cfg.compact_shrink}")
+    shrink = cfg.compact_shrink or _COMPACT_SHRINK
     w, h, spp = cfg.width, cfg.height, cfg.samples
     h_virt = h * n_frames  # multi-frame: frames stack as a taller image
     if n_frames > 1:
@@ -943,6 +1010,13 @@ def render_image_persistent(
     mosaic_dims_ok = (h_virt * w < (1 << 24)
                       and (kpp & (kpp - 1) == 0
                            or h_virt * w * kpp < (1 << 24)))
+    if h_virt * w * kpp >= (1 << 29):
+        # The XLA cores decode pixel-lane ids with the two-stage f32
+        # reciprocal divmod (_exact_divmod_any), exact below 2^29 —
+        # 8x above the biggest supported render (4K x 8 frames x kpp 8).
+        raise ValueError(
+            f"pixel-lane ids must stay below 2^29 "
+            f"(width*height*frames*lanes_per_pixel = {h_virt * w * kpp})")
     # Nothing can finish before its quota of samples is consumed (each
     # sample is >= 1 step), so the first alive check waits that long; after
     # that, check often — a sync costs ~27 ms, a wasted full-batch step ~40.
@@ -1067,7 +1141,7 @@ def render_image_persistent(
             def scat_step(scene_, st_, rec_, salt_, step_i_):
                 return p_scatter_respawn_step(
                     scene_, cam_x, st_, rec_, salt_, step_i_, dims_s,
-                    cfg=scfg, n_frames=n_frames)
+                    cfg=scfg, n_frames=n_frames, lean=lean)
 
         def do_steps(st, k, step):
             cur = st.pixel.shape[1]
@@ -1086,7 +1160,7 @@ def render_image_persistent(
                     st = p_bounce_multi_step(
                         scene, cam_x, st, salt, jnp.int32(step + 1),
                         dims_s, cfg=scfg, hit_fn=hit_fn,
-                        n_frames=n_frames, k=mk)
+                        n_frames=n_frames, k=mk, lean=lean)
                     step += mk
                     k -= mk
             for _ in range(k):
@@ -1099,7 +1173,7 @@ def render_image_persistent(
                     st = p_bounce_step(scene, cam_x, st, salt,
                                        jnp.int32(step), dims_s,
                                        cfg=scfg, hit_fn=hit_fn,
-                                       n_frames=n_frames)
+                                       n_frames=n_frames, lean=lean)
                 elif fused_bounce is not None:
                     # The whole bounce as ONE Mosaic program (state rows
                     # cross HBM once; kernels/bounce_pallas.py).
@@ -1139,7 +1213,7 @@ def render_image_persistent(
             return p_render_oneshot(
                 scene, cam_x, st, salt, jnp.int32(step), dims_s,
                 jnp.int32(max_steps_), cfg=scfg, hit_fn=hit_fn,
-                n_frames=n_frames)
+                n_frames=n_frames, lean=lean)
         return finish
 
     def make_staged(salt, kpp_s):
@@ -1161,7 +1235,7 @@ def render_image_persistent(
                     st = p_render_oneshot(
                         scene, cam_x, st, salt, jnp.int32(step), dims_s,
                         jnp.int32(max_steps_), cfg=scfg, hit_fn=hit_fn,
-                        n_frames=n_frames)
+                        n_frames=n_frames, lean=lean)
                     break
                 # Floor-pow2 of cur//2: guarantees _next_pow2(alive) <=
                 # cur//2 at exit, i.e. the same halving the host loop
@@ -1170,7 +1244,8 @@ def render_image_persistent(
                 st, stp, cnt = p_render_until(
                     scene, cam_x, st, salt, jnp.int32(step),
                     jnp.int32(target), dims_s, jnp.int32(max_steps_),
-                    cfg=scfg, hit_fn=hit_fn, n_frames=n_frames)
+                    cfg=scfg, hit_fn=hit_fn, n_frames=n_frames,
+                    lean=lean)
                 step = int(stp)
                 n_alive = int(cnt)
                 if n_alive == 0 or step >= max_steps_:
@@ -1257,7 +1332,7 @@ def render_image_persistent(
             # redistribution, k_new overshoots so the spare dead lanes
             # adopt donor work (halved sequential tails for hard pixels).
             k_base = _grid_size(n_alive, min_lanes, cfg.compact_quantum)
-            if k_base <= int(cur * _COMPACT_SHRINK):
+            if k_base <= int(cur * shrink):
                 k_new, n_recv = k_base, 0
                 if cfg.redistribute == "on" and _RECV_OVERSHOOT > 0:
                     k_new = min(
@@ -1396,7 +1471,8 @@ def render_image_persistent(
                 st = p_render_oneshot(
                     scene, cam_x, st, salt, jnp.int32(0),
                     make_dims(cfg, w, h, spp, kpp), jnp.int32(max_steps),
-                    cfg=scfg, hit_fn=hit_fn, n_frames=n_frames)
+                    cfg=scfg, hit_fn=hit_fn, n_frames=n_frames,
+                    lean=lean)
             else:
                 # Pixel order starts as identity; receiver
                 # redistribution and ray binning break it (and with it
