@@ -53,20 +53,26 @@ for rep in range(5):
 print(f"job621 c1 best {b1:.3f}s = {rays1/b1:.2f} Mrays/s "
       f"(r3: 0.093s/13.7; pre-fix r4: 0.182s/7.0)", flush=True)
 
-# --- flythrough baseline (auto kpp, bf4) on the fixed tails ---
+# --- flythrough: new auto (kpp1 one batch, job 618 winner) + the old
+# bf4 arm for the divmod-fix delta at fixed shape ---
 scene5 = get_scene("final")
 cfg5 = RenderConfig(width=640, height=480, samples=32, seed=99)
 cams = orbit_path(n_frames=8, aspect_ratio=640 / 480)
-t0 = time.perf_counter()
-render_animation(scene5, cams, cfg5, batch_frames=4)
-print(f"warm c5: {time.perf_counter()-t0:.1f}s", flush=True)
-rays5 = 640 * 480 * 32 * 8 / 1e6
-b5 = float("inf")
-for rep in range(3):
+fly_arms = {"auto": 0, "bf4": 4}
+for name, bf in fly_arms.items():
     t0 = time.perf_counter()
-    render_animation(scene5, cams, cfg5.replace(seed=3 + rep),
-                     batch_frames=4)
-    b5 = min(b5, time.perf_counter() - t0)
-print(f"job621 c5 best {b5:.3f}s = {rays5/b5:.2f} Mrays/s = {8/b5:.2f} fps "
-      f"(pre-fix r4: 3.343s/2.39 fps)", flush=True)
+    render_animation(scene5, cams, cfg5, batch_frames=bf)
+    print(f"warm c5-{name}: {time.perf_counter()-t0:.1f}s", flush=True)
+rays5 = 640 * 480 * 32 * 8 / 1e6
+b5 = {n: float("inf") for n in fly_arms}
+for rep in range(3):
+    for name, bf in fly_arms.items():
+        t0 = time.perf_counter()
+        render_animation(scene5, cams, cfg5.replace(seed=3 + rep),
+                         batch_frames=bf)
+        b5[name] = min(b5[name], time.perf_counter() - t0)
+for name, b in b5.items():
+    print(f"job621 c5-{name} best {b:.3f}s = {rays5/b:.2f} Mrays/s = "
+          f"{8/b:.2f} fps (pre-fix: auto 3.343/2.39, k1bf8 1.859/4.30)",
+          flush=True)
 print(f"total {time.perf_counter()-t_all:.1f}s", flush=True)

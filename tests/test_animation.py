@@ -72,21 +72,35 @@ def test_flythrough_sharded_over_mesh(eight_devices, tmp_path):
     assert np.abs(frames[0].astype(int) - frames[1].astype(int)).mean() > 1.0
 
 
-def test_auto_batch_frames_even_split():
-    """Auto batching keeps >=2 batches (fetch/compute overlap needs a
-    successor) and splits frames evenly — measured at the config-5 shape
-    (640x480@32 x 8): two 4-frame batches beat three ragged and one
-    unoverlapped batch (docs/perf_roadmap.md, tpu_jobs 256)."""
+def test_auto_batch_frames_and_multiframe_kpp():
+    """Auto batching packs as many frames per batch as the lane budget
+    allows at the multi-frame kpp rule (quota over replicas): the
+    tpu_jobs 618 grid read one kpp1 8-frame batch 4.30 fps vs the old
+    overlapped kpp4 4+4 split 2.40.  Long animations split evenly."""
     from win32_raytracer_tpu.animation import _auto_batch_frames
+    from win32_raytracer_tpu.persistent import _resolve_kpp
 
     cfg5 = RenderConfig(width=640, height=480, samples=32)
-    assert _auto_batch_frames(cfg5, 8) == 4
-    # Tiny frames: lane budget allows 8+, the 2-batch rule caps at F/2.
+    # 640*480*8 = 2.46M lanes at kpp1 >= the 2M target: one batch.
+    assert _auto_batch_frames(cfg5, 8) == 8
+    assert _resolve_kpp(cfg5, 32, 8, 640 * 480) == 1
+    # kpp must still divide spp: 8 frames of 160x120 at spp 6 -> kpp 2
+    # is the smallest divisor reaching... (too few pixels: falls back).
+    assert _resolve_kpp(cfg5, 32, 1, 640 * 480) == 8  # single-frame rule
+    # Tiny frames: even kpp8 x 8f = 1.2M < target -> single-frame rule
+    # (kpp4 at spp16: quota >= 4), and the budget fits all frames in
+    # one batch.
     tiny = RenderConfig(width=160, height=120, samples=16)
-    assert _auto_batch_frames(tiny, 8) == 4
-    assert _auto_batch_frames(tiny, 3) == 2
-    # Single frame or unknown F: plain budget clamp, no split rule.
-    assert _auto_batch_frames(cfg5, 1) == 4
+    assert _resolve_kpp(tiny, 16, 8, 160 * 120) == 4
+    assert _auto_batch_frames(tiny, 8) == 8
+    assert _auto_batch_frames(tiny, 3) == 3
+    # Long animation at a big frame: budget caps the batch, even split.
+    big = RenderConfig(width=1920, height=1080, samples=8)
+    bf = _auto_batch_frames(big, 64)
+    n_batches = -(-64 // bf)
+    assert 1 <= bf <= 64 and n_batches * bf - 64 < bf
+    # Single frame or unknown F: plain budget clamp.
+    assert _auto_batch_frames(cfg5, 1) == 1
     assert _auto_batch_frames(cfg5) >= 1
 
 

@@ -52,22 +52,28 @@ def _auto_batch_frames(cfg: RenderConfig, n_frames: int = 0) -> int:
     all frames in a batch.  The lane budget (~10.5M; state is ~76 B/lane
     so ~0.8 GB of HBM) is cheap next to the per-frame fixed costs it
     removes; frames beyond the budget would split into multiple chunks
-    and amortize nothing extra.  When the whole animation is known,
-    keep at least TWO batches: the fetch of batch i overlaps batch
-    i+1's compute, and the measured sweep at the config-5 shape
-    (640x480@32 x 8 frames, tpu_jobs 256) reads batch=4 (two equal
-    overlapped batches) 2.19 fps > batch=3 (three ragged) 2.11 >
-    batch=8 (one, unoverlapped fetch) 2.02."""
+    and amortize nothing extra.
+
+    As many frames per batch as the budget allows, sized at the
+    multi-frame kpp rule (persistent._resolve_kpp: smallest kpp
+    reaching the lane target — quota over replicas).  The round-3
+    two-batch minimum (fetch overlap) is GONE: the tpu_jobs 618 grid
+    read one kpp1 8-frame batch at 4.30 fps vs the overlapped kpp4
+    4+4 split's 2.40 — the quota gain dwarfs the <0.25 s of
+    unoverlapped fetch.  Long animations still split (budget), evenly,
+    and batch i+1's compute still overlaps batch i's fetch."""
     from .persistent import _resolve_kpp
 
-    kpp = _resolve_kpp(cfg, cfg.samples)
-    per_frame = cfg.width * cfg.height * kpp
     budget = max(cfg.rays_per_chunk, 10 << 20)
-    bf = max(1, min(8, budget // max(1, per_frame)))
+    frames_cap = max(1, min(n_frames or 8,
+                            budget // max(1, cfg.width * cfg.height)))
+    kpp = _resolve_kpp(cfg, cfg.samples, max(frames_cap, 2),
+                       cfg.width * cfg.height)
+    per_frame = cfg.width * cfg.height * kpp
+    bf = max(1, min(frames_cap, budget // max(1, per_frame)))
     if n_frames >= 2:
-        # Even split into ceil(F/bf) batches, capped so >= 2 batches
-        # exist (overlap needs a successor batch).
-        n_batches = max(2, -(-n_frames // bf))
+        # Even split into ceil(F/bf) batches.
+        n_batches = -(-n_frames // bf)
         bf = -(-n_frames // n_batches)
     return bf
 

@@ -434,7 +434,7 @@ def render_image_persistent_sharded(
     else:
         camt = (cam, cam)
     d = mesh.devices.size
-    kpp = _resolve_kpp(cfg, spp)
+    kpp = _resolve_kpp(cfg, spp, n_frames, w * h)
     quota = spp // kpp
     adaptive = cfg.adaptive_alloc == "on"
     if adaptive and not (kpp > 1 and spp > kpp and bin_box is None):
