@@ -282,14 +282,15 @@ class RenderConfig:
     compact_quantum: int = 0
     # Above-floor compaction trigger: compact when the next grid size is
     # <= this fraction of the current batch.  The round-4 anatomy
-    # (tpu_jobs 990) priced each compaction event against the steps it
-    # saves: at the headline, the 0.90 trigger over-fires at mid rungs —
-    # e.g. 2.36M -> 1.64M costs a ~67 ms multisort to save ~35 ms of
-    # dead-lane sweeps before the NEXT compaction fires anyway — because
-    # the multisort costs ~6.7x a bounce's per-lane pass where the r3
-    # 64k-quantum ladder compacted less often.  Lower values skip the
-    # marginal events and take fewer, bigger drops.  0.0 = auto
-    # (tpu_jobs 991 sweep: see config note there); valid range (0, 1).
+    # (tpu_jobs 990) statically priced mid-rung events as marginal
+    # (2.36M -> 1.64M: ~67 ms multisort for ~35 ms of saved sweeps),
+    # but the on-chip sweep REFUTED lowering the trigger (tpu_jobs 621,
+    # headline, interleaved): 0.90 best 1.900 s, 0.75 1.903, 0.60
+    # 1.909, 0.50 2.065, 0.40 2.185.  The static model undercounted
+    # what a skipped event costs: the batch stays full-size for the
+    # whole plateau until the NEXT CHECK (period backs off to 16-32
+    # steps while alive plateaus), not merely until the next would-be
+    # event.  0.0 = auto (0.90, the measured winner); range (0, 1).
     compact_shrink: float = 0.0
     # Persistent scheduler: replica lanes per pixel (samples split across
     # K lanes with quota spp/K each — more parallelism for hard pixels,
