@@ -663,8 +663,14 @@ def test_exact_divmod_any_exactness():
     ds = np.concatenate([
         np.arange(1, 40),
         np.array([127, 128, 129, 130, 131, 1200, 3840, 4800,
-                  (1 << 20) + 7, (1 << 24) - 1]),
+                  (1 << 20) + 7, (1 << 24) - 1,
+                  # Large divisors: f32(r1) is no longer exactly
+                  # representable once |r1| ~ d > 2^24 — the docstring's
+                  # "any d >= 1" claim rests on these rows.
+                  1 << 24, (1 << 24) + 1, (1 << 26) + 3, (1 << 28) - 1,
+                  1 << 28, (1 << 29) - 1]),
         rnd.randint(1, 1 << 24, size=20).astype(np.int64),
+        rnd.randint(1 << 24, 1 << 29, size=12).astype(np.int64),
     ])
     for d in ds:
         k = xs // d

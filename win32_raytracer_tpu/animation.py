@@ -168,7 +168,13 @@ def render_animation(
 
         from .persistent import _resolve_kpp
 
-        per_frame = cfg.width * cfg.height * _resolve_kpp(cfg, cfg.samples)
+        # Size with the MULTI-frame kpp rule (the one the batch driver
+        # resolves): the single-frame rule can pick a larger kpp (e.g.
+        # spp 4-8 on small frames), undersizing rays_per_chunk so the
+        # virtual tall image silently splits into row chunks —
+        # reintroducing the per-frame tail the batching removes.
+        per_frame = cfg.width * cfg.height * _resolve_kpp(
+            cfg, cfg.samples, batch_frames, cfg.width * cfg.height)
         pending = None  # (b0, tonemapped device arrays, per-frame ms)
 
         def materialize(p):

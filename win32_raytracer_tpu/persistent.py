@@ -150,11 +150,16 @@ def _exact_divmod_any(x: jnp.ndarray, d) -> tuple:
     five such divisions in every XLA bounce step — measured ~2x on the
     whole-while-program config 1 (tpu_jobs 615/617 vs round 3).  Two
     f32 reciprocal stages + two correction sweeps are ~20 cheap VPU ops
-    and exact: stage 1's residual |r1| <= x*2^-22 + 2 < 130 at
-    x < 2^29; stage 2 divides that small residual exactly enough that
-    the +/-2 correction sweeps close it for any d (for d >= 130 stage 2
-    is a no-op and |r1| < 2d already; for d < 130, r1 is exactly
-    representable and q2 lands within 1).  Shares the derivation with
+    and exact: stage 1's quotient error is <= x*2^-22/d + 1, so the
+    integer residual r1 = x - q*d satisfies |r1| <= x*2^-22 + d + 2
+    (< d + 130 at x < 2^29); stage 2's q2 = trunc(f32(r1) * inv) then
+    lands within 1 of r1/d even where f32(r1) rounds (|r1| ~ d ~ 2^28
+    gives relative error ~2^-23 in each factor, far below the unit
+    quotient step), leaving |r| within 2d of the true remainder — which
+    the +/-2 correction sweeps close for ANY d >= 1 up to the 2^29
+    input bound (verified exhaustively-at-random across d in
+    [1, 2^29) by test_exact_divmod_any_exactness; in-tree divisors are
+    all < 2^17).  Shares the derivation with
     the Mosaic kernels' exact_divmod (kernels/scatter_pallas.py), which
     keeps its tighter x < 2^24 single-stage form."""
     d = jnp.asarray(d, jnp.int32)   # accept python ints (constant-folds)
@@ -1038,8 +1043,11 @@ def render_image_persistent(
                            or h_virt * w * kpp < (1 << 24)))
     if h_virt * w * kpp >= (1 << 29):
         # The XLA cores decode pixel-lane ids with the two-stage f32
-        # reciprocal divmod (_exact_divmod_any), exact below 2^29 —
-        # 8x above the biggest supported render (4K x 8 frames x kpp 8).
+        # reciprocal divmod (_exact_divmod_any), exact below 2^29.
+        # Margin: at the auto multi-frame kpp of 1, 4K x 8 frames is
+        # 66.4M lanes (8x headroom); an EXPLICIT kpp=8 on that shape is
+        # 530.8M — 99% of the bound, which is why this fails fast
+        # instead of silently misrouting pixels.
         raise ValueError(
             f"pixel-lane ids must stay below 2^29 "
             f"(width*height*frames*lanes_per_pixel = {h_virt * w * kpp})")
