@@ -126,6 +126,8 @@ def main():
         except OSError:
             return 0
 
+    warm_info = {}
+
     def _warm(name):
         c0 = _cache_entries()
         t0 = time.perf_counter()
@@ -134,8 +136,10 @@ def main():
         if not (1.0 <= m <= 254.0):
             raise RuntimeError(f"suspicious warm image mean {m:.2f}")
         c1 = _cache_entries()
+        dt = time.perf_counter() - t0
+        warm_info[name] = (dt, c1 - c0, c0)
         print(f"# warm-up {name} (incl. compiles): "
-              f"{time.perf_counter() - t0:.1f}s, mean {m:.2f}; "
+              f"{dt:.1f}s, mean {m:.2f}; "
               f"disk compile cache {c0} -> {c1} entries "
               f"({'mostly hits' if c1 - c0 <= 3 else f'{c1 - c0} misses'})",
               file=sys.stderr)
@@ -203,12 +207,27 @@ def main():
     except Exception:
         pass
 
+    # Warm-up reporting (verdict r4 item 7): the measured number is a
+    # disk-cache-hit warm-up whenever the repo's .jax_cache already holds
+    # this program set; the cold figure (empty cache, every program
+    # remote-compiled) is measured separately and recorded here so the
+    # two are never conflated.  Cold reference: tpu_jobs 614/615 measured
+    # 358 s for the headline set alone / 2137 s for the full suite set on
+    # a wiped cache; re-measured round 5 in tpu_jobs m628.
+    wdt, wmiss, _ = warm_info.get(winner, (float("nan"), -1, 0))
     print(json.dumps({
         "metric": "Mrays/sec primary, 1200x800@100spp RTIOW final scene, "
                   "1 chip",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "warmup_s": round(wdt, 1),
+        "warmup_cache_misses": wmiss,
+        "warmup_kind": ("cache-hit" if wmiss <= 32 else "cold-or-partial"),
+        "warmup_cold_s_recorded": 358.0,
+        "warmup_cold_source": "tpu_jobs 614 (headline program set, wiped "
+                              "cache); full-suite cold 2137 s (tpu_jobs "
+                              "615)",
     }))
 
 

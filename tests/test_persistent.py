@@ -787,3 +787,82 @@ def test_compact_shrink_knob(monkeypatch):
     assert base.shape == low.shape
     d = np.abs(np.sqrt(np.clip(base, 0, 1)) - np.sqrt(np.clip(low, 0, 1)))
     assert d.mean() < 0.03, d.mean()
+
+
+def test_compact_route_unit_equivalence():
+    """The router compactor (_compact_route_core) must place every
+    SURVIVING lane in the identical slot the sort compactor uses (the
+    bit-identical-continuation contract on its docstring), synthesize
+    inert retained-dead padding (zero quota -> the respawn predicate
+    sample < s_quota - 1 can never fire), and conserve radiance: flushed
+    accum + retained radiance totals per pixel match the sort engine's."""
+    import win32_raytracer_tpu.persistent as P
+
+    rng = np.random.RandomState(3)
+    n, k_new, kpp, n_pix = 4096, 2048, 2, 4096
+    for trial, frac in enumerate((0.3, 0.45, 0.05)):
+        alive = rng.rand(n) < frac
+        if alive[:k_new].sum() == 0:
+            alive[0] = True
+        pix = np.sort(rng.randint(0, n_pix * kpp, n)).astype(np.int32)
+        st = P.PathState(
+            origin=jnp.asarray(rng.rand(3, n).astype(np.float32)),
+            direction=jnp.asarray(rng.rand(3, n).astype(np.float32)),
+            time=jnp.asarray(rng.rand(1, n).astype(np.float32)),
+            throughput=jnp.asarray(rng.rand(3, n).astype(np.float32)),
+            radiance_sum=jnp.asarray(rng.rand(3, n).astype(np.float32)),
+            depth=jnp.asarray(rng.randint(0, 9, (1, n)).astype(np.int32)),
+            sample=jnp.asarray(rng.randint(0, 4, (1, n)).astype(np.int32)),
+            pixel=jnp.asarray(pix[None]),
+            path_alive=jnp.asarray(alive[None]),
+            s_base=jnp.asarray(rng.randint(0, 8, (1, n)).astype(np.int32)),
+            s_quota=jnp.asarray(rng.randint(1, 5, (1, n)).astype(np.int32)),
+        )
+        accum = jnp.zeros((3, n_pix), jnp.float32)
+        for tail_sorted in (False, True):
+            new_s, acc_s = P._compact_core(
+                st, accum, k_new=k_new, lanes_per_pixel=kpp,
+                tail_sorted=tail_sorted)
+            new_r, acc_r = P._compact_route_core(
+                st, accum, k_new=k_new, lanes_per_pixel=kpp)
+            na = int(alive.sum())
+            # surviving lanes: identical slots, bit-identical rows
+            for f in P.PathState._fields:
+                a = np.asarray(getattr(new_s, f))[:, :na]
+                b = np.asarray(getattr(new_r, f))[:, :na]
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"{f} trial {trial} ts={tail_sorted}")
+            # retained-dead padding is inert
+            alive_r = np.asarray(new_r.path_alive[0])
+            assert not alive_r[na:].any()
+            assert (np.asarray(new_r.s_quota[0, na:]) == 0).all()
+            assert (np.asarray(new_r.sample[0, na:]) == 0).all()
+            assert np.isfinite(np.asarray(new_r.origin[:, na:])).all()
+            # radiance conservation per pixel: accum + retained
+            def totals(new, acc):
+                t = np.asarray(acc).astype(np.float64).copy()
+                keep_pix = np.asarray(new.pixel[0]) // kpp
+                rad = np.asarray(new.radiance_sum).astype(np.float64)
+                np.add.at(t.T, keep_pix, rad.T)
+                return t
+            np.testing.assert_allclose(
+                totals(new_r, acc_r), totals(new_s, acc_s),
+                rtol=1e-5, atol=1e-6,
+                err_msg=f"conservation trial {trial} ts={tail_sorted}")
+
+
+def test_compact_route_render_equivalence(monkeypatch):
+    """End-to-end: compactor='route' must reproduce the default sort
+    engine's render (alive lanes land in identical slots, so draws are
+    identical; only flush summation order differs -> FP-tolerance)."""
+    import win32_raytracer_tpu.persistent as P
+
+    monkeypatch.setattr(P, "_COMPACT_FLOOR", 512)
+    scene = make_test_scene()
+    cfg = RenderConfig(width=64, height=32, samples=16, seed=11,
+                       backend="jnp", one_shot="off")
+    base = np.asarray(render_image_persistent(scene, None, cfg))
+    routed = np.asarray(render_image_persistent(
+        scene, None, cfg.replace(compactor="route")))
+    assert np.isfinite(routed).all()
+    np.testing.assert_allclose(routed, base, rtol=2e-5, atol=2e-6)

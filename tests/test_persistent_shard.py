@@ -285,3 +285,24 @@ def test_sharded_sample_accounting_sky_same_shard_wrap():
     lin = np.asarray(render_image_persistent_sharded(scene, cam, cfg, mesh))
     assert lin.min() >= 0.5 - 1e-5 and lin.max() <= 1.0 + 1e-5, (
         lin.min(), lin.max())
+
+
+def test_sharded_route_compactor_matches_sort(monkeypatch):
+    """compactor='route' on the mesh: the router engine must reproduce
+    the sort engine's sharded render (identical surviving-lane slots per
+    shard -> identical draws; only flush summation order differs)."""
+    import win32_raytracer_tpu.persistent as P
+    import win32_raytracer_tpu.parallel.persistent_shard as PS
+
+    monkeypatch.setattr(P, "_COMPACT_FLOOR", 2048)
+    monkeypatch.setattr(PS, "_COMPACT_FLOOR", 2048)
+    scene = make_test_scene()
+    cfg = RenderConfig(width=64, height=64, samples=16, seed=12,
+                       backend="jnp", one_shot="off")
+    mesh = make_mesh(8)
+    base = np.asarray(render_image_persistent_sharded(
+        scene, None, cfg, mesh))
+    routed = np.asarray(render_image_persistent_sharded(
+        scene, None, cfg.replace(compactor="route"), mesh))
+    assert np.isfinite(routed).all()
+    np.testing.assert_allclose(routed, base, rtol=2e-5, atol=2e-6)

@@ -292,6 +292,16 @@ class RenderConfig:
     # steps while alive plateaus), not merely until the next would-be
     # event.  0.0 = auto (0.90, the measured winner); range (0, 1).
     compact_shrink: float = 0.0
+    # Compaction engine: "sort" = the 20-operand stable lax.sort
+    # (_compact_core); "route" = the bit-serial stable-partition router
+    # (persistent._compact_route_core) — same surviving-lane slots (the
+    # continuing render is bit-identical), no sort network at runtime
+    # OR compile time; retained-dead lanes become synthesized zero-quota
+    # padding and the dropped-tail flush is an unsorted segment_sum.
+    # "" = auto (currently "sort" — flip after the round-5 on-chip
+    # pricing, tpu_jobs i623/l627).  Receiver-redistribution events
+    # (cfg.redistribute="on") always use the sort engine.
+    compactor: str = ""
     # Persistent scheduler: replica lanes per pixel (samples split across
     # K lanes with quota spp/K each — more parallelism for hard pixels,
     # shorter sequential tails, bigger batches).  0 = auto (largest of

@@ -35,7 +35,8 @@ from .. import persistent as _P
 from ..persistent import (
     PathState, _COMPACT_FLOOR, _COMPACT_SHRINK, _MULTI_K, _bin_sort_core,
     _tri_rebin_active,
-    _compact_core, _derive_bin_box, _exact_divmod_any, _grid_size,
+    _compact_core, _compact_route_core, _derive_bin_box,
+    _exact_divmod_any, _grid_size,
     _hit_core, _next_pow2,
     _resolve_kpp, _respawn_core, _scatter_core, _split, make_dims,
     step_cfg,
@@ -312,20 +313,27 @@ def _bin_sort_sm(mesh: Mesh, box, key_variant: str):
 
 @functools.lru_cache(maxsize=256)
 def _compact_split_sm(mesh: Mesh, kpp: int, k_new: int, do_split: bool,
-                      tail_sorted: bool = False):
+                      tail_sorted: bool = False, compactor: str = "sort"):
     sspec = _sspec()
 
     def compact(st, accum):
-        # Shared multi-operand-sort compactor (persistent._compact_core).
-        # tail_sorted: each shard's lane->pixel map starts ASCENDING by
-        # construction (_interleaved_pixel_lanes sorts its lanes — order
-        # within a shard is free, only set membership load-balances), so
-        # above-floor compactions take the argsort-free flush path the
-        # single-chip driver uses (~40% cheaper at 3.84M lanes,
-        # tpu_jobs 140/150); bin sorts and splits disable it.
-        new, acc2 = _compact_core(
-            st, accum[0], k_new=k_new, lanes_per_pixel=kpp,
-            tail_sorted=tail_sorted)
+        # Shared compactor engine (persistent._compact_core, or the
+        # round-5 bit-serial router _compact_route_core — identical
+        # surviving-lane layout, no sort network; see the single-chip
+        # rationale).  tail_sorted: each shard's lane->pixel map starts
+        # ASCENDING by construction (_interleaved_pixel_lanes sorts its
+        # lanes — order within a shard is free, only set membership
+        # load-balances), so above-floor compactions take the
+        # argsort-free flush path the single-chip driver uses (~40%
+        # cheaper at 3.84M lanes, tpu_jobs 140/150); bin sorts and
+        # splits disable it.  The router needs neither flag.
+        if compactor == "route":
+            new, acc2 = _compact_route_core(
+                st, accum[0], k_new=k_new, lanes_per_pixel=kpp)
+        else:
+            new, acc2 = _compact_core(
+                st, accum[0], k_new=k_new, lanes_per_pixel=kpp,
+                tail_sorted=tail_sorted)
         accum = acc2[None]
         if do_split:
             new = _split(new)
@@ -411,6 +419,7 @@ def render_image_persistent_sharded(
         raise ValueError(f"compact_shrink must be 0 (auto) or in (0, 1), "
                          f"got {cfg.compact_shrink}")
     shrink = cfg.compact_shrink or _COMPACT_SHRINK
+    compactor_s = cfg.compactor or "sort"
     from ..kernels.dispatch import _resolve_backend as _rb
     backend = _rb(cfg, platform=mesh.devices.flat[0].platform)
     coeffs = None
@@ -660,7 +669,8 @@ def render_image_persistent_sharded(
                     break
                 k_new = max(min_lanes, _next_pow2(worst))
                 st, accum = _compact_split_sm(
-                    mesh, kpp_s, k_new, True)(st, accum)
+                    mesh, kpp_s, k_new, True,
+                    compactor=compactor_s)(st, accum)
             return st, accum
 
         def run_loop(st, accum, first_check_s, max_steps_s,
@@ -722,7 +732,8 @@ def render_image_persistent_sharded(
                         k_new = max(min_lanes, _next_pow2(worst))
                         if k_new <= cur // 2:
                             st, accum = _compact_split_sm(
-                                mesh, kpp_s, k_new, True)(st, accum)
+                                mesh, kpp_s, k_new, True,
+                                compactor=compactor_s)(st, accum)
                         st = finish_sm(scene, camt, st, dev_keys_s,
                                        jnp.int32(step),
                                        jnp.int32(max_steps_s), dims_s)
@@ -730,14 +741,16 @@ def render_image_persistent_sharded(
                     k_new = max(min_lanes, _next_pow2(worst))
                     if k_new <= cur // 2:
                         st, accum = _compact_split_sm(
-                            mesh, kpp_s, k_new, True)(st, accum)
+                            mesh, kpp_s, k_new, True,
+                            compactor=compactor_s)(st, accum)
                         state_sorted = False  # split clones break order
                     continue
                 k_new = _grid_size(worst, min_lanes, cfg.compact_quantum)
                 if k_new <= int(cur * shrink):
                     st, accum = _compact_split_sm(
                         mesh, kpp_s, k_new, False,
-                        tail_sorted=state_sorted)(st, accum)
+                        tail_sorted=state_sorted,
+                        compactor=compactor_s)(st, accum)
             return st, accum
 
         # Bind dims/kpp so call sites keep the historical signatures.

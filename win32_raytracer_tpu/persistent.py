@@ -752,6 +752,142 @@ _compact = functools.partial(
     jax.jit, static_argnames=("k_new", "tail_sorted", "n_receivers"),
 )(_compact_core)
 
+
+# ---------------------------------------------------------------------------
+# Router compactor (cfg.compactor="route"): stable partition WITHOUT the
+# sort network.  The 20-operand lax.sort in _compact_core is both the
+# compaction's runtime cost (~93 ms of the ~123 ms top-rung event,
+# tpu_jobs 990/i623) and its compile cost (sort networks are the
+# multi-minute per-(n, k_new)-pair remote compiles behind the round-3/4
+# warm-up tails).  A stable partition by ONE bit needs neither: route
+# every alive column left by (dead columns before it) with ceil(log2 n)
+# masked power-of-two shifts — a monotone routing, so LSB-first
+# bit-serial shifting is collision-free (proof sketch: for alive i < j,
+# dest_j - dest_i >= 1 forces shift_j - shift_i <= j - i - 1, so j's
+# partial position j - (s_j mod 2^k) stays > i's for every prefix of
+# bits).  Dead columns route right symmetrically.
+#
+# Equivalence to the sort compactor: a stable partition preserves the
+# alive group's relative order, which is exactly what lax.sort with the
+# dead-bit key (is_stable) produces — and equals the composite
+# (dead, pixel) key's alive ordering whenever the driver's pixel-
+# ascending invariant holds (the only time tail_sorted is passed).  The
+# surviving lanes therefore land in IDENTICAL slots and the continuing
+# render is bit-identical (per-lane draws key on lane position).  Only
+# the retained-dead region differs: those lanes are inert by
+# construction (a lane observed dead at a host check has exhausted its
+# quota — in-kernel respawn would have revived it otherwise), so the
+# router re-synthesizes them as explicit zero-quota padding (pixel and
+# radiance preserved for the eventual flush; sample=0, s_quota=0 can
+# never pass the respawn predicate sample < s_quota - 1) instead of
+# routing 12 more state rows to the tail.  The dropped tail's flush
+# uses an UNSORTED segment_sum: the router's dead group is multi-run
+# (one ascending run per prior compaction), not globally
+# pixel-ascending, and tpu_jobs i623 priced sorted/unsorted scatter-add
+# within noise of each other on this runtime.
+_ROUTE_F32_FIELDS = ("origin", "direction", "time", "throughput",
+                     "radiance_sum")
+_ROUTE_I32_FIELDS = ("depth", "sample", "pixel", "s_base", "s_quota")
+# Row offsets in the stacked [18, n] matrix.
+_R_RAD = 10
+_R_DEPTH, _R_SAMPLE, _R_PIXEL, _R_SBASE, _R_SQUOTA = 13, 14, 15, 16, 17
+
+
+def _route_partition(mat: jnp.ndarray, shift: jnp.ndarray,
+                     valid: jnp.ndarray, *, right: bool = False):
+    """Stable-compact the columns of ``mat`` [R, n] where ``valid`` is
+    nonzero to the left (or right) edge.  ``shift`` [n] i32 is each
+    valid column's non-negative move distance (garbage on invalid
+    columns — never consulted).  Returns the routed matrix; after
+    routing, the first (last) n_valid columns hold the valid columns in
+    stable order."""
+    n = mat.shape[1]
+    for k in range(max(1, (n - 1).bit_length())):
+        s = 1 << k
+        if right:
+            def sh(a):
+                pad = [(0, 0)] * (a.ndim - 1) + [(s, 0)]
+                return jnp.pad(a[..., :n - s], pad)
+        else:
+            def sh(a):
+                pad = [(0, 0)] * (a.ndim - 1) + [(0, s)]
+                return jnp.pad(a[..., s:], pad)
+        arrive = (sh(valid) > 0) & (((sh(shift) >> k) & 1) > 0)
+        leave = (valid > 0) & (((shift >> k) & 1) > 0)
+        mat = jnp.where(arrive[None, :], sh(mat), mat)
+        shift = jnp.where(arrive, sh(shift), shift)
+        valid = jnp.where(arrive, jnp.int32(1),
+                          jnp.where(leave, jnp.int32(0), valid))
+    return mat
+
+
+def _compact_route_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
+                        lanes_per_pixel=1):
+    """Drop-in for _compact_core (sans receiver redistribution — the
+    driver falls back to the sort compactor for those events): keep the
+    live lanes in a [k_new] batch, flush the dropped lanes' radiance."""
+    n = st.pixel.shape[1]
+    alive = st.path_alive[0]
+    alive_i = alive.astype(jnp.int32)
+    dead_i = 1 - alive_i
+    pos = jax.lax.iota(jnp.int32, n)
+    ca = jnp.cumsum(alive_i)
+    n_alive = ca[n - 1]
+
+    def as_f32(a):
+        return jax.lax.bitcast_convert_type(a, jnp.float32)
+
+    def as_i32(a):
+        return jax.lax.bitcast_convert_type(a, jnp.int32)
+
+    mat_a = jnp.concatenate(
+        [getattr(st, f) for f in _ROUTE_F32_FIELDS]
+        + [as_f32(getattr(st, f)) for f in _ROUTE_I32_FIELDS], axis=0)
+    mat_a = _route_partition(mat_a, pos - (ca - 1), alive_i)
+
+    # Dead columns: only pixel + radiance survive (flush payload); the
+    # rest of a dead lane's state is re-synthesized as inert padding.
+    cd = jnp.cumsum(dead_i)
+    shift_d = (n_alive + cd - 1) - pos
+    mat_d = jnp.concatenate([as_f32(st.pixel), st.radiance_sum], axis=0)
+    mat_d = _route_partition(mat_d, shift_d, dead_i, right=True)
+
+    ha = (pos[:k_new] < n_alive)[None]          # [1, k_new]
+    a_h = mat_a[:, :k_new]
+    d_h = mat_d[:, :k_new]
+    zero_i = jnp.zeros((1, k_new), jnp.int32)
+    dir_pad = jnp.zeros((3, k_new), jnp.float32).at[2].set(1.0)
+
+    def head_i32(row):
+        return jnp.where(ha, as_i32(a_h[row:row + 1]), zero_i)
+
+    new = PathState(
+        origin=jnp.where(ha, a_h[0:3], 0.0),
+        direction=jnp.where(ha, a_h[3:6], dir_pad),
+        time=jnp.where(ha, a_h[6:7], 0.0),
+        throughput=jnp.where(ha, a_h[7:10], 1.0),
+        radiance_sum=jnp.where(ha, a_h[_R_RAD:_R_RAD + 3], d_h[1:4]),
+        depth=head_i32(_R_DEPTH),
+        sample=head_i32(_R_SAMPLE),
+        pixel=jnp.where(ha, as_i32(a_h[_R_PIXEL:_R_PIXEL + 1]),
+                        as_i32(d_h[0:1])),
+        path_alive=ha,
+        s_base=head_i32(_R_SBASE),
+        s_quota=head_i32(_R_SQUOTA),
+    )
+
+    # Dropped tail: all dead (k_new >= n_alive), radiance final.
+    drop_pix, _ = _exact_divmod_any(as_i32(mat_d[0:1, k_new:]),
+                                    lanes_per_pixel)
+    flushed = jax.ops.segment_sum(
+        mat_d[1:4, k_new:].T, drop_pix[0],
+        num_segments=accum.shape[1], indices_are_sorted=False)
+    return new, accum + flushed.T
+
+
+_compact_route = functools.partial(
+    jax.jit, static_argnames=("k_new",))(_compact_route_core)
+
 # Work redistribution at above-floor compactions: overshoot k_new by
 # this factor and hand the spare dead lanes donor work.  Off by default
 # (cfg.redistribute): the headline A/B (job 245) measured 2.17 s median
@@ -1233,6 +1369,22 @@ def render_image_persistent(
 
         return do_steps
 
+    use_route = (cfg.compactor or "sort") == "route"
+
+    def compact_fn(st, accum, *, k_new, lanes_per_pixel,
+                   tail_sorted=False, n_receivers=0):
+        """Engine dispatch (cfg.compactor): the router produces the
+        identical surviving-lane layout (continuation bit-identical —
+        rationale on _compact_route_core), so the choice is purely a
+        cost knob; receiver events keep the sort engine (the router has
+        no redistribution path)."""
+        if use_route and n_receivers == 0:
+            return _compact_route(st, accum, k_new=k_new,
+                                  lanes_per_pixel=lanes_per_pixel)
+        return _compact(st, accum, k_new=k_new,
+                        lanes_per_pixel=lanes_per_pixel,
+                        tail_sorted=tail_sorted, n_receivers=n_receivers)
+
     def make_finish(salt, kpp_s):
         """Tail finisher: once the batch is below the compaction floor
         (dispatch-bound regime — step cost no longer shrinks with the
@@ -1285,8 +1437,8 @@ def render_image_persistent(
                 if n_alive == 0 or step >= max_steps_:
                     break
                 k_new = max(min_lanes, _next_pow2(n_alive))
-                st, accum = _compact(st, accum, k_new=k_new,
-                                     lanes_per_pixel=kpp_s)
+                st, accum = compact_fn(st, accum, k_new=k_new,
+                                       lanes_per_pixel=kpp_s)
                 st = _split(st)
             return st, accum
         return staged
@@ -1345,8 +1497,8 @@ def render_image_persistent(
                     # trips.
                     k_new = max(min_lanes, _next_pow2(n_alive))
                     if k_new <= cur // 2:
-                        st, accum = _compact(st, accum, k_new=k_new,
-                                             lanes_per_pixel=kpp_s)
+                        st, accum = compact_fn(st, accum, k_new=k_new,
+                                               lanes_per_pixel=kpp_s)
                         st = _split(st)
                     st = finish(st, step, max_steps)
                     break
@@ -1357,8 +1509,8 @@ def render_image_persistent(
                 # sequential sample tail halves per event.
                 k_new = max(min_lanes, _next_pow2(n_alive))
                 if k_new <= cur // 2:
-                    st, accum = _compact(st, accum, k_new=k_new,
-                                         lanes_per_pixel=kpp_s)
+                    st, accum = compact_fn(st, accum, k_new=k_new,
+                                           lanes_per_pixel=kpp_s)
                     st = _split(st)
                 continue
             # Compact on a shrink (above the floor shrinking the batch is
@@ -1378,10 +1530,10 @@ def render_image_persistent(
                                      k_new // 2)
                     else:
                         k_new = k_base
-                st, accum = _compact(st, accum, k_new=k_new,
-                                     lanes_per_pixel=kpp_s,
-                                     tail_sorted=state_sorted,
-                                     n_receivers=n_recv)
+                st, accum = compact_fn(st, accum, k_new=k_new,
+                                       lanes_per_pixel=kpp_s,
+                                       tail_sorted=state_sorted,
+                                       n_receivers=n_recv)
                 if n_recv:
                     state_sorted = False
         return st, accum
