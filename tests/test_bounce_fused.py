@@ -101,3 +101,32 @@ def test_driver_render_smoke_jnp():
     cfg = RenderConfig(width=W, height=H, samples=4, backend="jnp")
     img = np.asarray(render_image_persistent(scene, cam, cfg))
     assert np.isfinite(img).all() and img.mean() > 0.05
+
+
+def test_multi_fused_matches_successive_fused():
+    """p_bounce_multi_fused(k) must be bit-identical to k successive
+    p_bounce_fused calls at steps step0..step0+k-1 (same draw
+    derivation, same kernel body, just one dispatch)."""
+    from win32_raytracer_tpu.kernels.bounce_pallas import (
+        p_bounce_fused, p_bounce_multi_fused)
+
+    scene = random_scene()
+    cam = default_camera(W, H)
+    cfg = RenderConfig(width=W, height=H, samples=SPP,
+                       lanes_per_pixel=KPP)
+    st0 = _state(512)
+    salt = np.uint32(0x5EED)
+    dims = make_dims(cfg, W, H, SPP, KPP)
+    k = 3
+    multi = p_bounce_multi_fused(
+        hit_coeffs(scene), cam, st0, salt, jnp.int32(4), dims,
+        cfg=step_cfg(cfg), k=k, ray_block=RB, interpret=INTERPRET)
+    st = st0
+    for i in range(k):
+        st = p_bounce_fused(hit_coeffs(scene), cam, st, salt,
+                            jnp.int32(4 + i), dims, cfg=step_cfg(cfg),
+                            ray_block=RB, interpret=INTERPRET)
+    for f in PathState._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(multi, f)), np.asarray(getattr(st, f)),
+            err_msg=f)

@@ -268,6 +268,17 @@ class RenderConfig:
     # sharded driver's +38% small-batch-tail residual (tpu_jobs 575)
     # is the motivating regime.  0 = auto (currently 4).
     multi_k: int = 0
+    # Engine for the below-floor multi-bounce programs: "xla" = the
+    # fori_loop XLA cores (p_bounce_multi_step); "fused" = k unrolled
+    # Mosaic fused bounces in one program (bounce_pallas.
+    # p_bounce_multi_fused) — ~5.6 vs ~9.5-10 ns/lane-step at tail
+    # sizes (tpu_jobs 990 anatomy), numerically the fused kernel's
+    # split-bf16 hit instead of the XLA f32 hit (statistically
+    # equivalent, same stance as fuse_bounce).  "" = auto (currently
+    # "xla"; flip pending the round-5 on-chip A/B, tpu_jobs n630).
+    # Only takes effect where the fused kernel runs at all
+    # (fuse_bounce resolution); binned scenes always single-step.
+    multi_backend: str = ""
     # Compaction size grid quantum (persistent scheduler): >0 rounds
     # above-floor compactions up to a multiple of this ABSOLUTE quantum
     # (the pre-round-4 behavior; 64k beat 256k by ~4% at the headline,

@@ -178,3 +178,26 @@ def p_bounce_fused(coeffs, cam, st, salt, step_i, dims, *,
 p_bounce_fused_jit = functools.partial(
     jax.jit, static_argnames=("cfg", "ray_block", "interpret", "lean"))(
         p_bounce_fused)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "k", "ray_block", "interpret",
+                              "lean"))
+def p_bounce_multi_fused(coeffs, cam, st, salt, step0, dims, *,
+                         cfg: RenderConfig, k: int,
+                         ray_block: int = DEFAULT_RAY_BLOCK_BOUNCE,
+                         interpret: bool = False, lean: bool = False):
+    """``k`` fused Mosaic bounces in ONE dispatch — the below-floor
+    tail's dispatch economics (persistent.p_bounce_multi_step) at the
+    fused kernel's per-lane-step cost (round-5 anatomy: the XLA multi
+    core runs ~9.5-10 ns/lane-step where the Mosaic bounce runs 5.6;
+    tpu_jobs 990).  The loop is UNROLLED python — k sequential
+    pallas_calls in one program — never a lax loop: Mosaic inside
+    while/fori is the one compile surface that failed on the real chip
+    (bench.py's one_shot degrade path).  Draws are bit-identical to k
+    successive p_bounce_fused calls at steps step0..step0+k-1."""
+    for i in range(k):
+        st = p_bounce_fused(coeffs, cam, st, salt, step0 + jnp.int32(i),
+                            dims, cfg=cfg, ray_block=ray_block,
+                            interpret=interpret, lean=lean)
+    return st

@@ -1326,11 +1326,22 @@ def render_image_persistent(
             # scatter, re-degenerating the block mask.
             mk = cfg.multi_k or _MULTI_K
             if fuse and k >= mk and bin_box is None:
+                multi_fused = ((cfg.multi_backend or "xla") == "fused"
+                               and fused_bounce is not None)
                 while k >= mk:
-                    st = p_bounce_multi_step(
-                        scene, cam_x, st, salt, jnp.int32(step + 1),
-                        dims_s, cfg=scfg, hit_fn=hit_fn,
-                        n_frames=n_frames, k=mk, lean=lean)
+                    if multi_fused:
+                        from .kernels.bounce_pallas import (
+                            p_bounce_multi_fused)
+                        st = p_bounce_multi_fused(
+                            hit_coeffs_v7, cam_m, st, salt,
+                            jnp.int32(step + 1), dims_s, cfg=scfg,
+                            k=mk, lean=lean,
+                            interpret=cfg.pallas_interpret)
+                    else:
+                        st = p_bounce_multi_step(
+                            scene, cam_x, st, salt, jnp.int32(step + 1),
+                            dims_s, cfg=scfg, hit_fn=hit_fn,
+                            n_frames=n_frames, k=mk, lean=lean)
                     step += mk
                     k -= mk
             for _ in range(k):
