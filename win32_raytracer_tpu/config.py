@@ -279,6 +279,14 @@ class RenderConfig:
     # Only takes effect where the fused kernel runs at all
     # (fuse_bounce resolution); binned scenes always single-step.
     multi_backend: str = ""
+    # Split-bf16 limb-pair count of the v7/fused hit quadratic
+    # (kernels/hit_pallas_v6._PAIRS): 6 = ~f32 quality (K=96 MXU
+    # columns); 3 = 3-pass quality (K=48, half the MXU term of the
+    # roofline, docs/perf_roadmap.md round-5) at the documented
+    # grazing-accuracy stance (discriminant O(1e-3) absolute -> hit
+    # flips only within ~1e-3 of tangency).  0 = auto (6; revisit with
+    # tpu_jobs k626's pricing).
+    hit_terms: int = 0
     # Compaction size grid quantum (persistent scheduler): >0 rounds
     # above-floor compactions up to a multiple of this ABSOLUTE quantum
     # (the pre-round-4 behavior; 64k beat 256k by ~4% at the headline,

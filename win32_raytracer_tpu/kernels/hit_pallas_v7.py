@@ -47,10 +47,17 @@ DEFAULT_RAY_BLOCK_V7 = 2048
 _N_TERMS = 6
 
 
-def hit_coeffs(scene: SphereScene):
-    """(mb_stack, mc_stack, attrs) — precompute ONCE per render."""
+def hit_coeffs(scene: SphereScene, n_terms: int = 0):
+    """(mb_stack, mc_stack, attrs) — precompute ONCE per render.
+
+    ``n_terms`` (0 = default 6): limb-pair count of the split-bf16
+    quadratic (hit_pallas_v6._PAIRS).  6 = ~f32 quality (K=96); 3 =
+    3-pass quality (K=48, half the MXU work) at the documented
+    grazing-accuracy stance.  The kernels derive the pair list from the
+    coeff stack's K dimension, so the choice lives entirely in which
+    coeffs a caller builds (cfg.hit_terms)."""
     from .hit_pallas_v6 import _coeffs_v6
-    return _coeffs_v6(scene, n_terms=_N_TERMS)
+    return _coeffs_v6(scene, n_terms=n_terms or _N_TERMS)
 
 
 def hit_sky_values(o, d, tm, thr, rad, alive, mb, mc, attrs,
@@ -63,7 +70,8 @@ def hit_sky_values(o, d, tm, thr, rad, alive, mb, mc, attrs,
     a = jnp.sum(d * d, axis=0, keepdims=True)
     ta_min, g = mxu_pair_sweep(
         o, d, tm, a, mb, mc, attrs,
-        n_spheres=n_spheres, min_t=min_t, pairs=_PAIRS[_N_TERMS])
+        n_spheres=n_spheres, min_t=min_t,
+        pairs=_PAIRS[mb.shape[1] // 16])
 
     hit = ta_min < F32_MAX
     t = jnp.where(hit, ta_min / a, F32_MAX)

@@ -429,7 +429,7 @@ def render_image_persistent_sharded(
         # v7 on a TPU mesh: whole hit phase in one pallas program per
         # shard (persistent.py's production structure).
         from ..kernels.hit_pallas_v7 import hit_coeffs
-        coeffs = hit_coeffs(scene)
+        coeffs = hit_coeffs(scene, cfg.hit_terms)
     w, h, spp = cfg.width, cfg.height, cfg.samples
     h_virt = h * n_frames  # multi-frame: frames stack as a taller image
     if n_frames > 1:

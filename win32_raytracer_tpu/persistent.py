@@ -1127,7 +1127,7 @@ def render_image_persistent(
             # elementwise code around the kernel — rule 11's fusion
             # pessimization).  hit_fn remains for the fused tail path.
             from .kernels.hit_pallas_v7 import hit_coeffs
-            hit_coeffs_v7 = hit_coeffs(scene)
+            hit_coeffs_v7 = hit_coeffs(scene, cfg.hit_terms)
 
     bin_box = _derive_bin_box(cfg, scene)
     if cfg.compact_quantum < 0:
