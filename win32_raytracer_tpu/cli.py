@@ -98,6 +98,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "current batch (persistent scheduler; lower = "
                         "fewer, bigger compactions; 0 = auto, "
                         "RenderConfig.compact_shrink)")
+    p.add_argument("--compactor", default="",
+                   choices=["", "sort", "route"],
+                   help="compaction engine: 20-operand stable sort vs "
+                        "the bit-serial stable-partition router "
+                        "(RenderConfig.compactor; '' = auto)")
+    p.add_argument("--multi-backend", default="",
+                   choices=["", "xla", "fused"],
+                   help="below-floor multi-bounce engine: fori XLA "
+                        "cores vs unrolled Mosaic fused bounces "
+                        "(RenderConfig.multi_backend; '' = auto)")
+    p.add_argument("--hit-terms", type=int, default=0,
+                   help="split-bf16 limb pairs of the hit quadratic "
+                        "(6 = ~f32, 3 = 3-pass quality at half the MXU "
+                        "work; 0 = auto, RenderConfig.hit_terms)")
     p.add_argument("--tri-gather", default="auto",
                    choices=["auto", "fused", "deferred"],
                    help="triangle-grid winner-attribute path: in-kernel "
@@ -172,6 +186,9 @@ def main(argv=None) -> int:
         adaptive_alloc=args.adaptive,
         one_shot=args.one_shot,
         multi_k=args.multi_k,
+        compactor=args.compactor,
+        multi_backend=args.multi_backend,
+        hit_terms=args.hit_terms,
         compact_quantum=args.compact_quantum,
         compact_shrink=args.compact_shrink,
         tri_gather=args.tri_gather,
