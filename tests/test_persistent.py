@@ -866,3 +866,37 @@ def test_compact_route_render_equivalence(monkeypatch):
         scene, None, cfg.replace(compactor="route")))
     assert np.isfinite(routed).all()
     np.testing.assert_allclose(routed, base, rtol=2e-5, atol=2e-6)
+
+
+def test_compact_route_edges():
+    """Router edges: k_new == n (nothing dropped) and a nearly-all-dead
+    batch (n_alive tiny) both conserve radiance exactly."""
+    import win32_raytracer_tpu.persistent as P
+
+    rng = np.random.RandomState(9)
+    n, kpp, n_pix = 1024, 1, 1024
+    for k_new, frac in ((n, 0.5), (512, 0.01)):
+        alive = rng.rand(n) < frac
+        alive[0] = True
+        st = P.PathState(
+            origin=jnp.asarray(rng.rand(3, n).astype(np.float32)),
+            direction=jnp.asarray(rng.rand(3, n).astype(np.float32)),
+            time=jnp.asarray(rng.rand(1, n).astype(np.float32)),
+            throughput=jnp.asarray(rng.rand(3, n).astype(np.float32)),
+            radiance_sum=jnp.asarray(rng.rand(3, n).astype(np.float32)),
+            depth=jnp.zeros((1, n), jnp.int32),
+            sample=jnp.zeros((1, n), jnp.int32),
+            pixel=jnp.arange(n, dtype=jnp.int32)[None],
+            path_alive=jnp.asarray(alive[None]),
+            s_base=jnp.zeros((1, n), jnp.int32),
+            s_quota=jnp.ones((1, n), jnp.int32),
+        )
+        accum = jnp.zeros((3, n_pix), jnp.float32)
+        new, acc = P._compact_route_core(st, accum, k_new=k_new,
+                                         lanes_per_pixel=kpp)
+        total0 = np.asarray(st.radiance_sum).astype(np.float64).sum()
+        total1 = (np.asarray(acc).astype(np.float64).sum()
+                  + np.asarray(new.radiance_sum).astype(np.float64).sum())
+        np.testing.assert_allclose(total1, total0, rtol=1e-6)
+        na = int(alive.sum())
+        assert np.asarray(new.path_alive[0]).sum() == min(na, k_new)
