@@ -900,3 +900,89 @@ def test_compact_route_edges():
         np.testing.assert_allclose(total1, total0, rtol=1e-6)
         na = int(alive.sum())
         assert np.asarray(new.path_alive[0]).sum() == min(na, k_new)
+
+
+def test_window_flush_matches_segment_sum():
+    """_window_flush must produce the same per-pixel sums as
+    segment_sum (FP association-order tolerance) across dense,
+    duplicate-heavy, sparse (residual-path), and edge streams."""
+    import win32_raytracer_tpu.persistent as P
+    import jax
+
+    rng = np.random.RandomState(21)
+    p_pix = 4096
+    cases = [
+        np.sort(rng.randint(0, p_pix, 5000)),          # dense+dups
+        np.sort(rng.randint(0, p_pix, 700)),           # < one block
+        np.repeat(np.arange(50), 40),                  # heavy dup runs
+        np.sort(rng.choice(p_pix, 300, replace=False)) * 1,  # sparse-ish
+        np.sort(np.concatenate([                       # sparse: residual
+            rng.randint(0, 64, 800),
+            rng.randint(p_pix - 64, p_pix, 800)])),
+        np.array([0]),                                 # single entry
+        np.array([p_pix - 1] * 7),                     # last pixel only
+    ]
+    for t, pix in enumerate(cases):
+        pix = pix.astype(np.int32)
+        rad = rng.rand(3, pix.size).astype(np.float32)
+        accum0 = rng.rand(3, p_pix).astype(np.float32)
+        want = accum0 + np.asarray(jax.ops.segment_sum(
+            jnp.asarray(rad).T, jnp.asarray(pix),
+            num_segments=p_pix)).T
+        got = np.asarray(P._window_flush(
+            jnp.asarray(accum0), jnp.asarray(pix), jnp.asarray(rad)))
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6,
+                                   err_msg=f"case {t}")
+
+
+def test_compact_flush_window_matches_scatter():
+    """_compact_core(flush='window') == flush='scatter' (same kept
+    state bit-exactly; accum to FP tolerance), both tail modes."""
+    import win32_raytracer_tpu.persistent as P
+
+    rng = np.random.RandomState(4)
+    n, k_new, kpp, n_pix = 4096, 2048, 2, 2048
+    alive = rng.rand(n) < 0.4
+    pix = np.sort(rng.randint(0, n_pix * kpp, n)).astype(np.int32)
+    st = P.PathState(
+        origin=jnp.asarray(rng.rand(3, n).astype(np.float32)),
+        direction=jnp.asarray(rng.rand(3, n).astype(np.float32)),
+        time=jnp.asarray(rng.rand(1, n).astype(np.float32)),
+        throughput=jnp.asarray(rng.rand(3, n).astype(np.float32)),
+        radiance_sum=jnp.asarray(rng.rand(3, n).astype(np.float32)),
+        depth=jnp.zeros((1, n), jnp.int32),
+        sample=jnp.zeros((1, n), jnp.int32),
+        pixel=jnp.asarray(pix[None]),
+        path_alive=jnp.asarray(alive[None]),
+        s_base=jnp.zeros((1, n), jnp.int32),
+        s_quota=jnp.ones((1, n), jnp.int32),
+    )
+    accum = jnp.zeros((3, n_pix), jnp.float32)
+    for ts in (False, True):
+        ns_, acc_s = P._compact_core(st, accum, k_new=k_new,
+                                     lanes_per_pixel=kpp, tail_sorted=ts)
+        nw_, acc_w = P._compact_core(st, accum, k_new=k_new,
+                                     lanes_per_pixel=kpp, tail_sorted=ts,
+                                     flush="window")
+        for f in P.PathState._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ns_, f)), np.asarray(getattr(nw_, f)),
+                err_msg=f"{f} ts={ts}")
+        np.testing.assert_allclose(np.asarray(acc_w), np.asarray(acc_s),
+                                   rtol=2e-6, atol=2e-6)
+
+
+def test_render_flush_window_equivalence(monkeypatch):
+    """End-to-end: flush_mode='window' must reproduce the scatter-flush
+    render (kept lanes identical -> identical draws; flush order FP)."""
+    import win32_raytracer_tpu.persistent as P
+
+    monkeypatch.setattr(P, "_COMPACT_FLOOR", 512)
+    scene = make_test_scene()
+    cfg = RenderConfig(width=64, height=32, samples=16, seed=11,
+                       backend="jnp", one_shot="off")
+    base = np.asarray(render_image_persistent(scene, None, cfg))
+    win = np.asarray(render_image_persistent(
+        scene, None, cfg.replace(flush_mode="window")))
+    assert np.isfinite(win).all()
+    np.testing.assert_allclose(win, base, rtol=2e-5, atol=2e-6)

@@ -321,6 +321,14 @@ class RenderConfig:
     # pricing, tpu_jobs i623/l627).  Receiver-redistribution events
     # (cfg.redistribute="on") always use the sort engine.
     compactor: str = ""
+    # Dropped-tail flush engine at compactions: "scatter" = XLA
+    # segment_sum (measured ~33 ns per scattered f32 — ~75% of the whole
+    # top-rung compaction, tpu_jobs i623); "window" = dense windowed
+    # accumulation of the pixel-sorted stream (block one-hot MXU
+    # contraction + dynamic-update-slice, sparse-block scatter fallback
+    # under lax.cond — persistent._window_flush).  "" = auto (currently
+    # "scatter"; flip rides tpu_jobs o633's on-chip pricing).
+    flush_mode: str = ""
     # Persistent scheduler: replica lanes per pixel (samples split across
     # K lanes with quota spp/K each — more parallelism for hard pixels,
     # shorter sequential tails, bigger batches).  0 = auto (largest of

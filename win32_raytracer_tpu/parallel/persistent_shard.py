@@ -313,7 +313,8 @@ def _bin_sort_sm(mesh: Mesh, box, key_variant: str):
 
 @functools.lru_cache(maxsize=256)
 def _compact_split_sm(mesh: Mesh, kpp: int, k_new: int, do_split: bool,
-                      tail_sorted: bool = False, compactor: str = "sort"):
+                      tail_sorted: bool = False, compactor: str = "sort",
+                      flush: str = "scatter"):
     sspec = _sspec()
 
     def compact(st, accum):
@@ -333,7 +334,7 @@ def _compact_split_sm(mesh: Mesh, kpp: int, k_new: int, do_split: bool,
         else:
             new, acc2 = _compact_core(
                 st, accum[0], k_new=k_new, lanes_per_pixel=kpp,
-                tail_sorted=tail_sorted)
+                tail_sorted=tail_sorted, flush=flush)
         accum = acc2[None]
         if do_split:
             new = _split(new)
@@ -420,6 +421,7 @@ def render_image_persistent_sharded(
                          f"got {cfg.compact_shrink}")
     shrink = cfg.compact_shrink or _COMPACT_SHRINK
     compactor_s = cfg.compactor or "sort"
+    flush_s = cfg.flush_mode or "scatter"
     from ..kernels.dispatch import _resolve_backend as _rb
     backend = _rb(cfg, platform=mesh.devices.flat[0].platform)
     coeffs = None
@@ -670,7 +672,8 @@ def render_image_persistent_sharded(
                 k_new = max(min_lanes, _next_pow2(worst))
                 st, accum = _compact_split_sm(
                     mesh, kpp_s, k_new, True,
-                    compactor=compactor_s)(st, accum)
+                    compactor=compactor_s,
+                    flush=flush_s)(st, accum)
             return st, accum
 
         def run_loop(st, accum, first_check_s, max_steps_s,
@@ -733,7 +736,8 @@ def render_image_persistent_sharded(
                         if k_new <= cur // 2:
                             st, accum = _compact_split_sm(
                                 mesh, kpp_s, k_new, True,
-                                compactor=compactor_s)(st, accum)
+                                compactor=compactor_s,
+                                flush=flush_s)(st, accum)
                         st = finish_sm(scene, camt, st, dev_keys_s,
                                        jnp.int32(step),
                                        jnp.int32(max_steps_s), dims_s)
@@ -742,7 +746,8 @@ def render_image_persistent_sharded(
                     if k_new <= cur // 2:
                         st, accum = _compact_split_sm(
                             mesh, kpp_s, k_new, True,
-                            compactor=compactor_s)(st, accum)
+                            compactor=compactor_s,
+                            flush=flush_s)(st, accum)
                         state_sorted = False  # split clones break order
                     continue
                 k_new = _grid_size(worst, min_lanes, cfg.compact_quantum)
@@ -750,7 +755,8 @@ def render_image_persistent_sharded(
                     st, accum = _compact_split_sm(
                         mesh, kpp_s, k_new, False,
                         tail_sorted=state_sorted,
-                        compactor=compactor_s)(st, accum)
+                        compactor=compactor_s,
+                        flush=flush_s)(st, accum)
             return st, accum
 
         # Bind dims/kpp so call sites keep the historical signatures.

@@ -640,9 +640,84 @@ def _grid_size(n_alive: int, min_lanes: int, quantum: int = 0) -> int:
     return max(min_lanes, _next_pow2(n_alive))
 
 
+# ---------------------------------------------------------------------------
+# Windowed flush: per-pixel accumulation of dropped-lane radiance WITHOUT
+# the XLA scatter-add.  tpu_jobs i623 decomposed the production top-rung
+# compaction (149 ms at 3.93M -> 2.36M): the 20-operand sort is 31.6 ms;
+# the segment_sum flush of the 1.57M dropped tail is ~155 ms (~33 ns per
+# scattered f32, sorted/unsorted flag irrelevant) — the flush, not the
+# permutation, IS the compaction cost.  But the dropped tail arrives
+# PIXEL-SORTED (the composite sort key / argsort fallback), and a sorted
+# stream can be accumulated densely: take fixed blocks of B entries,
+# each covering a bounded pixel window when the stream is locally dense
+# (kpp replicas make production tails dense), build the block's
+# [B, W] one-hot, contract on the MXU ([3, B] x [B, W] -> [3, W]), and
+# add the window into the accumulator with a dynamic-update-slice — a
+# contiguous read-modify-write, no scatter.  Blocks whose pixel span
+# exceeds the window (sparse stream regions) fall back to one masked
+# segment_sum, executed only when such a block exists (lax.cond).
+_FLUSH_BLOCK = 1024
+_FLUSH_WIN = 1024 + 128   # block span bound + 128-lane base alignment
+
+
+def _window_flush(accum: jnp.ndarray, pix: jnp.ndarray,
+                  rad: jnp.ndarray) -> jnp.ndarray:
+    """accum [3, P] += per-pixel sums of rad [3, T] at ASCENDING pixel
+    ids pix [T] (i32, all < P).  Exact sums (f32 adds in block order —
+    same values as segment_sum, associativity-order differences only)."""
+    t = pix.shape[0]
+    p = accum.shape[1]
+    if t == 0:
+        return accum
+    b, w = _FLUSH_BLOCK, _FLUSH_WIN
+    pad = (-t) % b
+    if pad:
+        # Pad with the LAST pixel id (keeps the stream ascending) and
+        # zero radiance (contributes nothing).
+        pix = jnp.concatenate([pix, jnp.broadcast_to(pix[t - 1:t], (pad,))])
+        rad = jnp.pad(rad, ((0, 0), (0, pad)))
+    nb = (t + pad) // b
+    pix2 = pix.reshape(nb, b)
+    rad2 = rad.reshape(3, nb, b).transpose(1, 0, 2)     # [nb, 3, b]
+    w0 = (pix2[:, 0] // 128) * 128                       # [nb], aligned
+    ok = (pix2[:, -1] - w0) < w                          # [nb] span fits
+    off = pix2 - w0[:, None]                             # [nb, b]
+
+    # Window base can reach p-1; pad the accumulator so every window
+    # fits without DUS start-clamping (which would mis-map pixels).
+    acc_p = jnp.pad(accum, ((0, 0), (0, w)))
+
+    iota_w = jax.lax.iota(jnp.int32, w)
+
+    def body(acc, xs):
+        offb, radb, w0b, okb = xs
+        onehot = ((offb[:, None] == iota_w[None, :]) & okb).astype(
+            jnp.float32)                                  # [b, w]
+        contrib = jax.lax.dot_general(
+            radb, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [3, w]
+        win = jax.lax.dynamic_slice(acc, (0, w0b), (3, w))
+        return jax.lax.dynamic_update_slice(acc, win + contrib,
+                                            (0, w0b)), None
+
+    acc_p, _ = jax.lax.scan(body, acc_p, (off, rad2, w0, ok))
+    accum = acc_p[:, :p]
+
+    def slow(acc):
+        # Sparse-region residual: the overflowing blocks' entries via
+        # the plain scatter-add (zeroed elsewhere).  Runs only when an
+        # overflowing block exists.
+        mask = jnp.repeat(~ok, b)
+        r = jnp.where(mask[None, :], rad, 0.0)
+        return acc + jax.ops.segment_sum(
+            r.T, pix, num_segments=p, indices_are_sorted=True).T
+
+    return jax.lax.cond(jnp.any(~ok), slow, lambda a: a, accum)
+
+
 def _compact_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
                   lanes_per_pixel: int = 1, tail_sorted: bool = False,
-                  n_receivers: int = 0):
+                  n_receivers: int = 0, flush: str = "scatter"):
     """Keep the live lanes (alive-first stable sort) in a [k_new] batch;
     flush ONLY the dropped lanes' radiance into the device accumulator.
 
@@ -678,11 +753,32 @@ def _compact_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
     radiance is flushed before they change pixels; sample accounting is
     exact (donor keeps quota - give, receiver gets give at
     s_base + kept).  All static shapes: strided slices, no gathers."""
+    key_s, cols = _compact_partition_core(st, tail_sorted=tail_sorted)
+    return _compact_finish_core(
+        key_s, cols, accum, k_new=k_new, lanes_per_pixel=lanes_per_pixel,
+        tail_sorted=tail_sorted, n_receivers=n_receivers, flush=flush)
+
+
+def _compact_partition_core(st: PathState, *, tail_sorted: bool):
+    """The compaction's SORT half: alive-first (composite-key) stable
+    multisort of the full state.  Split from the finish half so the
+    expensive sort-network program keys on the batch WIDTH only — the
+    old fused _compact compiled the identical network once per
+    (width, k_new) PAIR, the multi-minute ladder that ate the round-4/5
+    config-3 warms (g999/f620).  Returns (sorted key, per-field rows)."""
     key = (~st.path_alive[0]).astype(jnp.int32)
     if tail_sorted:
         key = key * _SORT_PIX_LIM + st.pixel[0]
     # path_alive is recovered from the sorted key.
-    key_s, cols = _multisort_state(st, key, skip=("path_alive",))
+    return _multisort_state(st, key, skip=("path_alive",))
+
+
+def _compact_finish_core(key_s, cols, accum, *, k_new: int,
+                         lanes_per_pixel=1, tail_sorted: bool = False,
+                         n_receivers: int = 0, flush: str = "scatter"):
+    """The compaction's cheap half: slice the [k_new] head, receiver
+    redistribution, dropped-tail flush.  Keys on (width, k_new) but has
+    no sort network — compiles in seconds (the per-pair surface)."""
     alive_s = (key_s[:k_new] < _SORT_PIX_LIM if tail_sorted
                else key_s[:k_new] == 0)
     new = PathState(*(
@@ -739,6 +835,11 @@ def _compact_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
         order = jnp.argsort(drop_pix)
         drop_pix = drop_pix[order]
         drop_rad = jnp.take(drop_rad, order, axis=1)
+    # Either way the dropped stream is now pixel-ascending: the windowed
+    # MXU flush applies (i623: the scatter here was ~75% of the whole
+    # compaction's cost at the top rung).
+    if flush == "window":
+        return new, _window_flush(accum, drop_pix, drop_rad)
     flushed = jax.ops.segment_sum(
         drop_rad.T, drop_pix,
         num_segments=accum.shape[1], indices_are_sorted=True)
@@ -748,9 +849,27 @@ def _compact_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
 # lanes_per_pixel rides as a TRACED operand (it only feeds pixel-id
 # division in the flushes), so one compiled compaction per
 # (n_in, k_new, flags) serves every config and every kpp.
-_compact = functools.partial(
-    jax.jit, static_argnames=("k_new", "tail_sorted", "n_receivers"),
-)(_compact_core)
+# lanes_per_pixel rides as a TRACED operand in the finish program.  The
+# two-program split means a fresh (width, k_new) pair only compiles the
+# cheap finish; the sort network compiles once per width.
+_compact_partition = functools.partial(
+    jax.jit, static_argnames=("tail_sorted",))(_compact_partition_core)
+_compact_finish = functools.partial(
+    jax.jit, static_argnames=("k_new", "tail_sorted", "n_receivers",
+                              "flush"))(_compact_finish_core)
+
+
+def _compact(st: PathState, accum, *, k_new, lanes_per_pixel=1,
+             tail_sorted=False, n_receivers=0, flush="scatter"):
+    """Two-dispatch compaction (sort-by-width, finish-by-pair).  The
+    intermediate sorted state crosses HBM once (~0.7 ms at 3.93M —
+    noise next to the 31.6 ms sort, tpu_jobs i623) and both dispatches
+    pipeline."""
+    key_s, cols = _compact_partition(st, tail_sorted=tail_sorted)
+    return _compact_finish(key_s, cols, accum, k_new=k_new,
+                           lanes_per_pixel=lanes_per_pixel,
+                           tail_sorted=tail_sorted,
+                           n_receivers=n_receivers, flush=flush)
 
 
 # ---------------------------------------------------------------------------
@@ -788,20 +907,28 @@ _compact = functools.partial(
 _ROUTE_F32_FIELDS = ("origin", "direction", "time", "throughput",
                      "radiance_sum")
 _ROUTE_I32_FIELDS = ("depth", "sample", "pixel", "s_base", "s_quota")
-# Row offsets in the stacked [18, n] matrix.
+# Row offsets: f32 stack [13, n] and i32 stack [5, n] (separate stacks —
+# see _route_partition's denormal note).
 _R_RAD = 10
-_R_DEPTH, _R_SAMPLE, _R_PIXEL, _R_SBASE, _R_SQUOTA = 13, 14, 15, 16, 17
+_RI_DEPTH, _RI_SAMPLE, _RI_PIXEL, _RI_SBASE, _RI_SQUOTA = 0, 1, 2, 3, 4
 
 
-def _route_partition(mat: jnp.ndarray, shift: jnp.ndarray,
+def _route_partition(mats, shift: jnp.ndarray,
                      valid: jnp.ndarray, *, right: bool = False):
-    """Stable-compact the columns of ``mat`` [R, n] where ``valid`` is
-    nonzero to the left (or right) edge.  ``shift`` [n] i32 is each
-    valid column's non-negative move distance (garbage on invalid
-    columns — never consulted).  Returns the routed matrix; after
-    routing, the first (last) n_valid columns hold the valid columns in
-    stable order."""
-    n = mat.shape[1]
+    """Stable-compact the columns of each matrix in ``mats`` (same
+    width, any dtype) where ``valid`` is nonzero to the left (or right)
+    edge.  ``shift`` [n] i32 is each valid column's non-negative move
+    distance (garbage on invalid columns — never consulted).  Returns
+    the routed matrices; after routing, the first (last) n_valid
+    columns hold the valid columns in stable order.
+
+    Matrices keep their OWN dtype through the routing: transporting i32
+    rows bitcast as f32 zeroes them on real TPUs — small integer bit
+    patterns are denormal f32s and the VPU flushes denormals on select
+    (found the hard way: route-arm renders were black on chip while
+    bit-exact on CPU, tpu_jobs l627)."""
+    mats = list(mats)
+    n = mats[0].shape[1]
     for k in range(max(1, (n - 1).bit_length())):
         s = 1 << k
         if right:
@@ -814,11 +941,11 @@ def _route_partition(mat: jnp.ndarray, shift: jnp.ndarray,
                 return jnp.pad(a[..., s:], pad)
         arrive = (sh(valid) > 0) & (((sh(shift) >> k) & 1) > 0)
         leave = (valid > 0) & (((shift >> k) & 1) > 0)
-        mat = jnp.where(arrive[None, :], sh(mat), mat)
+        mats = [jnp.where(arrive[None, :], sh(m), m) for m in mats]
         shift = jnp.where(arrive, sh(shift), shift)
         valid = jnp.where(arrive, jnp.int32(1),
                           jnp.where(leave, jnp.int32(0), valid))
-    return mat
+    return mats
 
 
 def _compact_route_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
@@ -834,53 +961,49 @@ def _compact_route_core(st: PathState, accum: jnp.ndarray, *, k_new: int,
     ca = jnp.cumsum(alive_i)
     n_alive = ca[n - 1]
 
-    def as_f32(a):
-        return jax.lax.bitcast_convert_type(a, jnp.float32)
-
-    def as_i32(a):
-        return jax.lax.bitcast_convert_type(a, jnp.int32)
-
-    mat_a = jnp.concatenate(
-        [getattr(st, f) for f in _ROUTE_F32_FIELDS]
-        + [as_f32(getattr(st, f)) for f in _ROUTE_I32_FIELDS], axis=0)
-    mat_a = _route_partition(mat_a, pos - (ca - 1), alive_i)
+    mat_f = jnp.concatenate(
+        [getattr(st, f) for f in _ROUTE_F32_FIELDS], axis=0)   # [13, n]
+    mat_i = jnp.concatenate(
+        [getattr(st, f) for f in _ROUTE_I32_FIELDS], axis=0)   # [5, n]
+    mat_f, mat_i = _route_partition((mat_f, mat_i), pos - (ca - 1),
+                                    alive_i)
 
     # Dead columns: only pixel + radiance survive (flush payload); the
     # rest of a dead lane's state is re-synthesized as inert padding.
     cd = jnp.cumsum(dead_i)
     shift_d = (n_alive + cd - 1) - pos
-    mat_d = jnp.concatenate([as_f32(st.pixel), st.radiance_sum], axis=0)
-    mat_d = _route_partition(mat_d, shift_d, dead_i, right=True)
+    d_rad, d_pix = _route_partition(
+        (st.radiance_sum, st.pixel), shift_d, dead_i, right=True)
 
     ha = (pos[:k_new] < n_alive)[None]          # [1, k_new]
-    a_h = mat_a[:, :k_new]
-    d_h = mat_d[:, :k_new]
+    f_h = mat_f[:, :k_new]
+    i_h = mat_i[:, :k_new]
     zero_i = jnp.zeros((1, k_new), jnp.int32)
     dir_pad = jnp.zeros((3, k_new), jnp.float32).at[2].set(1.0)
 
     def head_i32(row):
-        return jnp.where(ha, as_i32(a_h[row:row + 1]), zero_i)
+        return jnp.where(ha, i_h[row:row + 1], zero_i)
 
     new = PathState(
-        origin=jnp.where(ha, a_h[0:3], 0.0),
-        direction=jnp.where(ha, a_h[3:6], dir_pad),
-        time=jnp.where(ha, a_h[6:7], 0.0),
-        throughput=jnp.where(ha, a_h[7:10], 1.0),
-        radiance_sum=jnp.where(ha, a_h[_R_RAD:_R_RAD + 3], d_h[1:4]),
-        depth=head_i32(_R_DEPTH),
-        sample=head_i32(_R_SAMPLE),
-        pixel=jnp.where(ha, as_i32(a_h[_R_PIXEL:_R_PIXEL + 1]),
-                        as_i32(d_h[0:1])),
+        origin=jnp.where(ha, f_h[0:3], 0.0),
+        direction=jnp.where(ha, f_h[3:6], dir_pad),
+        time=jnp.where(ha, f_h[6:7], 0.0),
+        throughput=jnp.where(ha, f_h[7:10], 1.0),
+        radiance_sum=jnp.where(ha, f_h[_R_RAD:_R_RAD + 3],
+                               d_rad[:, :k_new]),
+        depth=head_i32(_RI_DEPTH),
+        sample=head_i32(_RI_SAMPLE),
+        pixel=jnp.where(ha, i_h[_RI_PIXEL:_RI_PIXEL + 1],
+                        d_pix[:, :k_new]),
         path_alive=ha,
-        s_base=head_i32(_R_SBASE),
-        s_quota=head_i32(_R_SQUOTA),
+        s_base=head_i32(_RI_SBASE),
+        s_quota=head_i32(_RI_SQUOTA),
     )
 
     # Dropped tail: all dead (k_new >= n_alive), radiance final.
-    drop_pix, _ = _exact_divmod_any(as_i32(mat_d[0:1, k_new:]),
-                                    lanes_per_pixel)
+    drop_pix, _ = _exact_divmod_any(d_pix[0:1, k_new:], lanes_per_pixel)
     flushed = jax.ops.segment_sum(
-        mat_d[1:4, k_new:].T, drop_pix[0],
+        d_rad[:, k_new:].T, drop_pix[0],
         num_segments=accum.shape[1], indices_are_sorted=False)
     return new, accum + flushed.T
 
@@ -1381,6 +1504,7 @@ def render_image_persistent(
         return do_steps
 
     use_route = (cfg.compactor or "sort") == "route"
+    flush_mode = cfg.flush_mode or "scatter"
 
     def compact_fn(st, accum, *, k_new, lanes_per_pixel,
                    tail_sorted=False, n_receivers=0):
@@ -1394,7 +1518,8 @@ def render_image_persistent(
                                   lanes_per_pixel=lanes_per_pixel)
         return _compact(st, accum, k_new=k_new,
                         lanes_per_pixel=lanes_per_pixel,
-                        tail_sorted=tail_sorted, n_receivers=n_receivers)
+                        tail_sorted=tail_sorted, n_receivers=n_receivers,
+                        flush=flush_mode)
 
     def make_finish(salt, kpp_s):
         """Tail finisher: once the batch is below the compaction floor
