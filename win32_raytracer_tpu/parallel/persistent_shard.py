@@ -195,6 +195,29 @@ def _steps(mesh: Mesh, cfg: RenderConfig, hit_fn, v7_rb: int = 0,
         bounce_multi, mesh=mesh, in_specs=(P(), P(), sspec, kspec, P(), P()),
         out_specs=sspec, check_vma=False))
 
+    # Above-floor multi-bounce with the FUSED Mosaic body
+    # (cfg.multi_backend="fused"): mk unrolled p_bounce_fused calls in
+    # ONE shard_map dispatch — the sharded driver's per-dispatch
+    # lockstep tax (~20 ms fixed + ~8 ms/M-lane, tpu_jobs 601; 50.5%
+    # total overhead at the headline, job h622) amortizes mk-fold over
+    # the compute-bound steps, where the single-chip driver pays no
+    # such tax.  Unrolled python (never a lax loop around Mosaic).
+    if v7_rb and fuse_wanted:
+        def bounce_multi_fused(coeffs, scene, cam, st, salts, step0, dims):
+            from ..kernels.bounce_pallas import p_bounce_fused
+            for i in range(mk):
+                st = p_bounce_fused(coeffs, cam[1], st, salts[0],
+                                    step0 + jnp.int32(i), dims, cfg=cfg,
+                                    ray_block=v7_rb, lean=lean)
+            return st
+
+        multi_fused_sm = jax.jit(jax.shard_map(
+            bounce_multi_fused, mesh=mesh,
+            in_specs=(P(), P(), P(), sspec, kspec, P(), P()),
+            out_specs=sspec, check_vma=False))
+    else:
+        multi_fused_sm = None
+
     def first_respawn(cam, st, salts, dims):
         return _respawn_core(cam[0], st, salts[0], jnp.int32(0), dims,
                              cfg=cfg, n_frames=n_frames, lean=lean)
@@ -291,7 +314,7 @@ def _steps(mesh: Mesh, cfg: RenderConfig, hit_fn, v7_rb: int = 0,
         out_specs=(sspec, P("tiles"), P("tiles")), check_vma=False))
 
     return (bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm,
-            finish_sm, until_sm)
+            finish_sm, until_sm, multi_fused_sm)
 
 
 @functools.lru_cache(maxsize=64)
@@ -602,7 +625,7 @@ def render_image_persistent_sharded(
                         fuse_wanted=fuse_wanted,
                         pallas_scatter=pallas_scatter, lean=lean)
         (bounce_sm, alive_sm, flush_sm, respawn_sm, multi_sm,
-         finish_sm, until_sm) = steps7
+         finish_sm, until_sm, _) = steps7
         dims_s = make_dims(cfg, w, h, spp, kpp_s)
 
         def bounce_for(n_local: int):
@@ -622,6 +645,20 @@ def render_image_persistent_sharded(
                     return functools.partial(b7, coeffs)
             return bounce_sm
 
+        def multi_fused_for(n_local: int):
+            """Above-floor fused multi program for this shard size, or
+            None (knob off / no fitting block / below floor / binned)."""
+            if ((cfg.multi_backend or "xla") != "fused"
+                    or coeffs is None or n_local < floor):
+                return None
+            rb = _pick_ray_block(n_local)
+            if not rb:
+                return None
+            mf = _steps(mesh, scfg, hit_fn, rb, n_frames=n_frames,
+                        mk=mk, fuse_wanted=fuse_wanted,
+                        pallas_scatter=pallas_scatter, lean=lean)[7]
+            return None if mf is None else functools.partial(mf, coeffs)
+
         def do_steps(st, k, step):
             # Tail economics mirror the single-chip driver: at or below
             # the per-shard floor the render is dispatch-bound, so
@@ -637,6 +674,14 @@ def render_image_persistent_sharded(
                                   jnp.int32(step + 1), dims_s)
                     step += mk
                     k -= mk
+            elif bin_box is None:
+                mf = multi_fused_for(cur)
+                if mf is not None:
+                    while k >= mk:
+                        st = mf(scene, camt, st, dev_keys_s,
+                                jnp.int32(step + 1), dims_s)
+                        step += mk
+                        k -= mk
             for _ in range(k):
                 step += 1
                 if bin_box is not None and (step - 1) % _P._BIN_PERIOD == 0:
