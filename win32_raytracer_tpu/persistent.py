@@ -693,9 +693,15 @@ def _window_flush(accum: jnp.ndarray, pix: jnp.ndarray,
         offb, radb, w0b, okb = xs
         onehot = ((offb[:, None] == iota_w[None, :]) & okb).astype(
             jnp.float32)                                  # [b, w]
+        # Precision.HIGHEST: the TPU's default dot truncates f32 inputs
+        # to one bf16 pass — radiance would lose ~2^-8 relative (o633's
+        # first chip run failed agreement exactly so).  The one-hot is
+        # exact either way; HIGHEST recovers ~f32 products and the
+        # matmul is a trivial share of the flush.
         contrib = jax.lax.dot_general(
             radb, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [3, w]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # [3, w]
         win = jax.lax.dynamic_slice(acc, (0, w0b), (3, w))
         return jax.lax.dynamic_update_slice(acc, win + contrib,
                                             (0, w0b)), None
