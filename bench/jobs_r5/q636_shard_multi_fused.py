@@ -14,7 +14,7 @@ from win32_raytracer_tpu.parallel.persistent_shard import (
 from win32_raytracer_tpu.scene.builders import random_scene
 from win32_raytracer_tpu.scene.camera import default_camera
 
-assert "multi_fused_for" in open(PS.__file__).read(), "stale worker"
+assert getattr(PS, "_HAS_MULTI_FUSED", False), "stale worker"
 scene = random_scene()
 cfg = RenderConfig(width=1200, height=800, samples=100, seed=99,
                    rays_per_chunk=1 << 22)

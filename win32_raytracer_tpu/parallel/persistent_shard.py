@@ -44,6 +44,10 @@ from ..persistent import (
 from ..scene.camera import Camera, default_camera
 from ..scene.spheres import SphereScene
 
+# Module-truth sentinel for in-worker jobs (a file-content check
+# passes even when the loaded module predates the feature).
+_HAS_MULTI_FUSED = True
+
 _STATE_ROWS = {"origin": 3, "direction": 3, "time": 1, "throughput": 3,
                "radiance_sum": 3, "depth": 1, "sample": 1, "pixel": 1,
                "path_alive": 1, "s_base": 1, "s_quota": 1}
