@@ -1455,7 +1455,11 @@ def render_image_persistent(
             # scatter, re-degenerating the block mask.
             mk = cfg.multi_k or _MULTI_K
             if fuse and k >= mk and bin_box is None:
-                multi_fused = ((cfg.multi_backend or "xla") == "fused"
+                # auto resolves to "fused" here: +2.9% at the headline
+                # (tpu_jobs n630, interleaved best 1.827 vs 1.881 s) —
+                # the XLA multi core runs ~9.5-10 ns/lane-step where the
+                # Mosaic bounce runs 5.6 (job 990).
+                multi_fused = ((cfg.multi_backend or "fused") == "fused"
                                and fused_bounce is not None)
                 while k >= mk:
                     if multi_fused:
