@@ -29,9 +29,13 @@ def main(paths):
                 if not line or not line.startswith("{"):
                     continue
                 row = json.loads(line)
-                n = 2 if row["config"] == 3 else 3
-                row["note"] = NOTE.format(n=n, extra=EXTRA.get(
-                    row["config"], ""))
+                # Rows hand-stamped with a round-5 note (config 3's
+                # g999 job record) keep it; bench/configs.py rows get
+                # the uniform protocol note.
+                if "round-5" not in row.get("note", ""):
+                    n = 2 if row["config"] == 3 else 3
+                    row["note"] = NOTE.format(n=n, extra=EXTRA.get(
+                        row["config"], ""))
                 rows[row["config"]] = row
     out = os.path.join(_ROOT, "bench_configs_out.json")
     old = {}
