@@ -274,13 +274,17 @@ class RenderConfig:
     # p_bounce_multi_fused) — ~5.6 vs ~9.5-10 ns/lane-step at tail
     # sizes (tpu_jobs 990 anatomy), numerically the fused kernel's
     # split-bf16 hit instead of the XLA f32 hit (statistically
-    # equivalent, same stance as fuse_bounce).  "" = auto: "fused" on
-    # the single-chip below-floor path (priced +2.9% at the headline,
-    # tpu_jobs n630 interleaved: 1.827 vs 1.881 s best-of-4); the
-    # sharded ABOVE-floor multi-chaining stays opt-in pending its own
-    # A/B (tpu_jobs s638).  Only takes effect where the fused kernel
-    # runs at all (fuse_bounce resolution); binned scenes always
-    # single-step.
+    # equivalent, same stance as fuse_bounce).  "" = auto: "xla".  The
+    # fused arm wins +2.9% at the headline once warm (tpu_jobs n630
+    # interleaved: 1.827 vs 1.881 s best-of-4) but was DISQUALIFIED as
+    # the default by its cold-compile surface: one k-unrolled Mosaic
+    # rung program stalled a cold headline warm >40 min (round-5
+    # README-regen session) vs ~6 min for the whole XLA-multi set
+    # (tpu_jobs 614) — the staged-ladder rule (tpu_jobs 602/613).
+    # Opt in on a warm cache with "fused"; the sharded ABOVE-floor
+    # multi-chaining is likewise opt-in (~neutral, tpu_jobs s638).
+    # Only takes effect where the fused kernel runs at all
+    # (fuse_bounce resolution); binned scenes always single-step.
     multi_backend: str = ""
     # Split-bf16 limb-pair count of the v7/fused hit quadratic
     # (kernels/hit_pallas_v6._PAIRS): 6 = ~f32 quality (K=96 MXU

@@ -1455,11 +1455,21 @@ def render_image_persistent(
             # scatter, re-degenerating the block mask.
             mk = cfg.multi_k or _MULTI_K
             if fuse and k >= mk and bin_box is None:
-                # auto resolves to "fused" here: +2.9% at the headline
-                # (tpu_jobs n630, interleaved best 1.827 vs 1.881 s) —
-                # the XLA multi core runs ~9.5-10 ns/lane-step where the
-                # Mosaic bounce runs 5.6 (job 990).
-                multi_fused = ((cfg.multi_backend or "fused") == "fused"
+                # auto resolves to "xla": the fused arm wins +2.9% at
+                # the headline once warm (tpu_jobs n630, interleaved
+                # best 1.827 vs 1.881 s — the XLA multi core runs
+                # ~9.5-10 ns/lane-step where the Mosaic bounce runs
+                # 5.6, job 990), but its COLD surface disqualifies it
+                # as the default: the k-unrolled Mosaic program per
+                # below-floor rung stalled a cold headline warm >40 min
+                # on a single compile (round-5 README-regen session)
+                # vs ~6 min for the whole XLA-multi program set
+                # (tpu_jobs 614).  Same rule that disqualified the
+                # staged one-shot ladder (tpu_jobs 602/613): steady-
+                # state wins below ~3% don't buy unbounded first-visit
+                # compiles.  Opt in with multi_backend="fused" on a
+                # warm cache.
+                multi_fused = (cfg.multi_backend == "fused"
                                and fused_bounce is not None)
                 while k >= mk:
                     if multi_fused:
